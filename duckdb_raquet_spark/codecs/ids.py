@@ -1,0 +1,52 @@
+"""Codec id registry — 1-byte tags at the head of every encoded payload.
+
+The per-column codec id stored with each block mirrors the reference
+recording its compression name in the manifest and dispatching decode on
+it (/root/reference/src/raster/band_decoder.cpp:300-373 dispatches
+gzip/jpeg/webp/none; /root/reference/src/include/raquet_metadata.hpp
+carries the codec id). Lossy codecs are deliberately absent: webtext
+decode must be bit-identical.
+"""
+
+INT_PLAIN = 0x00   # raw little-endian int64
+INT_FOR = 0x01     # frame-of-reference + bit-pack
+INT_DELTA = 0x02   # first value + zigzag deltas (FoR+bit-packed)
+INT_RLE = 0x03     # run values + run lengths, each FoR+bit-packed
+STR_PLAIN = 0x10   # lengths payload + concatenated bytes
+STR_DICT = 0x11    # dictionary payload + integer codes payload
+STR_FSST = 0x12    # FSST symbol table + compressed concat + lengths
+ZLIB = 0x20        # zlib-wrapped inner payload (the reference's codec,
+                   #   /root/reference/src/raster/band_encoder.cpp:190-203)
+NULLABLE = 0x30    # validity bitmap + inner payload of valid values only
+CONST = 0x31       # single repeated value (strings or ints)
+
+NAMES = {
+    INT_PLAIN: "plain",
+    INT_FOR: "for+bitpack",
+    INT_DELTA: "delta+for+bitpack",
+    INT_RLE: "rle",
+    STR_PLAIN: "str_plain",
+    STR_DICT: "dict",
+    STR_FSST: "fsst",
+    ZLIB: "zlib",
+    NULLABLE: "nullable",
+    CONST: "const",
+}
+
+
+def codec_name(payload: bytes) -> str:
+    """Human-readable codec chain of a tagged payload (for metrics/JSON)."""
+    if not payload:
+        return "empty"
+    tag = payload[0]
+    name = NAMES.get(tag, f"0x{tag:02x}")
+    if tag == ZLIB:
+        return "zlib"
+    if tag == NULLABLE:
+        # nullable header: n varint + bitmap, then inner payload
+        from .util import read_uvarint
+
+        n, pos = read_uvarint(payload, 1)
+        pos += (n + 7) // 8
+        return f"nullable({codec_name(payload[pos:])})"
+    return name
