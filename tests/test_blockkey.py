@@ -64,7 +64,8 @@ def test_cover_keys_contain_point_and_bound_range():
     assert cov == sorted(cov)
     pk = bk.key_for_point("https://x.example/a", 60 * bk.DEFAULT_BUCKET_SECONDS, res)
     assert pk in cov
-    outside = bk.key_for_point("https://x.example/a", 5000 * bk.DEFAULT_BUCKET_SECONDS, res)
+    # a point in a different res-6 time cell (bucket >> 20 != 0)
+    outside = bk.key_for_point("https://x.example/a", (1 << 21) * bk.DEFAULT_BUCKET_SECONDS, res)
     assert outside not in cov
 
 
