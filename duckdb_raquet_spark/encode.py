@@ -1,0 +1,437 @@
+"""The encode job: webtext DataFrame -> sorted table of encoded blocks.
+
+Spark-first re-expression of the reference's ingestion table function
+``read_raster`` (/root/reference/src/raster/read_raster.cpp:733-1593):
+its phases map onto a declarative plan —
+
+    reference (single-process C++)          this engine (Spark)
+    --------------------------------        ------------------------------
+    bind: tile grid + dataset stats         key_col() + choose_resolution
+    per-thread tile queue                   shuffle by (block, salt):
+                                              groupBy().applyInPandas
+    per-tile warp + gzip per band           per-block per-column codec
+                                              auto-select (Arrow batches)
+    empty-tile skip (:444-483)              .where() before encode
+    metadata row emitted last (CAS :1488)   manifest row appended after
+                                              all data commits
+    no skew handling (uniform grid)         explicit salt column splits
+                                              oversized blocks
+
+The only shuffle in the job is the groupBy on (block, salt) — there are
+no joins on the encode path, matching the reference's design (SURVEY.md
+§2.3). Skew: block keys are url-hash-spread, so hot *domains* do not
+create hot blocks; hot *time buckets* (crawl bursts) can — the salt
+splits any block above ``max_rows_per_block`` into independently encoded
+sub-blocks that readers treat as row-groups of the same logical block.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import blockkey as bk
+from . import manifest as mf
+from . import selector
+
+BLOCK = "block"
+SALT = "salt"
+
+STATS_TYPE = T.StructType(
+    [
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("raw_bytes", T.LongType()),
+        T.StructField("enc_bytes", T.LongType()),
+        T.StructField("ts_min", T.LongType()),
+        T.StructField("ts_max", T.LongType()),
+    ]
+)
+
+NUM_STAT_TYPE = T.StructType(
+    [
+        T.StructField("min", T.LongType()),
+        T.StructField("max", T.LongType()),
+        T.StructField("sum", T.LongType()),
+        T.StructField("sum_sq", T.DoubleType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+MAX_CAT_DISTINCT = 64
+
+
+def blob_col(name: str) -> str:
+    return f"{name}_blob"
+
+
+def blocks_schema(columns: list[dict]) -> T.StructType:
+    """Output schema: one binary payload column per encoded input column
+    (fixed columns, not a map, so Parquet prunes untouched payloads —
+    the reference's single-band-fetch property,
+    /root/reference/docs/PERFORMANCE_COMPARISON.md:154-156)."""
+    fields = [
+        T.StructField(BLOCK, T.LongType(), False),
+        T.StructField(SALT, T.IntegerType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+    ]
+    for c in columns:
+        fields.append(T.StructField(blob_col(c["name"]), T.BinaryType()))
+    fields += [
+        T.StructField("codecs", T.StringType()),
+        T.StructField("stats", STATS_TYPE),
+        T.StructField(
+            "cat_counts", T.MapType(T.StringType(), T.MapType(T.StringType(), T.LongType()))
+        ),
+        T.StructField("num_stats", T.MapType(T.StringType(), NUM_STAT_TYPE)),
+        T.StructField("metadata", T.StringType()),
+        T.StructField("lineage", T.StringType()),
+    ]
+    return T.StructType(fields)
+
+
+def columns_of(df: DataFrame) -> list[dict]:
+    cols = []
+    for f in df.schema.fields:
+        kind = selector.kind_of_spark_type(f.dataType.simpleString())
+        cols.append({"name": f.name, "spark_type": f.dataType.simpleString(), "kind": kind})
+    return cols
+
+
+def _num_stat(vals: np.ndarray) -> dict:
+    v = vals.astype(np.int64)
+    return {
+        "min": int(v.min()),
+        "max": int(v.max()),
+        "sum": int(v.sum()),
+        "sum_sq": float(np.square(v.astype(np.float64)).sum()),
+        "cnt": int(len(v)),
+    }
+
+
+def encode_block_pdf(
+    pdf: pd.DataFrame,
+    col_specs: list[tuple[str, str]],
+    sort_cols: list[str],
+    zlib_level: int,
+    block: int,
+    salt: int,
+    ts_col: str | None,
+) -> dict:
+    """Encode one block's rows -> one output row dict.
+
+    Runs inside Arrow-vectorized UDFs; all per-value work is
+    numpy/pyarrow. Rows are deterministically ordered (ts, url) so
+    re-encoding the same block yields identical bytes (resume
+    idempotency) and timestamp deltas stay small for the delta codec.
+    """
+    pdf = pdf.sort_values(sort_cols, kind="mergesort", na_position="first").reset_index(
+        drop=True
+    )
+    n = len(pdf)
+    row: dict = {BLOCK: block, SALT: salt, "n_rows": n}
+    codecs: dict[str, str] = {}
+    cat_counts: dict[str, dict[str, int]] = {}
+    num_stats: dict[str, dict] = {}
+    raw_total = 0
+    enc_total = 0
+    ts_min = ts_max = None
+    for name, kind in col_specs:
+        s = pdf[name]
+        payload, cname, cstats = selector.encode_column(s, kind, zlib_level)
+        row[blob_col(name)] = payload
+        codecs[name] = cname
+        raw_total += cstats["raw_bytes"]
+        enc_total += len(payload)
+        if kind == selector.KIND_STRING:
+            vc = s.value_counts(dropna=True)
+            if 0 < len(vc) <= MAX_CAT_DISTINCT:
+                cat_counts[name] = {str(k): int(v) for k, v in vc.items()}
+            lens = s.dropna().str.len()
+            if len(lens):
+                num_stats[f"len_{name}"] = _num_stat(lens.to_numpy(np.int64))
+        elif kind == selector.KIND_INT:
+            vals = s.dropna().to_numpy(dtype=np.int64)
+            if len(vals):
+                num_stats[name] = _num_stat(vals)
+        elif kind == selector.KIND_TIMESTAMP:
+            vals = s.dropna().to_numpy().astype("datetime64[us]").view("int64")
+            if len(vals):
+                st = _num_stat(vals)
+                num_stats[name] = st
+                if ts_col and name == ts_col:
+                    ts_min, ts_max = st["min"], st["max"]
+    row["codecs"] = json.dumps(codecs, sort_keys=True)
+    row["stats"] = {
+        "n_rows": n,
+        "raw_bytes": raw_total,
+        "enc_bytes": enc_total,
+        "ts_min": ts_min,
+        "ts_max": ts_max,
+    }
+    row["cat_counts"] = cat_counts
+    row["num_stats"] = num_stats
+    row["metadata"] = None
+    row["lineage"] = None
+    return row
+
+
+def sort_cols_for(columns: list[dict], url_col: str, ts_col: str | None) -> list[str]:
+    names = {c["name"] for c in columns}
+    return [c for c in (ts_col, url_col) if c and c in names] or [columns[0]["name"]]
+
+
+def make_encode_fn(columns: list[dict], url_col: str, ts_col: str | None, zlib_level: int):
+    """Per-(block, salt) encoder run via applyInPandas (Arrow batches in,
+    one block row out — all numpy/pyarrow inside, no per-row Python)."""
+
+    col_specs = [(c["name"], c["kind"]) for c in columns]
+    sort_cols = sort_cols_for(columns, url_col, ts_col)
+
+    def encode_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        row = encode_block_pdf(
+            pdf, col_specs, sort_cols, zlib_level, int(key[0]), int(key[1]), ts_col
+        )
+        return pd.DataFrame([row])
+
+    return encode_fn
+
+
+def encode_table(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str | None = "warc_ts",
+    resolution: int | None = None,
+    bucket_seconds: int = bk.DEFAULT_BUCKET_SECONDS,
+    est_rows: int | None = None,
+    target_rows_per_block: int = 65536,
+    max_rows_per_block: int = 262144,
+    zlib_level: int = 6,
+    chunk: tuple[int, int] | None = None,
+) -> tuple[DataFrame, dict]:
+    """Lazy encode plan: input rows -> one row per (block, salt).
+
+    Returns (blocks_df, unfinalized manifest). The single shuffle is the
+    groupBy; AQE handles residual partition skew at runtime. ``chunk``
+    = (k, n_chunks) restricts the plan to one deterministic slice of the
+    key space BEFORE the shuffle (checkpoint-resume granule).
+    """
+    columns = columns_of(df)
+    names = {c["name"] for c in columns}
+    if url_col not in names:
+        raise ValueError(f"url_col {url_col!r} not in {sorted(names)}")
+    if ts_col is not None and ts_col not in names:
+        ts_col = None
+    if est_rows is None:
+        est_rows = df.count()
+    res = (
+        resolution
+        if resolution is not None
+        else bk.choose_resolution(est_rows, target_rows_per_block)
+    )
+    cells = 4**res
+    n_salt = max(1, math.ceil(est_rows / max(cells, 1) / max_rows_per_block))
+
+    key = bk.key_col(
+        F.col(url_col), F.col(ts_col) if ts_col else None, res, bucket_seconds
+    )
+    salt = (
+        F.pmod(F.xxhash64(F.col(url_col), F.lit(7)), F.lit(n_salt)).cast("int")
+        if n_salt > 1
+        else F.lit(0).cast("int")
+    )
+    keyed = df.withColumn(BLOCK, key).withColumn(SALT, salt)
+    if chunk is not None:
+        k, n_chunks = chunk
+        keyed = keyed.where(
+            F.pmod(F.xxhash64(F.col(BLOCK), F.col(SALT)), F.lit(n_chunks)) == k
+        )
+
+    schema = blocks_schema(columns)
+    encode_fn = make_encode_fn(columns, url_col, ts_col, zlib_level)
+    blocks = keyed.groupBy(BLOCK, SALT).applyInPandas(encode_fn, schema=schema)
+
+    man = mf.build_manifest(
+        columns=columns,
+        resolution=res,
+        bucket_seconds=bucket_seconds,
+        url_col=url_col,
+        ts_col=ts_col,
+        n_salt=n_salt,
+    )
+    return blocks, man
+
+
+# ----------------------------------------------------------------- write ----
+
+
+def _data_path(path: str) -> str:
+    return os.path.join(path, "data")
+
+
+def _aggregate_written(spark: SparkSession, path: str) -> tuple[dict, dict]:
+    """Columnar scan of stats/codecs only (payloads pruned) to finalize
+    the manifest after data commit."""
+    df = spark.read.parquet(_data_path(path))
+    agg = (
+        df.where(F.col(BLOCK) != bk.MANIFEST_BLOCK)
+        .agg(
+            F.count("*").alias("num_blocks"),
+            F.sum("n_rows").alias("num_rows"),
+            F.sum("stats.raw_bytes").alias("raw_bytes"),
+            F.sum("stats.enc_bytes").alias("enc_bytes"),
+        )
+        .first()
+    )
+    hist_rows = (
+        df.where(F.col(BLOCK) != bk.MANIFEST_BLOCK)
+        .select(F.explode(F.from_json("codecs", "map<string,string>")))
+        .groupBy("key", "value")
+        .count()
+        .collect()
+    )
+    hist: dict[str, dict[str, int]] = {}
+    for r in hist_rows:
+        hist.setdefault(r["key"], {})[r["value"]] = r["count"]
+    totals = {
+        "num_blocks": agg["num_blocks"] or 0,
+        "num_rows": int(agg["num_rows"] or 0),
+        "raw_bytes": int(agg["raw_bytes"] or 0),
+        "enc_bytes": int(agg["enc_bytes"] or 0),
+    }
+    return totals, hist
+
+
+def _append_manifest_row(
+    spark: SparkSession, path: str, man: dict, columns: list[dict]
+) -> None:
+    schema = blocks_schema(columns)
+    row = {f.name: None for f in schema.fields}
+    row.update(
+        {BLOCK: bk.MANIFEST_BLOCK, SALT: 0, "n_rows": 0, "metadata": mf.to_json(man)}
+    )
+    spark.createDataFrame([row], schema=schema).coalesce(1).write.mode("append").parquet(
+        _data_path(path)
+    )
+
+
+def write_blocks(
+    blocks: DataFrame,
+    path: str,
+    man: dict,
+    columns: list[dict],
+    *,
+    mode: str = "overwrite",
+    num_files: int | None = None,
+) -> dict:
+    """Write blocks sorted by key (range partition + in-file sort), then
+    finalize + append the manifest row LAST — the reference's
+    metadata-row-after-all-data invariant, distributed."""
+    spark = blocks.sparkSession
+    n_files = num_files or max(2, spark.sparkContext.defaultParallelism)
+    (
+        blocks.repartitionByRange(n_files, BLOCK, SALT)
+        .sortWithinPartitions(BLOCK, SALT)
+        .write.mode(mode)
+        .parquet(_data_path(path))
+    )
+    totals, hist = _aggregate_written(spark, path)
+    final = mf.finalize_manifest(man, codec_histogram=hist, **totals)
+    _append_manifest_row(spark, path, final, columns)
+    mf.write_sidecar(path, final)
+    return final
+
+
+def encode_to_path(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    *,
+    chunks: int = 1,
+    resume: bool = False,
+    url_col: str = "url",
+    ts_col: str | None = "warc_ts",
+    **kwargs,
+) -> dict:
+    """End-to-end encode job with optional chunked checkpoint-resume.
+
+    ``chunks > 1`` splits the block-key space into deterministic chunk
+    ids; each chunk is an independently committed Spark job followed by a
+    per-chunk lineage record (rows, bytes, wall seconds). ``resume=True``
+    skips chunks whose lineage record exists — re-running a half-finished
+    encode does not duplicate or re-encode completed chunks. Chunk ids
+    derive from (block, salt), so an encode unit never spans chunks.
+    """
+    est_rows = kwargs.pop("est_rows", None) or df.count()
+    columns = columns_of(df)
+
+    if chunks <= 1:
+        blocks, man = encode_table(
+            df, url_col=url_col, ts_col=ts_col, est_rows=est_rows, **kwargs
+        )
+        man["lineage_chunks"] = 1
+        t0 = time.time()
+        final = write_blocks(blocks, path, man, columns)
+        mf.write_chunk_lineage(
+            path,
+            0,
+            {
+                "chunk": 0,
+                "rows": final["num_rows"],
+                "raw_bytes": final["raw_bytes"],
+                "enc_bytes": final["enc_bytes"],
+                "wall_seconds": round(time.time() - t0, 3),
+                "input_rows": est_rows,
+            },
+        )
+        return final
+
+    done = mf.read_chunk_lineage(path) if resume else {}
+    man = None
+    wrote_any = False
+    for k in range(chunks):
+        blocks, chunk_man = encode_table(
+            df,
+            url_col=url_col,
+            ts_col=ts_col,
+            est_rows=est_rows,
+            chunk=(k, chunks),
+            **kwargs,
+        )
+        man = chunk_man
+        if k in done:
+            continue
+        t0 = time.time()
+        blocks.write.mode("append").parquet(_data_path(path))
+        agg = (
+            spark.read.parquet(_data_path(path))
+            .where(F.col(BLOCK) != bk.MANIFEST_BLOCK)
+            .agg(F.count("*"), F.sum("n_rows"))
+            .first()
+        )
+        mf.write_chunk_lineage(
+            path,
+            k,
+            {
+                "chunk": k,
+                "wall_seconds": round(time.time() - t0, 3),
+                "cumulative_blocks": agg[0],
+                "cumulative_rows": int(agg[1] or 0),
+            },
+        )
+        wrote_any = True
+    man["lineage_chunks"] = chunks
+    totals, hist = _aggregate_written(spark, path)
+    final = mf.finalize_manifest(man, codec_histogram=hist, **totals)
+    if wrote_any or not resume:
+        _append_manifest_row(spark, path, final, columns)
+    mf.write_sidecar(path, final)
+    return final

@@ -1,0 +1,165 @@
+"""JSON manifest — the self-describing metadata row convention.
+
+A raquet table is a plain Parquet table where the row with ``block = 0``
+carries a JSON manifest and every other row is a data block
+(/root/reference/src/raquet_extension.cpp:34-35, metadata parsing at
+/root/reference/src/include/raquet_metadata.hpp:1017-1072). We keep the
+convention: the manifest row is appended only after every data row is
+committed (the reference enforces this with a CAS,
+/root/reference/src/raster/read_raster.cpp:1486-1590; we enforce it by
+job ordering + an idempotent rewrite), and a ``_raquet_manifest.json``
+sidecar is written for cheap driver-side access on local filesystems.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from . import FORMAT_VERSION, __version__
+
+KEY_SCHEME = "hashts-morton-v1"
+
+
+def build_manifest(
+    *,
+    columns: list[dict],
+    resolution: int,
+    bucket_seconds: int,
+    url_col: str,
+    ts_col: str | None,
+    n_salt: int,
+    extra: dict | None = None,
+) -> dict:
+    return {
+        "format_version": FORMAT_VERSION,
+        "engine": f"duckdb_raquet_spark/{__version__}",
+        "key": {
+            "scheme": KEY_SCHEME,
+            "resolution": resolution,
+            "bucket_seconds": bucket_seconds,
+            "hash": "xxhash64(url, seed=42) >> 38",
+            "n_salt": n_salt,
+        },
+        "columns": columns,
+        "url_col": url_col,
+        "ts_col": ts_col,
+        "created_unix": None,  # stamped at finalize
+        "num_blocks": None,
+        "num_rows": None,
+        "raw_bytes": None,
+        "enc_bytes": None,
+        "codec_histogram": {},
+        **(extra or {}),
+    }
+
+
+def finalize_manifest(
+    manifest: dict,
+    *,
+    num_blocks: int,
+    num_rows: int,
+    raw_bytes: int,
+    enc_bytes: int,
+    codec_histogram: dict[str, dict[str, int]],
+) -> dict:
+    out = dict(manifest)
+    out.update(
+        created_unix=int(time.time()),
+        num_blocks=num_blocks,
+        num_rows=num_rows,
+        raw_bytes=raw_bytes,
+        enc_bytes=enc_bytes,
+        codec_histogram=codec_histogram,
+    )
+    return out
+
+
+def validate_manifest(m: dict) -> tuple[bool, list[str], list[str]]:
+    """Structure validator — mirror of raquet_validate_metadata
+    (/root/reference/src/metadata/raquet_metadata.cpp:16-133)."""
+    errors: list[str] = []
+    warnings: list[str] = []
+    if m.get("format_version") != FORMAT_VERSION:
+        errors.append(f"unsupported format_version {m.get('format_version')!r}")
+    key = m.get("key") or {}
+    if key.get("scheme") != KEY_SCHEME:
+        errors.append(f"unknown key scheme {key.get('scheme')!r}")
+    res = key.get("resolution")
+    if not isinstance(res, int) or not 0 <= res <= 26:
+        errors.append(f"resolution {res!r} out of [0, 26]")
+    if not isinstance(key.get("bucket_seconds"), int) or key.get("bucket_seconds", 0) <= 0:
+        errors.append("bucket_seconds must be a positive int")
+    cols = m.get("columns")
+    if not cols:
+        errors.append("no columns")
+    else:
+        names = [c.get("name") for c in cols]
+        if len(set(names)) != len(names):
+            errors.append("duplicate column names")
+        if m.get("url_col") not in names:
+            errors.append(f"url_col {m.get('url_col')!r} not in columns")
+        if m.get("ts_col") is not None and m.get("ts_col") not in names:
+            errors.append(f"ts_col {m.get('ts_col')!r} not in columns")
+    if m.get("num_blocks") is None:
+        warnings.append("manifest not finalized (num_blocks missing)")
+    return (not errors, errors, warnings)
+
+
+def to_json(manifest: dict) -> str:
+    return json.dumps(manifest, sort_keys=True, separators=(",", ":"))
+
+
+def from_json(s: str) -> dict:
+    return json.loads(s)
+
+
+# ------------------------------------------------------- local sidecars ----
+
+
+def sidecar_path(path: str) -> str:
+    return os.path.join(path, "_raquet_manifest.json")
+
+
+def write_sidecar(path: str, manifest: dict) -> None:
+    if "://" in path:
+        return  # object stores: the block=0 row is the canonical copy
+    os.makedirs(path, exist_ok=True)
+    tmp = sidecar_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(to_json(manifest))
+    os.replace(tmp, sidecar_path(path))
+
+
+def read_sidecar(path: str) -> dict | None:
+    p = sidecar_path(path)
+    if "://" not in path and os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
+def lineage_dir(path: str) -> str:
+    return os.path.join(path, "_lineage")
+
+
+def write_chunk_lineage(path: str, chunk: int, record: dict[str, Any]) -> None:
+    d = lineage_dir(path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f"chunk-{chunk:05d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(record, f, sort_keys=True)
+    os.replace(tmp, os.path.join(d, f"chunk-{chunk:05d}.json"))
+
+
+def read_chunk_lineage(path: str) -> dict[int, dict]:
+    d = lineage_dir(path)
+    out: dict[int, dict] = {}
+    if os.path.isdir(d):
+        for fn in sorted(os.listdir(d)):
+            if fn.startswith("chunk-") and fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    out[int(fn[6:-5])] = json.load(f)
+    return out

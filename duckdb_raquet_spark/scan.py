@@ -1,0 +1,323 @@
+"""Read path: pruned scans, lazy block decode, decode-free stats.
+
+Mirrors the reference's read macros and value functions —
+``read_raquet`` / ``read_raquet_at`` / ``ST_RasterValue`` /
+``ST_RasterSummaryStats`` (/root/reference/src/raquet_extension.cpp:36-263,
+/root/reference/src/raster/st_raster_value.cpp, st_raster_stats.cpp) —
+with the same core principle: *blocks are not decoded unnecessarily*
+(st_raster_value.cpp:352-354). Pruning happens three ways, all before
+any payload byte is touched:
+
+1. key predicates (equality / BETWEEN / isin / bit-extracted ts-bucket)
+   pushed into the Parquet scan (row-group min/max on the sorted key);
+2. per-block stats columns (``stats.ts_min/ts_max``) — exact block-level
+   refinement without decode;
+3. Parquet column pruning — only the requested ``<col>_blob`` payloads
+   are ever read (single-band-fetch analog).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import blockkey as bk
+from . import manifest as mf
+from . import selector
+from .encode import (
+    BLOCK,
+    SALT,
+    blob_col,
+    blocks_schema,
+    encode_block_pdf,
+    sort_cols_for,
+    _data_path,
+)
+
+# ----------------------------------------------------------------- reads ----
+
+
+def read_all(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(_data_path(path))
+
+
+def read_blocks(spark: SparkSession, path: str) -> DataFrame:
+    """Data rows only — read_raquet analog
+    (/root/reference/src/raquet_extension.cpp:36-45)."""
+    return read_all(spark, path).where(F.col(BLOCK) != bk.MANIFEST_BLOCK)
+
+
+def read_manifest(spark: SparkSession, path: str) -> dict:
+    """Manifest dict — read_raquet_metadata analog (:89-100). Prefers the
+    local sidecar; falls back to the block=0 row (latest if re-appended
+    by a resumed job)."""
+    side = mf.read_sidecar(path)
+    if side is not None:
+        return side
+    rows = (
+        read_all(spark, path)
+        .where(F.col(BLOCK) == bk.MANIFEST_BLOCK)
+        .select("metadata")
+        .collect()
+    )
+    if not rows:
+        raise FileNotFoundError(f"no manifest row in {path}")
+    mans = [mf.from_json(r[0]) for r in rows if r[0]]
+    return max(mans, key=lambda m: m.get("created_unix") or 0)
+
+
+# ---------------------------------------------------------------- decode ----
+
+
+def _colspecs(man: dict, cols: list[str] | None) -> list[tuple[str, str, str]]:
+    specs = [(c["name"], c["spark_type"], c["kind"]) for c in man["columns"]]
+    if cols is not None:
+        order = {n: i for i, n in enumerate(cols)}
+        specs = sorted(
+            (s for s in specs if s[0] in order), key=lambda s: order[s[0]]
+        )
+        missing = set(cols) - {s[0] for s in specs}
+        if missing:
+            raise ValueError(f"unknown columns {sorted(missing)}")
+    return specs
+
+
+def decode_blocks(
+    blocks: DataFrame,
+    man: dict,
+    cols: list[str] | None = None,
+    *,
+    with_block: bool = False,
+) -> DataFrame:
+    """blocks -> original rows via mapInPandas (Arrow batches, payloads
+    decoded with the numpy/pyarrow kernels; the Python loop is per block
+    row, never per value — raquet_decode_band analog,
+    /root/reference/src/raster/st_raster_value.cpp:145-211)."""
+    specs = _colspecs(man, cols)
+    needed = [BLOCK, SALT, "n_rows"] + [blob_col(n) for n, _, _ in specs]
+    src = blocks.select(*needed)  # Parquet reads only these payloads
+    schema_parts = []
+    if with_block:
+        schema_parts += [f"{BLOCK} long", f"{SALT} int"]
+    schema_parts += [f"`{n}` {t}" for n, t, _ in specs]
+    out_schema = ", ".join(schema_parts)
+
+    def fn(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                n = int(r.n_rows)
+                data = {}
+                if with_block:
+                    data[BLOCK] = np.full(n, int(r.block), dtype=np.int64)
+                    data[SALT] = np.full(n, int(r.salt), dtype=np.int32)
+                for name, _, kind in specs:
+                    payload = getattr(r, blob_col(name))
+                    data[name] = selector.decode_column(bytes(payload), kind, n)
+                yield pd.DataFrame(data)
+
+    return src.mapInPandas(fn, schema=out_schema)
+
+
+# ------------------------------------------------------------ point/range ----
+
+
+def point_lookup(
+    spark: SparkSession,
+    path: str,
+    url: str,
+    ts_epoch: int | None = None,
+    cols: list[str] | None = None,
+    man: dict | None = None,
+) -> DataFrame:
+    """Point query — ST_RasterValue/read_raquet_at analog: O(1) key
+    computation on the driver, equality (or small isin cover) predicate
+    pushed to Parquet, decode of only the touched block(s), exact url
+    filter after decode (the in-block offset analog)."""
+    man = man or read_manifest(spark, path)
+    res = man["key"]["resolution"]
+    bucket = man["key"]["bucket_seconds"]
+    blocks = read_blocks(spark, path)
+    if ts_epoch is not None:
+        key = bk.key_for_point(url, ts_epoch, res, bucket)
+        pruned = blocks.where(F.col(BLOCK) == key)
+    else:
+        x = bk.hash_x_from_url(url)
+        keys = bk.cover_keys_for_x(x, res)
+        pruned = blocks.where(
+            F.col(BLOCK).between(min(keys), max(keys)) & F.col(BLOCK).isin(keys)
+        )
+    url_col = man["url_col"]
+    want = cols if cols is None else list(dict.fromkeys([url_col] + cols))
+    decoded = decode_blocks(pruned, man, want)
+    out = decoded.where(F.col(url_col) == url)
+    return out.select(*cols) if cols is not None else out
+
+
+def prune_blocks_for_ts(
+    blocks: DataFrame, man: dict, lo_epoch: int, hi_epoch: int
+) -> DataFrame:
+    """Block-level time-range pruning, no decode: sargable key BETWEEN
+    (row-group pruning on the sorted key), exact bit-extracted ts-bucket
+    match (polyfill-membership analog,
+    /root/reference/src/raquet_extension.cpp:61-64), then exact
+    stats.ts_min/ts_max overlap."""
+    res = man["key"]["resolution"]
+    bucket = man["key"]["bucket_seconds"]
+    shift = bk.COORD_BITS - res
+    y_lo, y_hi = lo_epoch // bucket, hi_epoch // bucket
+    ylr, yhr = y_lo >> shift, y_hi >> shift
+    lo_key = int(bk.key_from_parts(np.uint64(0), np.uint64(ylr << shift), res))
+    hi_key = int(
+        bk.key_from_parts(np.uint64(bk.COORD_MAX), np.uint64(yhr << shift), res)
+    )
+    lo_us, hi_us = lo_epoch * 1_000_000, hi_epoch * 1_000_000
+    return blocks.where(
+        F.col(BLOCK).between(lo_key, hi_key)
+        & bk.ts_bucket_col(F.col(BLOCK), res).between(ylr, yhr)
+        & (F.col("stats.ts_min") <= hi_us)
+        & (F.col("stats.ts_max") >= lo_us)
+    )
+
+
+def range_scan_ts(
+    spark: SparkSession,
+    path: str,
+    lo_epoch: int,
+    hi_epoch: int,
+    cols: list[str] | None = None,
+    man: dict | None = None,
+) -> DataFrame:
+    """Time-range scan: block pruning -> decode -> exact row filter
+    [lo, hi) — the read_raquet(file, geometry) analog."""
+    man = man or read_manifest(spark, path)
+    ts_col = man["ts_col"]
+    if ts_col is None:
+        raise ValueError("table has no timestamp column")
+    blocks = prune_blocks_for_ts(read_blocks(spark, path), man, lo_epoch, hi_epoch)
+    want = cols if cols is None else list(dict.fromkeys([ts_col] + cols))
+    decoded = decode_blocks(blocks, man, want)
+    out = decoded.where(
+        (F.col(ts_col) >= F.timestamp_seconds(F.lit(lo_epoch)))
+        & (F.col(ts_col) < F.timestamp_seconds(F.lit(hi_epoch)))
+    )
+    return out.select(*cols) if cols is not None else out
+
+
+# ------------------------------------------------------- decode-free stats ----
+
+
+def summary_stats(blocks: DataFrame, stat_key: str) -> DataFrame:
+    """count/sum/mean/min/max/stddev from per-block stats columns only —
+    the ST_RasterSummaryStats precomputed-passthrough analog
+    (/root/reference/src/raster/st_raster_stats.cpp:311-349): no payload
+    is decoded. ``stat_key`` is an input column name (int/timestamp) or
+    ``len_<col>`` for string char-lengths."""
+    s = F.col("num_stats").getItem(stat_key)
+    agg = blocks.where(s.isNotNull()).agg(
+        F.sum(s.getField("cnt")).alias("cnt"),
+        F.sum(s.getField("sum")).alias("sum"),
+        F.min(s.getField("min")).alias("min"),
+        F.max(s.getField("max")).alias("max"),
+        F.sum(s.getField("sum_sq")).alias("sum_sq"),
+    )
+    return agg.select(
+        F.col("cnt"),
+        F.col("sum"),
+        (F.col("sum") / F.col("cnt")).alias("mean"),
+        F.col("min"),
+        F.col("max"),
+        F.sqrt(
+            (F.col("sum_sq") - F.col("sum") * F.col("sum") / F.col("cnt"))
+            / (F.col("cnt") - 1)
+        ).alias("stddev"),
+    )
+
+
+def cat_value_counts(blocks: DataFrame, col: str) -> DataFrame:
+    """Per-value counts of a low-cardinality column from the per-block
+    ``cat_counts`` maps — decode-free GROUP BY (the per-block top-K stats
+    idea of band_stats_v01.cpp:169-180 made exactly mergeable)."""
+    m = F.col("cat_counts").getItem(col)
+    return (
+        blocks.where(m.isNotNull())
+        .select(F.explode(m).alias("value", "n"))
+        .groupBy("value")
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+# --------------------------------------------------- decode->mask->re-encode ----
+
+
+def transform_blocks(
+    blocks: DataFrame,
+    man: dict,
+    row_filter,
+    zlib_level: int = 6,
+) -> DataFrame:
+    """decode -> row mask -> re-encode, block-local (ST_MaskBandValues*
+    analog, /root/reference/src/raster/st_value_mask.cpp:116-237 — the
+    round-trip pattern that proves encode/decode are bit-exact inverses).
+    ``row_filter(pdf) -> bool mask`` runs on the decoded block frame.
+    Blocks left empty by the mask are dropped (empty-block elision,
+    read_raster.cpp:444-483)."""
+    columns = man["columns"]
+    specs = [(c["name"], c["spark_type"], c["kind"]) for c in columns]
+    col_specs = [(c["name"], c["kind"]) for c in columns]
+    sort_cols = sort_cols_for(columns, man["url_col"], man["ts_col"])
+    ts_col = man["ts_col"]
+    schema = blocks_schema(columns)
+
+    def fn(batches):
+        for pdf in batches:
+            out_rows = []
+            for r in pdf.itertuples(index=False):
+                n = int(r.n_rows)
+                data = {
+                    name: selector.decode_column(bytes(getattr(r, blob_col(name))), kind, n)
+                    for name, _, kind in specs
+                }
+                frame = pd.DataFrame(data)
+                mask = np.asarray(row_filter(frame), dtype=bool)
+                if not mask.any():
+                    continue
+                sub = frame[mask].reset_index(drop=True)
+                out_rows.append(
+                    encode_block_pdf(
+                        sub, col_specs, sort_cols, zlib_level, int(r.block), int(r.salt), ts_col
+                    )
+                )
+            if out_rows:
+                yield pd.DataFrame(out_rows)
+
+    needed = [BLOCK, SALT, "n_rows"] + [blob_col(n) for n, _, _ in specs]
+    return blocks.select(*needed).mapInPandas(fn, schema=schema)
+
+
+def mask_values_in(
+    blocks: DataFrame, man: dict, col: str, allowed: list
+) -> DataFrame:
+    """Whitelist mask — ST_MaskBandValuesList analog (st_value_mask.cpp:116-172)."""
+    allowed_set = set(allowed)
+    return transform_blocks(blocks, man, lambda pdf: pdf[col].isin(allowed_set).to_numpy())
+
+
+def mask_values_range(
+    blocks: DataFrame, man: dict, col: str, low=None, high=None
+) -> DataFrame:
+    """Range mask with NULL = open bound — ST_MaskBandValuesRange analog
+    incl. its SPECIAL_HANDLING null semantics (st_value_mask.cpp:174-237)."""
+
+    def pred(pdf: pd.DataFrame) -> np.ndarray:
+        m = pdf[col].notna().to_numpy()
+        if low is not None:
+            m &= (pdf[col] >= low).fillna(False).to_numpy()
+        if high is not None:
+            m &= (pdf[col] <= high).fillna(False).to_numpy()
+        return m
+
+    return transform_blocks(blocks, man, pred)

