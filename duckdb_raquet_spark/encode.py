@@ -311,15 +311,21 @@ def _aggregate_written(spark: SparkSession, path: str) -> tuple[dict, dict]:
 
 
 def _append_manifest_row(
-    spark: SparkSession, path: str, man: dict, columns: list[dict]
+    spark: SparkSession,
+    path: str,
+    man: dict,
+    columns: list[dict],
+    *,
+    target: str | None = None,
+    mode: str = "append",
 ) -> None:
     schema = blocks_schema(columns)
     row = {f.name: None for f in schema.fields}
     row.update(
         {BLOCK: bk.MANIFEST_BLOCK, SALT: 0, "n_rows": 0, "metadata": mf.to_json(man)}
     )
-    spark.createDataFrame([row], schema=schema).coalesce(1).write.mode("append").parquet(
-        _data_path(path)
+    spark.createDataFrame([row], schema=schema).coalesce(1).write.mode(mode).parquet(
+        target or _data_path(path)
     )
 
 
@@ -394,9 +400,13 @@ def encode_to_path(
         )
         return final
 
+    # chunked mode: each chunk is an idempotent overwrite of its own
+    # chunk=<k> subdirectory — re-running a chunk after a mid-write crash
+    # can never duplicate rows (no append anywhere), and the lineage
+    # record is written strictly after the chunk's job commit.
     done = mf.read_chunk_lineage(path) if resume else {}
     man = None
-    wrote_any = False
+    files_per_chunk = max(1, spark.sparkContext.defaultParallelism // chunks)
     for k in range(chunks):
         blocks, chunk_man = encode_table(
             df,
@@ -410,11 +420,16 @@ def encode_to_path(
         if k in done:
             continue
         t0 = time.time()
-        blocks.write.mode("append").parquet(_data_path(path))
+        part_path = os.path.join(_data_path(path), f"chunk={k}")
+        (
+            blocks.repartitionByRange(files_per_chunk, BLOCK, SALT)
+            .sortWithinPartitions(BLOCK, SALT)
+            .write.mode("overwrite")
+            .parquet(part_path)
+        )
         agg = (
-            spark.read.parquet(_data_path(path))
-            .where(F.col(BLOCK) != bk.MANIFEST_BLOCK)
-            .agg(F.count("*"), F.sum("n_rows"))
+            spark.read.parquet(part_path)
+            .agg(F.count("*"), F.sum("n_rows"), F.sum("stats.raw_bytes"), F.sum("stats.enc_bytes"))
             .first()
         )
         mf.write_chunk_lineage(
@@ -423,15 +438,24 @@ def encode_to_path(
             {
                 "chunk": k,
                 "wall_seconds": round(time.time() - t0, 3),
-                "cumulative_blocks": agg[0],
-                "cumulative_rows": int(agg[1] or 0),
+                "blocks": agg[0],
+                "rows": int(agg[1] or 0),
+                "raw_bytes": int(agg[2] or 0),
+                "enc_bytes": int(agg[3] or 0),
             },
         )
-        wrote_any = True
     man["lineage_chunks"] = chunks
     totals, hist = _aggregate_written(spark, path)
     final = mf.finalize_manifest(man, codec_histogram=hist, **totals)
-    if wrote_any or not resume:
-        _append_manifest_row(spark, path, final, columns)
+    # manifest row last, in its own chunk=-1 partition, overwrite =
+    # exactly-once (the CAS analog, read_raster.cpp:1488)
+    _append_manifest_row(
+        spark,
+        path,
+        final,
+        columns,
+        target=os.path.join(_data_path(path), "chunk=-1"),
+        mode="overwrite",
+    )
     mf.write_sidecar(path, final)
     return final

@@ -1,0 +1,187 @@
+"""End-to-end engine tests — the Spark twin of the reference's
+write->read round-trip suites (/root/reference/test/sql/
+read_raquet_macros.test, read_raquet_at.test, read_raster_metadata.test):
+deterministic seeded fixture -> encode -> parquet -> pruned scan ->
+decode, with byte-identity per url as the correctness invariant."""
+
+import datetime
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_raquet_spark import encode, manifest as mf, scan, synth
+
+N_ROWS = 3000
+PATH = "/tmp/raquet_test_engine"
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    df = synth.synth_webtext(spark, N_ROWS, num_partitions=4)
+    shutil.rmtree(PATH, ignore_errors=True)
+    final = encode.encode_to_path(
+        spark, df, PATH, target_rows_per_block=256, resolution=4
+    )
+    return df, final
+
+
+pytestmark = pytest.mark.spark
+
+
+def test_manifest_finalized_and_valid(spark, table):
+    df, final = table
+    man = scan.read_manifest(spark, PATH)
+    ok, errors, warnings = mf.validate_manifest(man)
+    assert ok, errors
+    assert man["num_rows"] == N_ROWS
+    assert man["num_blocks"] > 1
+    assert man["enc_bytes"] < man["raw_bytes"]
+    # manifest row present and last-committed (block=0 convention)
+    meta_rows = scan.read_all(spark, PATH).where(F.col("block") == 0).collect()
+    assert len(meta_rows) == 1
+    assert json.loads(meta_rows[0]["metadata"])["num_rows"] == N_ROWS
+
+
+def test_round_trip_byte_identity(spark, table):
+    """The BASELINE.json invariant: byte-identical text (and every other
+    column) per url after encode->decode."""
+    df, _ = table
+    man = scan.read_manifest(spark, PATH)
+    dec = scan.decode_blocks(scan.read_blocks(spark, PATH), man)
+    key = ["url", "warc_ts", "text", "lang", F.md5(F.base64("html")).alias("h")]
+    a = dec.select(*key)
+    b = df.select(*key)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_compression_beats_zlib_baseline_total(spark, table):
+    """Selector always includes the zlib candidate, so totals can never
+    exceed the reference-codec baseline."""
+    _, final = table
+    hist = final["codec_histogram"]
+    assert set(hist) == {"url", "warc_ts", "html", "text", "lang"}
+    assert final["enc_bytes"] <= final["raw_bytes"]
+
+
+def test_point_lookup_touches_one_block(spark, table):
+    df, _ = table
+    row = df.where(F.col("url").endswith("doc-42")).first()
+    es = int(row["warc_ts"].replace(tzinfo=datetime.timezone.utc).timestamp())
+    got = scan.point_lookup(spark, PATH, row["url"], es, cols=["text", "lang"])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(block), EqualTo(block," in plan
+    r = got.first()
+    assert r["text"] == row["text"] and r["lang"] == row["lang"]
+    # url-only lookup (cover set over time cells)
+    r2 = scan.point_lookup(spark, PATH, row["url"], cols=["text"]).first()
+    assert r2["text"] == row["text"]
+
+
+def test_range_scan_matches_raw_filter(spark, table):
+    df, _ = table
+    lo, hi = 1704067200, 1704067200 + 45 * 86400
+    got = scan.range_scan_ts(spark, PATH, lo, hi, cols=["url"]).count()
+    want = df.where(
+        (F.col("warc_ts") >= F.timestamp_seconds(F.lit(lo)))
+        & (F.col("warc_ts") < F.timestamp_seconds(F.lit(hi)))
+    ).count()
+    assert got == want
+
+
+def test_summary_stats_no_decode(spark, table):
+    df, _ = table
+    blocks = scan.read_blocks(spark, PATH)
+    ss = scan.summary_stats(blocks, "len_text").first()
+    exp = df.select(
+        F.count("text"),
+        F.sum(F.length("text")),
+        F.min(F.length("text")),
+        F.max(F.length("text")),
+        F.stddev(F.length("text")),
+    ).first()
+    assert (ss["cnt"], ss["sum"], ss["min"], ss["max"]) == tuple(exp[:4])
+    assert abs(ss["stddev"] - exp[4]) < 1e-9 * max(1.0, exp[4])
+
+
+def test_cat_counts_no_decode(spark, table):
+    df, _ = table
+    blocks = scan.read_blocks(spark, PATH)
+    got = {r["value"]: r["cnt"] for r in scan.cat_value_counts(blocks, "lang").collect()}
+    want = {
+        r["lang"]: r["count"]
+        for r in df.groupBy("lang").count().collect()
+        if r["lang"] is not None
+    }
+    assert got == want
+
+
+def test_mask_values_round_trip(spark, table):
+    df, _ = table
+    man = scan.read_manifest(spark, PATH)
+    blocks = scan.read_blocks(spark, PATH)
+    masked = scan.mask_values_in(blocks, man, "lang", ["en"])
+    dec = scan.decode_blocks(masked, man, ["url", "lang", "text"])
+    want = df.where(F.col("lang") == "en")
+    assert dec.count() == want.count()
+    # masked text still byte-identical
+    a = dec.select("url", "text")
+    b = want.select("url", "text")
+    assert a.exceptAll(b).count() == 0
+
+
+def test_mask_range_null_semantics(spark, table):
+    df, _ = table
+    man = scan.read_manifest(spark, PATH)
+    blocks = scan.read_blocks(spark, PATH)
+    # NULL low bound = open side (ST_MaskBandValuesRange SPECIAL_HANDLING)
+    masked = scan.mask_values_range(blocks, man, "lang", low=None, high="es")
+    dec = scan.decode_blocks(masked, man, ["lang"])
+    want = df.where(F.col("lang") <= "es")
+    assert dec.count() == want.count()
+
+
+def test_chunked_encode_and_resume(spark):
+    df = synth.synth_webtext(spark, 800, num_partitions=2)
+    path = "/tmp/raquet_test_chunks"
+    shutil.rmtree(path, ignore_errors=True)
+    final = encode.encode_to_path(
+        spark, df, path, chunks=3, target_rows_per_block=128, resolution=3
+    )
+    assert final["num_rows"] == 800
+    lineage = mf.read_chunk_lineage(path)
+    assert sorted(lineage) == [0, 1, 2]
+    # resume: nothing to redo, no duplicate rows, manifest intact
+    final2 = encode.encode_to_path(
+        spark, df, path, chunks=3, resume=True, target_rows_per_block=128, resolution=3
+    )
+    assert final2["num_rows"] == 800
+    man = scan.read_manifest(spark, path)
+    dec = scan.decode_blocks(scan.read_blocks(spark, path), man, ["url"])
+    assert dec.count() == 800
+    assert dec.distinct().count() == 800
+
+    # partial resume: drop one chunk's lineage (simulate crash before its
+    # lineage commit) -> that chunk re-runs as an idempotent overwrite,
+    # row set unchanged, no duplicates
+    import os
+
+    os.remove(os.path.join(mf.lineage_dir(path), "chunk-00001.json"))
+    encode.encode_to_path(
+        spark, df, path, chunks=3, resume=True, target_rows_per_block=128, resolution=3
+    )
+    assert sorted(mf.read_chunk_lineage(path)) == [0, 1, 2]
+    dec2 = scan.decode_blocks(scan.read_blocks(spark, path), man, ["url"])
+    assert dec2.count() == 800
+    assert dec2.distinct().count() == 800
+
+
+def test_decode_only_requested_columns_plan(spark, table):
+    man = scan.read_manifest(spark, PATH)
+    dec = scan.decode_blocks(scan.read_blocks(spark, PATH), man, ["lang"])
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    # only the lang payload is read; text/html blobs are pruned
+    assert "lang_blob" in plan
+    assert "text_blob" not in plan.split("ReadSchema")[-1]
