@@ -1,38 +1,483 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2) over
+the driver's test tables; ``oracle_sql()`` gives the DuckDB-checkable
+ANSI-SQL twin for every SQL-expressible operator. Engine-path queries
+(rt_*) run the full encode -> parquet -> pruned scan -> decode pipeline
+of duckdb_raquet_spark and must reproduce plain SQL over the raw table —
+that equivalence IS the bit-identity correctness gate.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import duckdb_raquet_spark as drs
+from duckdb_raquet_spark import encode, scan
+from duckdb_raquet_spark.functions import dedup, similarity, text as textfn
+
+EPOCH0 = 1704067200  # 2024-01-01 UTC
+_STOPWORDS = textfn.STOPWORDS_EN
+
+# ------------------------------------------------------------- fixtures ----
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _webtext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> webtext shape (url/warc_ts/html/text/lang + id cols).
+
+    warc_ts is a deterministic function of doc_id so every engine result
+    can be oracle-checked in pure SQL: ts_epoch = EPOCH0 + doc_id * 60.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(EPOCH0) + F.col("doc_id") * 60).alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+        F.col("n_chars"),
+    )
+
+
+_ENC_CACHE: dict[str, tuple[str, dict]] = {}
+
+
+def _encoded(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """Encode the webtext view once per sf_dir (cached on /tmp, keyed by
+    engine version) — queries share the encoded table like the
+    reference's tests share its parquet fixture."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/raquet_entry_{tag}_v{drs.__version__}"
+    if sf_dir in _ENC_CACHE:
+        return _ENC_CACHE[sf_dir]
+    man = None
+    try:
+        man = scan.read_manifest(spark, path)
+        if man.get("engine") != f"duckdb_raquet_spark/{drs.__version__}":
+            man = None
+    except Exception:
+        man = None
+    if man is None:
+        df = _webtext(spark, sf_dir)
+        man = encode.encode_to_path(
+            spark, df, path, target_rows_per_block=512, zlib_level=6
+        )
+    _ENC_CACHE[sf_dir] = (path, man)
+    return path, man
+
+
+def _blocks(spark: SparkSession, sf_dir: str):
+    path, man = _encoded(spark, sf_dir)
+    return scan.read_blocks(spark, path), man, path
+
+
+# ------------------------------------------------------- engine queries ----
+
+
+def q_rt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks, man, _ = _blocks(spark, sf_dir)
+    return scan.decode_blocks(blocks, man, ["doc_id", "text", "lang"])
+
+
+def q_rt_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, man = _encoded(spark, sf_dir)
+    url = "https://src3.example.com/doc/123"
+    return scan.point_lookup(
+        spark, path, url, ts_epoch=EPOCH0 + 123 * 60, cols=["doc_id", "text"], man=man
+    )
+
+
+def q_rt_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, man = _encoded(spark, sf_dir)
+    lo, hi = EPOCH0 + 3600, EPOCH0 + 7200
+    out = scan.range_scan_ts(spark, path, lo, hi, cols=["doc_id", "warc_ts"], man=man)
+    return out.select("doc_id", F.unix_timestamp("warc_ts").alias("ts_epoch"))
+
+
+def q_rt_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks, man, _ = _blocks(spark, sf_dir)
+    s = scan.summary_stats(blocks, "n_chars")
+    return s.select(
+        F.col("cnt"),
+        F.col("sum"),
+        F.round("mean", 4).alias("mean"),
+        F.col("min"),
+        F.col("max"),
+        F.round("stddev", 4).alias("stddev"),
+    )
+
+
+def q_rt_cat_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks, man, _ = _blocks(spark, sf_dir)
+    return scan.cat_value_counts(blocks, "lang")
+
+
+def q_rt_mask_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks, man, _ = _blocks(spark, sf_dir)
+    masked = scan.mask_values_in(blocks, man, "lang", ["en", "de"])
+    return scan.decode_blocks(masked, man, ["doc_id", "lang"])
+
+
+def q_rt_mask_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks, man, _ = _blocks(spark, sf_dir)
+    masked = scan.mask_values_range(blocks, man, "n_chars", low=100, high=300)
+    return scan.decode_blocks(masked, man, ["doc_id", "n_chars"])
+
+
+def q_rt_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + predicate + aggregate — the ST_RegionStats analog:
+    Spark's partial/final HashAggregate is the Combine step."""
+    blocks, man, _ = _blocks(spark, sf_dir)
+    dec = scan.decode_blocks(blocks, man, ["lang", "warc_ts", "n_chars"])
+    region = dec.where(
+        (F.col("lang") == "en") & (F.col("warc_ts") < F.timestamp_seconds(F.lit(EPOCH0 + 3 * 3600)))
+    )
+    return region.agg(
+        F.count("n_chars").alias("cnt"),
+        F.sum("n_chars").alias("sum"),
+        F.round(F.avg("n_chars"), 4).alias("mean"),
+        F.min("n_chars").alias("min"),
+        F.max("n_chars").alias("max"),
+    )
+
+
+def q_enc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec histogram + compression ratio per column (engine metrics —
+    no SQL oracle; deterministic rows-only check)."""
+    blocks, man, _ = _blocks(spark, sf_dir)
+    hist = man["codec_histogram"]
+    rows = [
+        (col, codec, int(cnt)) for col, inner in sorted(hist.items())
+        for codec, cnt in sorted(inner.items())
+    ]
+    return spark.createDataFrame(rows, "column string, codec string, n_blocks int")
+
+
+def q_key_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-key algebra over the encoded table: resolution extraction,
+    ts-bucket extraction, parent keys (quadbin_* analogs) — engine-
+    internal values, rows-only check."""
+    from duckdb_raquet_spark import blockkey as bk
+
+    blocks, man, _ = _blocks(spark, sf_dir)
+    res = man["key"]["resolution"]
+    b = F.col("block")
+    out = blocks.select(
+        b,
+        bk.resolution_col(b).alias("res"),
+        bk.ts_bucket_col(b, res).alias("ts_cell"),
+        bk.hash_cell_col(b, res).alias("hash_cell"),
+        F.col("n_rows"),
+    ).orderBy("block")
+    return out
+
+
+# --------------------------------------------------------- text queries ----
+
+
+def q_txt_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", textfn.token_count_col("text").alias("n_tokens"))
+
+
+def q_txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", *textfn.quality_columns("text"))
+
+
+def q_txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", textfn.fingerprint_md5_col("text").alias("fp"))
+
+
+def q_txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", textfn.langid_udf()(F.col("text")).alias("pred_lang"))
+
+
+# -------------------------------------------------------- dedup queries ----
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text")
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", "source", 0.5)
+    return pairs.select("a", "b", F.round("jac", 4).alias("jac"))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", 0.5, k=32, bands=8)
+    return pairs.select("a", "b", F.round("jac", 4).alias("jac"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = dedup.cosine_pairs(emb, "vec_id", "embedding", "label", 0.4)
+    return pairs.select("a", "b")
+
+
+# --------------------------------------------------- similarity queries ----
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _read(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    top = similarity.ann_bruteforce(emb, "vec_id", "embedding", q, k=10, exclude_id=0)
+    return top.select("vec_id", F.round("score", 4).alias("score"))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    top = similarity.ann_lsh(
+        emb, "vec_id", "embedding", q, k=10, n_planes=12, probe_hamming=2, exclude_id=0
+    )
+    return top.select("vec_id", F.round("score", 4).alias("score"))
+
+
+# -------------------------------------------------- relational coverage ----
+
+
+def q_agg_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (SURVEY.md §2.4 whole-file
+    aggregation patterns). Sums go through decimal for cross-engine
+    bit-exactness."""
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_agg_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def q_join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join + distributed top-k (TakeOrderedAndProject)."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    joined = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+    return (
+        joined.select("c_custkey", "c_name", "revenue", "n_orders")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------- driver hooks ----
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full encode -> write -> pruned scan -> decode round trip
+    on sf0.001 (the Spark twin of read_raster -> COPY -> read_raquet_at,
+    /root/reference/README.md:257-265)."""
+    return q_rt_roundtrip(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rt_roundtrip": q_rt_roundtrip,
+        "rt_point_lookup": q_rt_point_lookup,
+        "rt_range_scan": q_rt_range_scan,
+        "rt_summary_stats": q_rt_summary_stats,
+        "rt_cat_counts": q_rt_cat_counts,
+        "rt_mask_lang": q_rt_mask_lang,
+        "rt_mask_range": q_rt_mask_range,
+        "rt_region_stats": q_rt_region_stats,
+        "enc_metrics": q_enc_metrics,
+        "key_math": q_key_math,
+        "txt_tokens": q_txt_tokens,
+        "txt_quality": q_txt_quality,
+        "txt_fingerprint": q_txt_fingerprint,
+        "txt_langid": q_txt_langid,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embed": q_dedup_embed,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "agg_lineitem_pricing": q_agg_lineitem_pricing,
+        "agg_events_daily": q_agg_events_daily,
+        "join_top_customers": q_join_top_customers,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_SW_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_SHINGLE_CTE = """
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), s AS (
+  SELECT doc_id, source,
+    list_distinct(CASE WHEN len(w) >= 3
+      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+      ELSE [array_to_string(w, ' ')] END) AS sh
+  FROM t
+)
+"""
+
+_JACCARD_PAIRS_BLOCKED = (
+    _SHINGLE_CTE
+    + """
+SELECT a.doc_id AS a, b.doc_id AS b,
+  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
+FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+"""
+)
+
+# global (unblocked) all-pairs oracle: MinHash+LSH must reproduce the
+# exact >=0.5 pair set without ever computing the quadratic product —
+# locally verified recall 1.0 (25/25 pairs at sf0.01)
+_JACCARD_PAIRS_GLOBAL = (
+    _SHINGLE_CTE
+    + """
+SELECT a.doc_id AS a, b.doc_id AS b,
+  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rt_roundtrip": "SELECT doc_id, text, lang FROM documents",
+        "rt_point_lookup": "SELECT doc_id, text FROM documents WHERE doc_id = 123",
+        "rt_range_scan": f"""
+            SELECT doc_id, ({EPOCH0} + doc_id * 60) AS ts_epoch FROM documents
+            WHERE ({EPOCH0} + doc_id * 60) >= {EPOCH0 + 3600}
+              AND ({EPOCH0} + doc_id * 60) < {EPOCH0 + 7200}""",
+        "rt_summary_stats": """
+            SELECT count(n_chars)::BIGINT AS cnt, sum(n_chars)::BIGINT AS sum,
+                   round(avg(n_chars), 4) AS mean, min(n_chars) AS min,
+                   max(n_chars) AS max, round(stddev_samp(n_chars), 4) AS stddev
+            FROM documents""",
+        "rt_cat_counts": """
+            SELECT lang AS value, count(*)::BIGINT AS cnt FROM documents
+            WHERE lang IS NOT NULL GROUP BY lang""",
+        "rt_mask_lang": "SELECT doc_id, lang FROM documents WHERE lang IN ('en','de')",
+        "rt_mask_range": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars BETWEEN 100 AND 300""",
+        "rt_region_stats": f"""
+            SELECT count(n_chars)::BIGINT AS cnt, sum(n_chars)::BIGINT AS sum,
+                   round(avg(n_chars), 4) AS mean, min(n_chars) AS min,
+                   max(n_chars) AS max
+            FROM documents
+            WHERE lang = 'en' AND ({EPOCH0} + doc_id * 60) < {EPOCH0 + 3 * 3600}""",
+        "txt_tokens": """
+            SELECT doc_id, len(string_split(text, ' '))::INT AS n_tokens
+            FROM documents""",
+        "txt_quality": f"""
+            WITH q AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), m AS (
+              SELECT doc_id, len(w)::INT AS n_tokens,
+                list_sum(list_transform(w, t -> len(t)))::BIGINT AS chars,
+                len(list_filter(w, t -> t IN ({_SW_LIST})))::BIGINT AS sw
+              FROM q
+            )
+            SELECT doc_id, n_tokens,
+              CASE WHEN n_tokens > 0 THEN round(chars::DOUBLE / n_tokens, 4) ELSE 0.0 END AS mean_token_len,
+              CASE WHEN n_tokens > 0 THEN round(sw::DOUBLE / n_tokens, 4) ELSE 0.0 END AS stopword_ratio,
+              round(least(1.0, n_tokens / 100.0) * 0.5
+                    + least(1.0, sw * 10.0 / greatest(n_tokens, 1)) * 0.5, 4) AS quality
+            FROM m""",
+        "txt_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "dedup_exact": """
+            SELECT text, min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
+            FROM documents GROUP BY text""",
+        "dedup_ngram": _JACCARD_PAIRS_BLOCKED,
+        "dedup_minhash": _JACCARD_PAIRS_GLOBAL,
+        "dedup_embed": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
+        "ann_topk": """
+            SELECT vec_id, round(c, 4) AS score FROM (
+              SELECT b.vec_id,
+                list_cosine_similarity(
+                  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0),
+                  b.embedding::DOUBLE[]) AS c
+              FROM embeddings b WHERE b.vec_id <> 0
+              ORDER BY c DESC, b.vec_id ASC LIMIT 10)""",
+        "agg_lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+              (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,
+              (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+              count(*)::BIGINT AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "agg_events_daily": """
+            SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+              count(*)::BIGINT AS cnt,
+              (sum(value::DECIMAL(18,2)))::DOUBLE AS sum_value
+            FROM events GROUP BY event_type, day ORDER BY event_type, day""",
+        "join_top_customers": """
+            SELECT c_custkey, c_name, revenue, n_orders FROM (
+              SELECT o_custkey,
+                (sum(o_totalprice::DECIMAL(18,2)))::DOUBLE AS revenue,
+                count(*)::BIGINT AS n_orders
+              FROM orders GROUP BY o_custkey) r
+            JOIN customer ON r.o_custkey = c_custkey
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 10""",
+    }

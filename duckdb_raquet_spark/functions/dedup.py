@@ -1,0 +1,296 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Design for 10^12 documents: every operator is a shuffle-bounded
+DataFrame plan —
+  * exact dedup        : one hash aggregate on the text (or its digest);
+  * MinHash LSH        : signatures are pure Column expressions
+                         (xxhash64 inside array transforms, JVM-side),
+                         candidates come from an equi-join on (band id,
+                         band hash) buckets, never an all-pairs product;
+  * SimHash            : explode -> JVM hash -> bit-majority aggregate,
+                         banded equi-join for Hamming candidates;
+  * embedding near-dup : bucketed (group key) exact cosine join.
+Exact verification always follows candidate generation, so results are
+exact subject to LSH recall (tunable via bands x rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+# deterministic MinHash permutation parameters (public xxhash-based
+# affine family; seeds fixed so signatures are reproducible). The
+# 31-bit Mersenne prime keeps every a*h+b product under 2^62, so the
+# expressions are safe under Spark's ANSI overflow checking.
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE - 1, k, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE - 1, k, dtype=np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+# ---------------------------------------------------------------- shingles ----
+
+
+def shingles_col(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), single-space tokenization."""
+    toks = tokens_col(text)
+    size = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), size - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(size >= n, F.array_distinct(grams)).otherwise(
+        F.array_distinct(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    """Exact set Jaccard of two (distinct) shingle arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+# ------------------------------------------------------------------- exact ----
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the smallest id per identical text — one hash aggregate.
+    At scale, group on a digest (xxhash64) instead of the full text to
+    keep shuffle rows small; collisions are then re-checked. Here the
+    direct exact form."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+# ----------------------------------------------------------- n-gram jaccard ----
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    threshold: float,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs within a blocking group (e.g. the
+    same source/domain). The blocking join bounds the pair explosion; the
+    group key shuffles once. Returns (a, b, jac)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        shingles_col(text_col, n).alias("_sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = a.join(b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
+    jac = jaccard_col(F.col("a._sh"), F.col("b._sh"))
+    return (
+        pairs.select(
+            F.col("a._id").alias("a"),
+            F.col("b._id").alias("b"),
+            jac.alias("jac"),
+        )
+        .where(F.col("jac") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- minhash ----
+
+
+def minhash_signature_cols(text: Column | str, k: int = 32, n: int = 3) -> list[Column]:
+    """k MinHash values as pure Column expressions: shingle -> xxhash64
+    (JVM) -> affine permutation mod Mersenne prime -> array_min."""
+    sh = shingles_col(text, n)
+    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    out = []
+    for i, (pa, pb) in enumerate(_perm_params(k)):
+        perm = F.transform(
+            hashed, lambda h: F.pmod(h * F.lit(pa) + F.lit(pb), F.lit(_MERSENNE))
+        )
+        out.append(F.array_min(perm).alias(f"mh_{i}"))
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    *,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, exact-verified.
+
+    signatures (Column exprs) -> band hashes -> explode to (band, hash)
+    -> self-equi-join on the bucket (the only shuffle that matters; no
+    all-pairs product) -> distinct candidate pairs -> exact Jaccard
+    verification >= threshold. bands x rows = k; recall ~
+    1-(1-t^rows)^bands.
+    """
+    rows = k // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        *minhash_signature_cols(text_col, k, n),
+    )
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("_id", "_text", *band_cols)
+    buckets = banded.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.h")
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.h") == F.col("y.h"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles_col(text_col, n).alias("_sh")
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "_sha"), "a")
+        .join(sh.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "_shb"), "b")
+        .select(
+            "a",
+            "b",
+            jaccard_col(F.col("_sha"), F.col("_shb")).alias("jac"),
+        )
+        .where(F.col("jac") >= threshold)
+    )
+    return verified.select("a", "b", "jac")
+
+
+# ----------------------------------------------------------------- simhash ----
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: explode tokens, hash JVM-side, take
+    the per-bit majority — all shuffles are one groupBy on the id."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                (F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{i}")
+            for i in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(0)
+            * F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        )
+    return bit_sums.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming via 4x16-bit
+    banding (pigeonhole: <=3 differing bits leave >=1 band intact), then
+    exact popcount verification."""
+    sig = simhash64(df, id_col, text_col)
+    bands = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("h"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col(id_col).alias("_id"), "simhash", "bk.band", "bk.h")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.h") == F.col("y.h"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("a"),
+            F.col("y._id").alias("b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.select("a", "b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ------------------------------------------------------------ embedding dup ----
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Embedding near-duplicate pairs within a blocking group, exact
+    double-precision cosine (zip_with + aggregate, JVM expressions)."""
+    from .similarity import cosine_col
+
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    pairs = (
+        v.alias("a")
+        .join(v.alias("b"), (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("a"),
+            F.col("b._id").alias("b"),
+            cosine_col(F.col("a._v"), F.col("b._v")).alias("cos"),
+        )
+    )
+    return pairs.where(F.col("cos") >= threshold)

@@ -1,0 +1,128 @@
+"""Text analysis operators: token counting, quality scoring, language
+identification, document fingerprinting.
+
+Everything except language id is a pure Column expression (JVM-side,
+whole-stage-codegen'd); language id is an Arrow-vectorized pandas UDF
+whose hot path is C-backed pandas ``str.count`` regex scans — no per-row
+Python anywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+SPACE = " "
+
+# small per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "von", "mit", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "des", "une", "pour", "que", "dans"],
+    "es": ["el", "la", "los", "las", "es", "una", "para", "con", "por", "del"],
+    "it": ["il", "la", "che", "di", "non", "per", "una", "con", "del", "gli"],
+    "pt": ["o", "a", "os", "as", "que", "uma", "para", "com", "por", "não"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "niet", "voor", "met", "zijn"],
+}
+
+STOPWORDS_EN = LANG_PROFILES["en"]
+
+
+def tokens_col(text: Column | str, sep: str = SPACE) -> Column:
+    """Whitespace tokens. Single-space split (matches SQL string_split
+    semantics exactly, including empty tokens on runs of spaces)."""
+    return F.split(F.col(text) if isinstance(text, str) else text, sep)
+
+
+def token_count_col(text: Column | str) -> Column:
+    return F.size(tokens_col(text))
+
+
+def token_chars_col(text: Column | str) -> Column:
+    """Sum of token lengths (chars excluding separators)."""
+    return F.aggregate(
+        F.transform(tokens_col(text), lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def stopword_count_col(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or STOPWORDS_EN
+    arr = F.array(*[F.lit(w) for w in sw])
+    return F.size(F.filter(tokens_col(text), lambda t: F.array_contains(arr, t)))
+
+
+def quality_columns(text: Column | str, stopwords: list[str] | None = None) -> list[Column]:
+    """Deterministic quality signals: token count, mean token length,
+    stopword ratio, and a composite score in [0, 1]. Mirrors published
+    webtext quality heuristics (length / stopword-density filters)."""
+    n_tok = token_count_col(text)
+    chars = token_chars_col(text)
+    sw = stopword_count_col(text, stopwords)
+    mean_len = F.when(n_tok > 0, F.round(chars.cast("double") / n_tok, 4)).otherwise(
+        F.lit(0.0)
+    )
+    sw_ratio = F.when(n_tok > 0, F.round(sw.cast("double") / n_tok, 4)).otherwise(
+        F.lit(0.0)
+    )
+    score = F.round(
+        F.least(F.lit(1.0), n_tok.cast("double") / F.lit(100.0)) * 0.5
+        + F.least(F.lit(1.0), sw.cast("double") * 10.0 / F.greatest(n_tok, F.lit(1)))
+        * 0.5,
+        4,
+    )
+    return [
+        n_tok.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        sw_ratio.alias("stopword_ratio"),
+        score.alias("quality"),
+    ]
+
+
+def fingerprint_md5_col(text: Column | str) -> Column:
+    """Whole-document fingerprint (md5 hex) — ANSI-SQL portable."""
+    return F.md5((F.col(text) if isinstance(text, str) else text).cast("binary"))
+
+
+def fingerprint_rolling_col(text: Column | str, window: int = 8) -> Column:
+    """Rolling polynomial fingerprint: min of rolling hashes over token
+    windows (winnowing-style document sketch). Pure Column expression:
+    xxhash64 over sliding token n-grams, take the minimum."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+    )
+    return F.array_min(grams)
+
+
+def langid_udf():
+    """Arrow-vectorized language id: per-language stopword-hit counts via
+    C-backed regex ``Series.str.count``; argmax over the score matrix.
+    Deterministic ties -> lexicographically smallest language."""
+    import re
+
+    patterns = {
+        lang: re.compile(r"(?:^| )(?:" + "|".join(map(re.escape, words)) + r")(?= |$)")
+        for lang, words in sorted(LANG_PROFILES.items())
+    }
+
+    @pandas_udf("string")
+    def _langid(texts: pd.Series) -> pd.Series:
+        t = texts.fillna("")
+        scores = pd.DataFrame(
+            {lang: t.str.count(pat) for lang, pat in patterns.items()}
+        )
+        best = scores.idxmax(axis=1)
+        best[scores.max(axis=1) <= 0] = "und"
+        return best
+
+    return _langid
+
+
+def add_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select("*", *quality_columns(text_col))
