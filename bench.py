@@ -1,0 +1,305 @@
+#!/usr/bin/env python
+"""Benchmark harness for duckdb_raquet_spark.
+
+Headline suite (default): encode throughput + compression ratio on the
+deterministic synthetic webtext table (seed 42, size scaled to the sf of
+$SPARK_GRAFT_SF_DIR), the reference-codec (zlib-only) baseline on the
+identical block layout, and the read-path queries (point lookup, time
+range scan, decode-free stats, mask re-encode, full decode) plus the
+pipeline queries (MinHash dedup, ANN top-k) over the driver's sf tables.
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "encode_gbps": ..., "compression_ratio": ..., "vs_gzip_baseline": ...}
+
+Modes:
+    python bench.py                  headline suite (driver contract)
+    python bench.py --scaling        same encode job at local[N] and
+                                     local[4N] on the identical on-disk
+                                     input -> throughput at both + scaling
+                                     efficiency (north-rule evidence; no
+                                     real cluster in this sandbox)
+    python bench.py --encode-only    internal child mode for --scaling
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ROWS_PER_SF = 1_200_000  # ~2 KB raw/row -> ~240 MB raw at sf0.1
+TMP = os.environ.get("SPARK_GRAFT_TMP", "/tmp/raquet_bench")
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"raquet-bench-{cpus}")
+        .config("spark.driver.memory", "20g")
+        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        # keep Python-heavy encode stages at full width: coalescing tiny
+        # Arrow-shuffle partitions starves cores, not the network here
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def prepare_input(spark, rows: int) -> str:
+    """Deterministic on-disk input, identical across parallelism levels
+    (synth partitioning is fixed, independent of the session's cores)."""
+    from duckdb_raquet_spark import synth
+
+    path = os.path.join(TMP, f"input_{rows}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        df = synth.synth_webtext(spark, rows, num_partitions=64)
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def force(df) -> int:
+    """Execute a DataFrame fully, distributed (no driver collect)."""
+    return df.agg({"*": "count"}).first()[0]
+
+
+def timed(timings: dict, name: str, fn):
+    t0 = time.time()
+    out = fn()
+    timings[name] = round(time.time() - t0, 4)
+    return out
+
+
+def gzip_baseline_bytes(spark, input_path: str, man: dict) -> int:
+    """Reference-codec baseline: zlib(plain bytes) per column over the
+    SAME (block, salt) grouping the engine used — what the reference's
+    encoder (gzip per band, band_encoder.cpp:190-203) would produce."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from duckdb_raquet_spark import blockkey as bk
+    from duckdb_raquet_spark.codecs import registry
+    from duckdb_raquet_spark import selector
+
+    res = man["key"]["resolution"]
+    bucket = man["key"]["bucket_seconds"]
+    specs = [(c["name"], c["kind"]) for c in man["columns"]]
+
+    def per_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        total = 0
+        for name, kind in specs:
+            s = pdf[name]
+            if kind in (selector.KIND_STRING, selector.KIND_BINARY):
+                t = pa.large_string() if kind == selector.KIND_STRING else pa.large_binary()
+                arr = pa.array(s, type=t)
+                if kind == selector.KIND_STRING:
+                    arr = arr.cast(pa.large_binary())
+                plain = registry.encode_str_plain(arr.drop_null())
+            else:
+                import numpy as np
+
+                if kind == selector.KIND_TIMESTAMP:
+                    v = s.dropna().to_numpy().astype("datetime64[us]").view("int64")
+                else:
+                    v = s.dropna().to_numpy(dtype="int64")
+                plain = v.tobytes()
+            total += len(registry.encode_zlib(plain, 6))
+        return pd.DataFrame([{"gz_bytes": total}])
+
+    df = spark.read.parquet(input_path)
+    keyed = df.withColumn(
+        "block", bk.key_col(F.col(man["url_col"]), F.col(man["ts_col"]), res, bucket)
+    )
+    out = keyed.groupBy("block").applyInPandas(per_block, "gz_bytes long")
+    return int(out.agg(F.sum("gz_bytes")).first()[0])
+
+
+def encode_run(spark, input_path: str, rows: int, tag: str) -> tuple[float, dict]:
+    """One timed encode job: read input parquet -> blocks table on disk."""
+    from duckdb_raquet_spark import encode
+
+    out_path = os.path.join(TMP, f"enc_{tag}")
+    df = spark.read.parquet(input_path)
+    trpb = max(256, rows // 256)  # >=256 blocks so 32 cores stay busy
+    t0 = time.time()
+    man = encode.encode_to_path(
+        spark, df, out_path, est_rows=rows, target_rows_per_block=trpb
+    )
+    return time.time() - t0, man
+
+
+def run_encode_only(sf_dir: str, cpus: int, rows: int) -> dict:
+    spark = make_spark(cpus)
+    input_path = prepare_input(spark, rows)
+    wall, man = encode_run(spark, input_path, rows, f"c{cpus}")
+    out = {
+        "cpus": cpus,
+        "rows": rows,
+        "encode_sec": round(wall, 3),
+        "raw_bytes": man["raw_bytes"],
+        "enc_bytes": man["enc_bytes"],
+        "gbps": round(man["raw_bytes"] / wall / 1e9, 4),
+        "num_blocks": man["num_blocks"],
+    }
+    spark.stop()
+    return out
+
+
+def run_scaling(sf_dir: str, lo: int, hi: int, rows: int) -> dict:
+    """Same job, same on-disk input, local[lo] vs local[hi] in separate
+    JVMs -> throughput at both + scaling efficiency (BASELINE.json's
+    two-cluster-size criterion, evidenced with two parallelism levels)."""
+    results = {}
+    for cpus in (lo, hi):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--encode-only",
+                "--cpus",
+                str(cpus),
+                "--rows",
+                str(rows),
+                "--sf-dir",
+                sf_dir,
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    thr_lo, thr_hi = results[lo]["gbps"], results[hi]["gbps"]
+    eff = thr_hi / (thr_lo * (hi / lo))
+    return {
+        "metric": f"encode scaling efficiency local[{lo}] -> local[{hi}]",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "sf": sf_of(sf_dir),
+        "rows": rows,
+        "runs": results,
+        "gbps_lo": thr_lo,
+        "gbps_hi": thr_hi,
+    }
+
+
+def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from duckdb_raquet_spark import scan
+
+    spark = make_spark(cpus)
+    timings: dict[str, float] = {}
+
+    input_path = prepare_input(spark, rows)
+    _, man = timed(timings, "encode", lambda: encode_run(spark, input_path, rows, "head"))
+    raw, enc = man["raw_bytes"], man["enc_bytes"]
+    enc_path = os.path.join(TMP, "enc_head")
+
+    gz = timed(timings, "gzip_baseline", lambda: gzip_baseline_bytes(spark, input_path, man))
+
+    blocks = scan.read_blocks(spark, enc_path)
+
+    # read path over the encoded table
+    sample = spark.read.parquet(input_path).select("url", "warc_ts").first()
+    url0 = sample["url"]
+    ts0 = int(sample["warc_ts"].timestamp())
+    timed(
+        timings,
+        "point_lookup",
+        lambda: scan.point_lookup(
+            spark, enc_path, url0, ts_epoch=ts0, cols=["text"], man=man
+        ).collect(),
+    )
+    lo_ep, hi_ep = 1704067200 + 30 * 86400, 1704067200 + 37 * 86400
+    timed(
+        timings,
+        "range_scan",
+        lambda: force(
+            scan.range_scan_ts(spark, enc_path, lo_ep, hi_ep, cols=["url", "lang"], man=man)
+        ),
+    )
+    timed(timings, "summary_stats", lambda: scan.summary_stats(blocks, "len_text").collect())
+    timed(timings, "cat_counts", lambda: scan.cat_value_counts(blocks, "lang").collect())
+    timed(
+        timings,
+        "mask_reencode",
+        lambda: force(scan.mask_values_in(blocks, man, "lang", ["en", "de"])),
+    )
+    timed(
+        timings,
+        "decode_full",
+        lambda: force(scan.decode_blocks(blocks, man, ["url", "text", "lang"])),
+    )
+
+    # pipeline queries over the driver's sf tables (shared op surface)
+    qs = entrymod.queries()
+    for name in ("dedup_minhash", "ann_topk", "txt_quality", "agg_lineitem_pricing"):
+        timed(timings, name, lambda n=name: force(qs[n](spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline suite wall time (encode + read path + pipelines)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(sf_dir),
+        "cpus": cpus,
+        "rows": rows,
+        "raw_bytes": raw,
+        "enc_bytes": enc,
+        "encode_gbps": round(raw / timings["encode"] / 1e9, 4),
+        "compression_ratio": round(raw / enc, 3),
+        "gzip_baseline_bytes": gz,
+        "vs_gzip_baseline": round(enc / gz, 4),  # <1.0 = smaller than reference codec
+    }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--rows", type=int, default=None)
+    ap.add_argument("--encode-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-lo", type=int, default=8)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    rows = args.rows or max(2000, int(ROWS_PER_SF * sf_of(args.sf_dir)))
+    if args.encode_only:
+        result = run_encode_only(args.sf_dir, args.cpus, rows)
+    elif args.scaling:
+        result = run_scaling(args.sf_dir, args.scaling_lo, args.cpus, rows)
+    else:
+        result = run_headline(args.sf_dir, args.cpus, rows)
+
+    line = json.dumps(result)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    print(line)
+
+
+if __name__ == "__main__":
+    main()

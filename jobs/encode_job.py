@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the encode job (north-rule packaging).
+
+Usage (cluster):
+    python tools/package.py                      # -> dist/duckdb_raquet_spark.zip
+    spark-submit --py-files dist/duckdb_raquet_spark.zip \
+        jobs/encode_job.py \
+        --input /path/to/webtext_parquet_or_table \
+        --output /path/to/raquet_table \
+        --chunks 16 --resume
+
+Local sandbox twin (no cluster available here):
+    spark-submit --master 'local[32]' --py-files dist/duckdb_raquet_spark.zip \
+        jobs/encode_job.py --input ... --output ... --synth-rows 20000
+
+The job reads the input (a parquet path, or a catalog table name with
+--table, e.g. an Iceberg table when the catalog is configured on the
+cluster), runs the chunked checkpoint-resumable encode, and prints the
+finalized manifest summary as one JSON line. Re-running with --resume
+after an interruption skips chunks whose lineage record exists
+(duckdb_raquet_spark.encode.encode_to_path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet path (or table name with --table)")
+    ap.add_argument("--table", action="store_true", help="treat --input as a catalog table")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--chunks", type=int, default=1)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--url-col", default="url")
+    ap.add_argument("--ts-col", default="warc_ts")
+    ap.add_argument("--target-rows-per-block", type=int, default=65536)
+    ap.add_argument("--zlib-level", type=int, default=6)
+    ap.add_argument(
+        "--synth-rows",
+        type=int,
+        default=0,
+        help="ignore --input; encode N deterministic synthetic webtext rows",
+    )
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("raquet-encode").getOrCreate()
+    # imports resolve from --py-files after the session exists
+    from duckdb_raquet_spark import encode, synth
+
+    if args.synth_rows:
+        df = synth.synth_webtext(spark, args.synth_rows)
+        est = args.synth_rows
+    elif args.table:
+        df = spark.table(args.input)
+        est = None
+    elif args.input:
+        df = spark.read.parquet(args.input)
+        est = None
+    else:
+        ap.error("--input or --synth-rows required")
+
+    man = encode.encode_to_path(
+        spark,
+        df,
+        args.output,
+        chunks=args.chunks,
+        resume=args.resume,
+        url_col=args.url_col,
+        ts_col=args.ts_col,
+        est_rows=est,
+        target_rows_per_block=args.target_rows_per_block,
+        zlib_level=args.zlib_level,
+    )
+    summary = {
+        k: man[k]
+        for k in ("num_blocks", "num_rows", "raw_bytes", "enc_bytes", "codec_histogram")
+    }
+    summary["output"] = args.output
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
