@@ -151,10 +151,47 @@ def hash_x_from_url(url: str) -> int:
     return to_unsigned64(xxh64_str(url)) >> HASH_SHIFT
 
 
-def y_from_epoch(epoch_seconds, bucket_seconds: int = DEFAULT_BUCKET_SECONDS):
+def ts_params(
+    ts_min_epoch: int,
+    ts_max_epoch: int,
+    res: int,
+    bucket_seconds: int = DEFAULT_BUCKET_SECONDS,
+) -> tuple[int, int]:
+    """(ts_origin, effective bucket) so the table's time span fills the
+    2^res time cells.
+
+    Absolute epoch buckets would leave the y coordinate's high bits
+    constant for any real crawl window (all of 2024 is day ~19.7k-20.1k
+    of the 2^26-day space), collapsing every row into one time cell —
+    no time pruning and a parallelism cliff. Anchoring at the table's
+    own origin and widening the bucket until ``span / bucket <= 2^res``
+    makes time cells meaningful at every scale; both parameters live in
+    the manifest, so readers reconstruct the identical mapping (the
+    reference's metadata-driven tiling, raquet_metadata.hpp tiling
+    block: scheme/zoom bounds are manifest state there too)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"resolution {res} out of [0, {MAX_RES}]")
+    origin = (ts_min_epoch // bucket_seconds) * bucket_seconds
+    span = max(0, ts_max_epoch - origin) + 1
+    n_cells = 1 << res
+    bucket = bucket_seconds
+    need = -(-span // n_cells)  # ceil
+    if need > bucket:
+        bucket = -(-need // bucket_seconds) * bucket_seconds
+    return origin, bucket
+
+
+def y_from_epoch(
+    epoch_seconds,
+    res: int,
+    bucket_seconds: int = DEFAULT_BUCKET_SECONDS,
+    ts_origin: int = 0,
+):
+    """Epoch -> 26-bit y coordinate: time-cell index (clipped to the
+    2^res cells) shifted into the coordinate's high bits."""
     e = np.asarray(epoch_seconds, dtype=np.int64)
-    y = np.clip(e // bucket_seconds, 0, COORD_MAX)
-    return y.astype(_U64)
+    cell = np.clip((e - ts_origin) // bucket_seconds, 0, (1 << res) - 1)
+    return (cell.astype(_U64)) << _U64(COORD_BITS - res)
 
 
 def key_for_point(
@@ -162,10 +199,15 @@ def key_for_point(
     epoch_seconds: int | None,
     res: int,
     bucket_seconds: int = DEFAULT_BUCKET_SECONDS,
+    ts_origin: int = 0,
 ) -> int:
     """O(1) point->key for a single lookup (lonlat_to_cell analog)."""
     x = hash_x_from_url(url)
-    y = 0 if epoch_seconds is None else int(y_from_epoch(epoch_seconds, bucket_seconds))
+    y = (
+        0
+        if epoch_seconds is None
+        else int(y_from_epoch(epoch_seconds, res, bucket_seconds, ts_origin))
+    )
     return int(key_from_parts(x, y, res))
 
 
@@ -174,24 +216,27 @@ def keys_from_arrays(
     epoch_seconds: np.ndarray,
     res: int,
     bucket_seconds: int = DEFAULT_BUCKET_SECONDS,
+    ts_origin: int = 0,
 ) -> np.ndarray:
     x = _as_u64(hashes_u64) >> _U64(HASH_SHIFT)
-    y = y_from_epoch(epoch_seconds, bucket_seconds)
+    y = y_from_epoch(epoch_seconds, res, bucket_seconds, ts_origin)
     return key_from_parts(x, y, res)
 
 
 def cover_keys_for_ts_range(
-    y_lo: int, y_hi: int, res: int, x_prefix: tuple[int, int] | None = None
+    ylr: int, yhr: int, res: int, x_prefix: tuple[int, int] | None = None
 ) -> list[int]:
-    """Cover set of cells at ``res`` for a ts-bucket range (POLYFILL analog).
+    """Cover set of cells at ``res`` for a time-cell range (POLYFILL analog).
 
-    ``x_prefix`` optionally restricts the hash dimension to [lo, hi] cell
-    coords at res (used for prefix scans); default spans all hash cells.
-    Mirrors QUADBIN_POLYFILL producing an explicit cell list for
-    BETWEEN+isin pruning (/root/reference/src/quadbin/quadbin_polyfill.cpp).
+    ``ylr``/``yhr`` are inclusive time-cell indices at ``res`` (from
+    ``(epoch - ts_origin) // bucket_seconds``). ``x_prefix`` optionally
+    restricts the hash dimension to [lo, hi] cell coords (prefix scans);
+    default spans all hash cells. Mirrors QUADBIN_POLYFILL producing an
+    explicit cell list for BETWEEN+isin pruning
+    (/root/reference/src/quadbin/quadbin_polyfill.cpp).
     """
     shift = COORD_BITS - res
-    ylr, yhr = y_lo >> shift, y_hi >> shift
+    ylr, yhr = max(0, ylr), min((1 << res) - 1, yhr)
     if x_prefix is None:
         xlr, xhr = 0, (1 << res) - 1
     else:
@@ -242,11 +287,17 @@ def x_col_from_url(url: Column) -> Column:
 
 
 def y_col_from_ts(
-    ts: Column, bucket_seconds: int = DEFAULT_BUCKET_SECONDS
+    ts: Column,
+    res: int,
+    bucket_seconds: int = DEFAULT_BUCKET_SECONDS,
+    ts_origin: int = 0,
 ) -> Column:
-    secs = F.coalesce(F.unix_timestamp(ts), F.lit(0))
-    y = F.floor(secs / F.lit(bucket_seconds)).cast("long")
-    return F.greatest(F.lit(0), F.least(F.lit(COORD_MAX), y))
+    """ts -> 26-bit y coordinate (time-cell index in the high bits),
+    numpy twin: :func:`y_from_epoch`."""
+    secs = F.coalesce(F.unix_timestamp(ts), F.lit(ts_origin))
+    cell = F.floor((secs - F.lit(ts_origin)) / F.lit(bucket_seconds)).cast("long")
+    cell = F.greatest(F.lit(0), F.least(F.lit((1 << res) - 1), cell))
+    return F.shiftleft(cell, COORD_BITS - res)
 
 
 def key_col(
@@ -254,6 +305,7 @@ def key_col(
     ts: Column | None,
     res: int,
     bucket_seconds: int = DEFAULT_BUCKET_SECONDS,
+    ts_origin: int = 0,
 ) -> Column:
     """Block-key Column — pure Catalyst bit arithmetic, no UDF.
 
@@ -263,7 +315,7 @@ def key_col(
     if not 0 <= res <= MAX_RES:
         raise ValueError(f"resolution {res} out of [0, {MAX_RES}]")
     x = x_col_from_url(url)
-    y = y_col_from_ts(ts, bucket_seconds) if ts is not None else F.lit(0)
+    y = y_col_from_ts(ts, res, bucket_seconds, ts_origin) if ts is not None else F.lit(0)
     fm = F.shiftleft(_spread26_col(y), 1).bitwiseOR(_spread26_col(x))
     foot = footer(res)
     header_res = HEADER | (res << RES_SHIFT)

@@ -27,7 +27,19 @@ import numpy as np
 ESCAPE = 0xFF
 MAX_SYMBOLS = 254  # codes 0..253; 254 reserved, 255 = escape
 MAX_SYMBOL_LEN = 8
-_SAMPLE_BYTES = 1 << 16
+_SAMPLE_BYTES = 1 << 13  # 8 KiB: np.unique sorts dominate table build;
+# the FSST paper itself trains on a bounded sample, quality loss is small
+
+
+def sample_of(data: bytes) -> bytes:
+    """The deterministic bounded training sample ``build_table`` uses."""
+    if len(data) <= _SAMPLE_BYTES:
+        return data
+    step = len(data) // 16
+    chunk = _SAMPLE_BYTES // 16
+    return b"".join(data[i : i + chunk] for i in range(0, len(data), step))[
+        :_SAMPLE_BYTES
+    ]
 
 
 def _substring_counts(sample: np.ndarray, length: int) -> tuple[np.ndarray, np.ndarray]:
@@ -46,15 +58,7 @@ def build_table(data: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
     """Deterministic symbol table from a bounded sample of ``data``."""
     if not data:
         return []
-    if len(data) > _SAMPLE_BYTES:
-        # evenly spaced chunks so the sample sees the whole block
-        step = len(data) // 16
-        chunk = _SAMPLE_BYTES // 16
-        sample = b"".join(data[i : i + chunk] for i in range(0, len(data), step))[
-            :_SAMPLE_BYTES
-        ]
-    else:
-        sample = data
+    sample = sample_of(data)  # evenly spaced chunks across the block
     arr = np.frombuffer(sample, dtype=np.uint8)
 
     # gain = count * (len - 1) for multi-byte symbols (bytes saved);

@@ -212,17 +212,25 @@ def encode_table(
     resolution: int | None = None,
     bucket_seconds: int = bk.DEFAULT_BUCKET_SECONDS,
     est_rows: int | None = None,
+    ts_range: tuple[int, int] | None = None,
     target_rows_per_block: int = 65536,
     max_rows_per_block: int = 262144,
     zlib_level: int = 6,
     chunk: tuple[int, int] | None = None,
+    num_partitions: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Lazy encode plan: input rows -> one row per (block, salt).
 
-    Returns (blocks_df, unfinalized manifest). The single shuffle is the
-    groupBy; AQE handles residual partition skew at runtime. ``chunk``
-    = (k, n_chunks) restricts the plan to one deterministic slice of the
-    key space BEFORE the shuffle (checkpoint-resume granule).
+    Returns (blocks_df, unfinalized manifest). The ONLY shuffle is a
+    range repartition on (block, salt) placed BEFORE the groupBy —
+    range partitioning satisfies the grouping's clustered-distribution
+    requirement, so Catalyst adds no second exchange, and the encoded
+    output comes out globally block-ordered for free (row-group pruning
+    needs it; the reference's ORDER BY block, README.md:259-261).
+    ``ts_range`` = (min_epoch, max_epoch) skips the bind-time min/max
+    scan of the timestamp column. ``chunk`` = (k, n_chunks) restricts
+    the plan to one deterministic slice of the key space before the
+    shuffle (checkpoint-resume granule).
     """
     columns = columns_of(df)
     names = {c["name"] for c in columns}
@@ -237,11 +245,26 @@ def encode_table(
         if resolution is not None
         else bk.choose_resolution(est_rows, target_rows_per_block)
     )
+    if ts_col is None:
+        ts_origin, eff_bucket = 0, bucket_seconds
+    else:
+        if ts_range is None:
+            r = df.agg(
+                F.min(F.unix_timestamp(ts_col)), F.max(F.unix_timestamp(ts_col))
+            ).first()
+            ts_range = (int(r[0] or 0), int(r[1] or 0))
+        ts_origin, eff_bucket = bk.ts_params(
+            ts_range[0], ts_range[1], res, bucket_seconds
+        )
     cells = 4**res
     n_salt = max(1, math.ceil(est_rows / max(cells, 1) / max_rows_per_block))
 
     key = bk.key_col(
-        F.col(url_col), F.col(ts_col) if ts_col else None, res, bucket_seconds
+        F.col(url_col),
+        F.col(ts_col) if ts_col else None,
+        res,
+        eff_bucket,
+        ts_origin,
     )
     salt = (
         F.pmod(F.xxhash64(F.col(url_col), F.lit(7)), F.lit(n_salt)).cast("int")
@@ -255,6 +278,15 @@ def encode_table(
             F.pmod(F.xxhash64(F.col(BLOCK), F.col(SALT)), F.lit(n_chunks)) == k
         )
 
+    spark = df.sparkSession
+    n_parts = num_partitions or max(2, spark.sparkContext.defaultParallelism)
+    # hash repartition (satisfies the groupBy's clustered distribution ->
+    # no second exchange) — NOT repartitionByRange, whose boundary
+    # sampling executes the whole child an extra time (a full input scan
+    # here); global block order is restored cheaply on the encoded rows
+    # in write_blocks, which are ~5x smaller than the input
+    keyed = keyed.repartition(n_parts, BLOCK, SALT)
+
     schema = blocks_schema(columns)
     encode_fn = make_encode_fn(columns, url_col, ts_col, zlib_level)
     blocks = keyed.groupBy(BLOCK, SALT).applyInPandas(encode_fn, schema=schema)
@@ -262,7 +294,8 @@ def encode_table(
     man = mf.build_manifest(
         columns=columns,
         resolution=res,
-        bucket_seconds=bucket_seconds,
+        bucket_seconds=eff_bucket,
+        ts_origin=ts_origin,
         url_col=url_col,
         ts_col=ts_col,
         n_salt=n_salt,
@@ -278,35 +311,32 @@ def _data_path(path: str) -> str:
 
 
 def _aggregate_written(spark: SparkSession, path: str) -> tuple[dict, dict]:
-    """Columnar scan of stats/codecs only (payloads pruned) to finalize
-    the manifest after data commit."""
+    """Single columnar pass over stats/codecs (payloads pruned) to
+    finalize the manifest after data commit: grouping by the codecs JSON
+    (few distinct combos) yields totals and the codec histogram from one
+    job."""
     df = spark.read.parquet(_data_path(path))
-    agg = (
+    rows = (
         df.where(F.col(BLOCK) != bk.MANIFEST_BLOCK)
+        .groupBy("codecs")
         .agg(
             F.count("*").alias("num_blocks"),
             F.sum("n_rows").alias("num_rows"),
             F.sum("stats.raw_bytes").alias("raw_bytes"),
             F.sum("stats.enc_bytes").alias("enc_bytes"),
         )
-        .first()
-    )
-    hist_rows = (
-        df.where(F.col(BLOCK) != bk.MANIFEST_BLOCK)
-        .select(F.explode(F.from_json("codecs", "map<string,string>")))
-        .groupBy("key", "value")
-        .count()
         .collect()
     )
     hist: dict[str, dict[str, int]] = {}
-    for r in hist_rows:
-        hist.setdefault(r["key"], {})[r["value"]] = r["count"]
-    totals = {
-        "num_blocks": agg["num_blocks"] or 0,
-        "num_rows": int(agg["num_rows"] or 0),
-        "raw_bytes": int(agg["raw_bytes"] or 0),
-        "enc_bytes": int(agg["enc_bytes"] or 0),
-    }
+    totals = {"num_blocks": 0, "num_rows": 0, "raw_bytes": 0, "enc_bytes": 0}
+    for r in rows:
+        totals["num_blocks"] += r["num_blocks"]
+        totals["num_rows"] += int(r["num_rows"] or 0)
+        totals["raw_bytes"] += int(r["raw_bytes"] or 0)
+        totals["enc_bytes"] += int(r["enc_bytes"] or 0)
+        for col, codec in json.loads(r["codecs"]).items():
+            h = hist.setdefault(col, {})
+            h[codec] = h.get(codec, 0) + r["num_blocks"]
     return totals, hist
 
 
@@ -319,12 +349,20 @@ def _append_manifest_row(
     target: str | None = None,
     mode: str = "append",
 ) -> None:
+    # built JVM-side (spark.range + literals): a python-parallelized
+    # 1-row DataFrame pays seconds of Python-RDD write overhead per job
     schema = blocks_schema(columns)
-    row = {f.name: None for f in schema.fields}
-    row.update(
-        {BLOCK: bk.MANIFEST_BLOCK, SALT: 0, "n_rows": 0, "metadata": mf.to_json(man)}
-    )
-    spark.createDataFrame([row], schema=schema).coalesce(1).write.mode(mode).parquet(
+    values = {
+        BLOCK: F.lit(bk.MANIFEST_BLOCK).cast("long"),
+        SALT: F.lit(0).cast("int"),
+        "n_rows": F.lit(0).cast("long"),
+        "metadata": F.lit(mf.to_json(man)),
+    }
+    cols = [
+        values.get(f.name, F.lit(None).cast(f.dataType)).alias(f.name)
+        for f in schema.fields
+    ]
+    spark.range(1).select(*cols).coalesce(1).write.mode(mode).parquet(
         target or _data_path(path)
     )
 
@@ -336,19 +374,29 @@ def write_blocks(
     columns: list[dict],
     *,
     mode: str = "overwrite",
-    num_files: int | None = None,
 ) -> dict:
     """Write blocks sorted by key (range partition + in-file sort), then
     finalize + append the manifest row LAST — the reference's
     metadata-row-after-all-data invariant, distributed."""
     spark = blocks.sparkSession
-    n_files = num_files or max(2, spark.sparkContext.defaultParallelism)
-    (
-        blocks.repartitionByRange(n_files, BLOCK, SALT)
-        .sortWithinPartitions(BLOCK, SALT)
-        .write.mode(mode)
-        .parquet(_data_path(path))
-    )
+    # Range-order the ENCODED rows (not the raw input): persist makes the
+    # range sampler's extra child execution a cache read, so the expensive
+    # encode runs exactly once. Output files are globally block-ordered ->
+    # file- and row-group-level min/max pruning (the reference's ORDER BY
+    # block, README.md:259-261, distributed).
+    from pyspark import StorageLevel
+
+    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_files = max(2, spark.sparkContext.defaultParallelism)
+        (
+            blocks.repartitionByRange(n_files, BLOCK, SALT)
+            .sortWithinPartitions(BLOCK, SALT)
+            .write.mode(mode)
+            .parquet(_data_path(path))
+        )
+    finally:
+        blocks.unpersist()
     totals, hist = _aggregate_written(spark, path)
     final = mf.finalize_manifest(man, codec_histogram=hist, **totals)
     _append_manifest_row(spark, path, final, columns)
@@ -376,8 +424,24 @@ def encode_to_path(
     encode does not duplicate or re-encode completed chunks. Chunk ids
     derive from (block, salt), so an encode unit never spans chunks.
     """
-    est_rows = kwargs.pop("est_rows", None) or df.count()
+    est_rows = kwargs.pop("est_rows", None)
     columns = columns_of(df)
+    need_ts = (
+        ts_col is not None
+        and kwargs.get("ts_range") is None
+        and ts_col in {f.name for f in df.schema.fields}
+    )
+    if est_rows is None or need_ts:
+        # one bind-time stats job for count + ts min/max (on Iceberg these
+        # come free from table/column metadata; here a column-pruned scan)
+        aggs = [F.count("*")]
+        if need_ts:
+            aggs += [F.min(F.unix_timestamp(ts_col)), F.max(F.unix_timestamp(ts_col))]
+        r = df.agg(*aggs).first()
+        if est_rows is None:
+            est_rows = int(r[0])
+        if need_ts:
+            kwargs["ts_range"] = (int(r[1] or 0), int(r[2] or 0))
 
     if chunks <= 1:
         blocks, man = encode_table(
@@ -414,6 +478,7 @@ def encode_to_path(
             ts_col=ts_col,
             est_rows=est_rows,
             chunk=(k, chunks),
+            num_partitions=files_per_chunk,
             **kwargs,
         )
         man = chunk_man
@@ -421,12 +486,18 @@ def encode_to_path(
             continue
         t0 = time.time()
         part_path = os.path.join(_data_path(path), f"chunk={k}")
-        (
-            blocks.repartitionByRange(files_per_chunk, BLOCK, SALT)
-            .sortWithinPartitions(BLOCK, SALT)
-            .write.mode("overwrite")
-            .parquet(part_path)
-        )
+        from pyspark import StorageLevel
+
+        blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            (
+                blocks.repartitionByRange(files_per_chunk, BLOCK, SALT)
+                .sortWithinPartitions(BLOCK, SALT)
+                .write.mode("overwrite")
+                .parquet(part_path)
+            )
+        finally:
+            blocks.unpersist()
         agg = (
             spark.read.parquet(part_path)
             .agg(F.count("*"), F.sum("n_rows"), F.sum("stats.raw_bytes"), F.sum("stats.enc_bytes"))

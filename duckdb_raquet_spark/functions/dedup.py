@@ -109,11 +109,20 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------- minhash ----
 
 
-def minhash_signature_cols(text: Column | str, k: int = 32, n: int = 3) -> list[Column]:
-    """k MinHash values as pure Column expressions: shingle -> xxhash64
-    (JVM) -> affine permutation mod Mersenne prime -> array_min."""
+def hashed_shingles_col(text: Column | str, n: int = 3) -> Column:
+    """Distinct shingles -> 31-bit hashes (JVM xxhash64, no Python)."""
     sh = shingles_col(text, n)
-    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+
+def minhash_cols_from_hashed(hashed: Column, k: int = 32) -> list[Column]:
+    """k MinHash values from an ALREADY MATERIALIZED hashed-shingle array.
+
+    Keeping the hashed array a real column matters: embedding the
+    shingle pipeline inside each of the k signature expressions makes
+    Catalyst evaluate tokenize+slice+hash k times per row (k=32 -> 32x
+    the scan cost). One projection computes the array; these k exprs
+    are then cheap per-element arithmetic + array_min."""
     out = []
     for i, (pa, pb) in enumerate(_perm_params(k)):
         perm = F.transform(
@@ -142,18 +151,18 @@ def minhash_lsh_pairs(
     1-(1-t^rows)^bands.
     """
     rows = k // bands
-    sig = df.select(
+    hs = df.select(
         F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_text"),
-        *minhash_signature_cols(text_col, k, n),
+        hashed_shingles_col(text_col, n).alias("_hs"),
     )
+    sig = hs.select("_id", *minhash_cols_from_hashed(F.col("_hs"), k))
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
             f"band_{b}"
         )
         for b in range(bands)
     ]
-    banded = sig.select("_id", "_text", *band_cols)
+    banded = sig.select("_id", *band_cols)
     buckets = banded.select(
         "_id",
         F.explode(

@@ -31,6 +31,7 @@ def build_manifest(
     url_col: str,
     ts_col: str | None,
     n_salt: int,
+    ts_origin: int = 0,
     extra: dict | None = None,
 ) -> dict:
     return {
@@ -40,6 +41,7 @@ def build_manifest(
             "scheme": KEY_SCHEME,
             "resolution": resolution,
             "bucket_seconds": bucket_seconds,
+            "ts_origin": ts_origin,
             "hash": "xxhash64(url, seed=42) >> 38",
             "n_salt": n_salt,
         },

@@ -140,9 +140,10 @@ def point_lookup(
     man = man or read_manifest(spark, path)
     res = man["key"]["resolution"]
     bucket = man["key"]["bucket_seconds"]
+    origin = man["key"].get("ts_origin", 0)
     blocks = read_blocks(spark, path)
     if ts_epoch is not None:
-        key = bk.key_for_point(url, ts_epoch, res, bucket)
+        key = bk.key_for_point(url, ts_epoch, res, bucket, origin)
         pruned = blocks.where(F.col(BLOCK) == key)
     else:
         x = bk.hash_x_from_url(url)
@@ -167,9 +168,11 @@ def prune_blocks_for_ts(
     stats.ts_min/ts_max overlap."""
     res = man["key"]["resolution"]
     bucket = man["key"]["bucket_seconds"]
+    origin = man["key"].get("ts_origin", 0)
     shift = bk.COORD_BITS - res
-    y_lo, y_hi = lo_epoch // bucket, hi_epoch // bucket
-    ylr, yhr = y_lo >> shift, y_hi >> shift
+    max_cell = (1 << res) - 1
+    ylr = min(max(0, (lo_epoch - origin) // bucket), max_cell)
+    yhr = min(max(0, (hi_epoch - origin) // bucket), max_cell)
     lo_key = int(bk.key_from_parts(np.uint64(0), np.uint64(ylr << shift), res))
     hi_key = int(
         bk.key_from_parts(np.uint64(bk.COORD_MAX), np.uint64(yhr << shift), res)

@@ -76,7 +76,22 @@ def encode_str_auto(arr: pa.Array, zlib_level: int = 6) -> bytes:
         and st["entropy"] <= 6.5
         and st["distinct_frac"] > 0.05  # low-cardinality is dict's job
     ):
-        cands.append(registry.encode_str_fsst(arr))
+        # estimate-then-commit: train on the bounded sample, compress
+        # only the sample, extrapolate. The full FSST encode (regex scan
+        # over all bytes) runs only when the estimate can actually beat
+        # the best candidate so far — the wasted-candidate cost was ~40%
+        # of encode time before this gate.
+        best = min(len(c) for c in cands)
+        from .codecs import fsst as fsst_mod
+
+        _, data = registry.str_parts(arr)
+        sample = fsst_mod.sample_of(data)
+        table = fsst_mod.build_table(data)
+        if table and sample:
+            ratio = len(fsst_mod.compress(sample, table)) / len(sample)
+            est = ratio * st["data_bytes"] + len(fsst_mod.serialize_table(table)) + n
+            if est < best * 1.05:
+                cands.append(registry.encode_str_fsst(arr, table=table))
     return min(cands, key=len)
 
 

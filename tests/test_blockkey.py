@@ -60,13 +60,34 @@ def test_parent_children_identities():
 
 def test_cover_keys_contain_point_and_bound_range():
     res = 6
-    cov = bk.cover_keys_for_ts_range(40, 90, res)
+    cov = bk.cover_keys_for_ts_range(10, 20, res)  # time cells 10..20
     assert cov == sorted(cov)
-    pk = bk.key_for_point("https://x.example/a", 60 * bk.DEFAULT_BUCKET_SECONDS, res)
+    assert len(cov) == 11 * (1 << res)  # 11 time cells x all hash cells
+    pk = bk.key_for_point("https://x.example/a", 15 * bk.DEFAULT_BUCKET_SECONDS, res)
     assert pk in cov
-    # a point in a different res-6 time cell (bucket >> 20 != 0)
-    outside = bk.key_for_point("https://x.example/a", (1 << 21) * bk.DEFAULT_BUCKET_SECONDS, res)
+    outside = bk.key_for_point(
+        "https://x.example/a", 30 * bk.DEFAULT_BUCKET_SECONDS, res
+    )
     assert outside not in cov
+
+
+def test_ts_params_fill_cell_space():
+    # one year of 2024 at res 5: 32 cells, ~12-day effective buckets
+    lo = 1704067200
+    hi = lo + 365 * 86400 - 1
+    origin, bucket = bk.ts_params(lo, hi, 5)
+    assert origin == (lo // 86400) * 86400
+    assert bucket % 86400 == 0
+    n_cells = -(-(hi - origin + 1) // bucket)
+    assert n_cells <= 32
+    assert bucket <= 12 * 86400
+    # cells actually spread: first and last day land in different cells
+    y_lo = int(bk.y_from_epoch(lo, 5, bucket, origin))
+    y_hi = int(bk.y_from_epoch(hi, 5, bucket, origin))
+    assert y_lo != y_hi
+    # narrow span keeps the requested bucket
+    origin2, bucket2 = bk.ts_params(lo, lo + 3 * 86400, 5)
+    assert bucket2 == bk.DEFAULT_BUCKET_SECONDS
 
 
 def test_choose_resolution_scales():
@@ -90,12 +111,13 @@ def test_spark_column_parity(spark):
     assert got_hash == [to_signed64(xxh64_str(u)) for u in urls]
 
     res = 11
-    kc = bk.key_col(F.col("url"), F.col("warc_ts"), res)
+    origin = 1704067200  # 2024-01-01, mirrors a real table's ts_origin
+    kc = bk.key_col(F.col("url"), F.col("warc_ts"), res, ts_origin=origin)
     got = [r[0] for r in df.select(kc).collect()]
     want = []
     for u, ts in rows:
         es = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp())
-        want.append(bk.key_for_point(u, es, res))
+        want.append(bk.key_for_point(u, es, res, ts_origin=origin))
     assert got == want
 
     sel = df.select(
@@ -104,4 +126,5 @@ def test_spark_column_parity(spark):
     assert all(row["r"] == res for row in sel)
     for (u, ts), row in zip(rows, sel):
         es = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp())
-        assert row["yb"] == (es // bk.DEFAULT_BUCKET_SECONDS) >> (26 - res)
+        cell = min((es - origin) // bk.DEFAULT_BUCKET_SECONDS, (1 << res) - 1)
+        assert row["yb"] == cell
