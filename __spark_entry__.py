@@ -138,6 +138,29 @@ def q_rt_mask_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.decode_blocks(masked, man, ["doc_id", "n_chars"])
 
 
+def q_rt_mask_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks, man, _ = _blocks(spark, sf_dir)
+    masked = scan.mask_values_eq(blocks, man, "lang", "fr")
+    return scan.decode_blocks(masked, man, ["doc_id", "lang"])
+
+
+def q_manifest_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raquet_validate_metadata analog (reference
+    src/metadata/raquet_metadata.cpp:16-133): structural manifest check;
+    engine-internal values -> rows-only."""
+    from duckdb_raquet_spark import manifest as mf
+
+    _, man = _encoded(spark, sf_dir)
+    ok, errors, warnings = mf.validate_manifest(man)
+    row = [(bool(ok), len(errors), len(warnings), str(man["format_version"]),
+            man["key"]["scheme"], int(man["num_blocks"]))]
+    return spark.createDataFrame(
+        row,
+        "is_valid boolean, n_errors int, n_warnings int, format_version string,"
+        " scheme string, num_blocks long",
+    )
+
+
 def q_rt_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + predicate + aggregate — the ST_RegionStats analog:
     Spark's partial/final HashAggregate is the Combine step."""
@@ -152,6 +175,48 @@ def q_rt_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("mean"),
         F.min("n_chars").alias("min"),
         F.max("n_chars").alias("max"),
+    )
+
+
+def q_rt_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free pre-aggregation onto parent cells (overview-pyramid
+    analog). Parent keys derive from xxhash64 so no SQL oracle —
+    deterministic rows-only check; the flat-totals consistency is
+    asserted in tests/test_extras.py."""
+    blocks, man, _ = _blocks(spark, sf_dir)
+    res = man["key"]["resolution"]
+    roll = scan.rollup_stats(blocks, man, max(0, res - 1), "n_chars")
+    return roll.select(
+        "block", "n_rows", "cnt", "sum", "min", "max", F.round("mean", 4).alias("mean")
+    ).orderBy("block")
+
+
+def q_mm_img_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload -> (stubbed deterministic)
+    decode -> resize -> channel-mean features via mapInPandas. Rows-only
+    check (decode kernel is a seeded stand-in, SURVEY.md §2.8)."""
+    from duckdb_raquet_spark.functions import multimodal as mm
+
+    docs = _webtext(spark, sf_dir).select("doc_id", "html")
+    feats = mm.image_features(docs, "doc_id", "html")
+    return feats.select(
+        F.col("id").alias("doc_id"), "width", "height",
+        F.round(F.element_at("features", 1), 4).alias("f0"),
+    ).orderBy("doc_id")
+
+
+def q_mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side binary profiling (no decode): exact-dup detection over
+    opaque media payloads by (length, content hash)."""
+    from duckdb_raquet_spark.functions import multimodal as mm
+
+    docs = _webtext(spark, sf_dir).select("doc_id", "html")
+    stats = docs.select("doc_id", *mm.binary_stats_col("html"))
+    return (
+        stats.groupBy("n_bytes", "content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("n_bytes", "keep_id", "n_copies")  # hash itself has no SQL
+        .orderBy("keep_id")  # twin; (bytes,hash) groups == text groups
     )
 
 
@@ -335,7 +400,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_cat_counts": q_rt_cat_counts,
         "rt_mask_lang": q_rt_mask_lang,
         "rt_mask_range": q_rt_mask_range,
+        "rt_mask_eq": q_rt_mask_eq,
+        "manifest_validate": q_manifest_validate,
         "rt_region_stats": q_rt_region_stats,
+        "rt_rollup": q_rt_rollup,
+        "mm_img_features": q_mm_img_features,
+        "mm_binary_stats": q_mm_binary_stats,
         "enc_metrics": q_enc_metrics,
         "key_math": q_key_math,
         "txt_tokens": q_txt_tokens,
@@ -417,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_mask_range": """
             SELECT doc_id, n_chars FROM documents
             WHERE n_chars BETWEEN 100 AND 300""",
+        "rt_mask_eq": "SELECT doc_id, lang FROM documents WHERE lang = 'fr'",
         "rt_region_stats": f"""
             SELECT count(n_chars)::BIGINT AS cnt, sum(n_chars)::BIGINT AS sum,
                    round(avg(n_chars), 4) AS mean, min(n_chars) AS min,
@@ -442,6 +513,10 @@ def oracle_sql() -> dict[str, str]:
                     + least(1.0, sw * 10.0 / greatest(n_tokens, 1)) * 0.5, 4) AS quality
             FROM m""",
         "txt_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "mm_binary_stats": """
+            SELECT octet_length(encode(text)) AS n_bytes,
+                   min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
+            FROM documents GROUP BY text ORDER BY keep_id""",
         "dedup_exact": """
             SELECT text, min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
             FROM documents GROUP BY text""",

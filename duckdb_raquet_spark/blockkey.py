@@ -146,6 +146,42 @@ def key_children(key: int) -> list[int]:
     return out
 
 
+def key_siblings(key: int) -> list[int]:
+    """The four cells sharing this cell's parent, self included
+    (quadbin_sibling analog, /root/reference/src/include/quadbin.hpp:270-284)."""
+    key = int(key)
+    r = int(key_resolution(key))
+    if r == 0:
+        return [key]
+    return key_children(int(key_parent(key)))
+
+
+def key_kring(key: int, k: int = 1) -> list[int]:
+    """Cells within Chebyshev distance k in (x, y) cell space — the
+    quadbin_kring analog (/root/reference/src/include/quadbin.hpp:242-267):
+    adjacent time buckets x adjacent hash slices, clamped at the borders.
+    Sorted, self included."""
+    key = int(key)
+    r = int(key_resolution(key))
+    shift = COORD_BITS - r
+    xr = int(key_x(key)) >> shift
+    yr = int(key_y(key)) >> shift
+    n = 1 << r
+    out = set()
+    for dy in range(-k, k + 1):
+        for dx in range(-k, k + 1):
+            nx, ny = xr + dx, yr + dy
+            if 0 <= nx < n and 0 <= ny < n:
+                out.add(
+                    int(
+                        key_from_parts(
+                            np.uint64(nx << shift), np.uint64(ny << shift), r
+                        )
+                    )
+                )
+    return sorted(out)
+
+
 def hash_x_from_url(url: str) -> int:
     """Driver-side O(1) url -> x coordinate (Spark xxhash64 parity)."""
     return to_unsigned64(xxh64_str(url)) >> HASH_SHIFT

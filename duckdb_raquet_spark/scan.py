@@ -253,6 +253,43 @@ def cat_value_counts(blocks: DataFrame, col: str) -> DataFrame:
     )
 
 
+def rollup_stats(
+    blocks: DataFrame, man: dict, parent_res: int, stat_key: str
+) -> DataFrame:
+    """Decode-free pre-aggregation onto coarser parent cells — the
+    overview-pyramid analog (/root/reference/src/raster/read_raster.cpp:
+    1152-1163 builds coarser tiles so coarse queries touch few blocks;
+    quadbin_to_parent re-keying, quadbin.hpp:175-203). Pure Column bit
+    arithmetic re-keys every block to its parent cell, then per-block
+    stats merge with a hash aggregate: count/sum/min/max are exactly
+    mergeable, mean derived. No payload is decoded.
+
+    Returns one row per parent block: (block, n_rows, cnt, sum, mean,
+    min, max) for ``stat_key`` (see :func:`summary_stats`)."""
+    res = man["key"]["resolution"]
+    if not 0 <= parent_res <= res:
+        raise ValueError(f"parent_res {parent_res} outside [0, {res}]")
+    foot = bk.footer(parent_res)
+    parent = (
+        F.col(BLOCK)
+        .bitwiseAND(F.lit(bk.MORTON_MASK ^ foot))
+        .bitwiseOR(F.lit(bk.HEADER | (parent_res << bk.RES_SHIFT) | foot))
+    )
+    s = F.col("num_stats").getItem(stat_key)
+    return (
+        blocks.where(s.isNotNull())
+        .groupBy(parent.alias(BLOCK))
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum(s.getField("cnt")).alias("cnt"),
+            F.sum(s.getField("sum")).alias("sum"),
+            F.min(s.getField("min")).alias("min"),
+            F.max(s.getField("max")).alias("max"),
+        )
+        .withColumn("mean", F.col("sum") / F.col("cnt"))
+    )
+
+
 # --------------------------------------------------- decode->mask->re-encode ----
 
 
@@ -307,6 +344,11 @@ def mask_values_in(
     """Whitelist mask — ST_MaskBandValuesList analog (st_value_mask.cpp:116-172)."""
     allowed_set = set(allowed)
     return transform_blocks(blocks, man, lambda pdf: pdf[col].isin(allowed_set).to_numpy())
+
+
+def mask_values_eq(blocks: DataFrame, man: dict, col: str, value) -> DataFrame:
+    """Single-value mask — ST_MaskBandValuesEq analog (st_value_mask.cpp:239-280)."""
+    return transform_blocks(blocks, man, lambda pdf: (pdf[col] == value).fillna(False).to_numpy())
 
 
 def mask_values_range(
