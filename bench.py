@@ -43,11 +43,11 @@ def sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
-def make_spark(cpus: int):
+def make_spark(cpus: int, master: str | None = None):
     from pyspark.sql import SparkSession
 
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
+    spark = (
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(f"raquet-bench-{cpus}")
         .config("spark.driver.memory", "20g")
         .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 16)))
@@ -64,6 +64,14 @@ def make_spark(cpus: int):
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    if master and master.startswith("local-cluster"):
+        # real executor JVMs don't share the driver's sys.path: ship the
+        # package exactly as production does (--py-files zip)
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import package as packager
+
+        spark.sparkContext.addPyFile(packager.build())
+    return spark
 
 
 def prepare_input(spark, rows: int) -> tuple[str, tuple[int, int]]:
@@ -184,11 +192,13 @@ def warmup(spark, input_path: str, rows: int, ts_range) -> None:
     encode_run(spark, input_path, rows, "warmup", ts_range)
 
 
-def run_encode_only(sf_dir: str, cpus: int, rows: int, reps: int = 5) -> dict:
+def run_encode_only(
+    sf_dir: str, cpus: int, rows: int, reps: int = 5, master: str | None = None
+) -> dict:
     """Steady-state encode throughput: one untimed warmup run, then
     best-of-``reps`` timed runs (JVM C2 keeps improving over the first
     few executions of the Arrow/Parquet hot paths)."""
-    spark = make_spark(cpus)
+    spark = make_spark(cpus, master)
     input_path, ts_range = prepare_input(spark, rows)
     warmup(spark, input_path, rows, ts_range)
     walls = []
@@ -211,49 +221,79 @@ def run_encode_only(sf_dir: str, cpus: int, rows: int, reps: int = 5) -> dict:
     return out
 
 
-def run_scaling(sf_dir: str, lo: int, hi: int, rows: int) -> dict:
-    """Same job, same on-disk input, local[lo] vs local[hi] in separate
-    JVMs -> throughput at both + scaling efficiency (BASELINE.json's
-    two-cluster-size criterion, evidenced with two parallelism levels)."""
+def run_scaling(
+    sf_dir: str,
+    lo: int,
+    hi: int,
+    rows: int,
+    mode: str = "executors",
+    exec_cores: int = 4,
+    exec_mem_mb: int = 16384,
+) -> dict:
+    """Same job, same on-disk input, two cluster sizes in separate JVMs
+    -> throughput at both + scaling efficiency (BASELINE.json's N->4N
+    criterion; no real cluster in this sandbox).
+
+    mode="executors" (default): ``local-cluster[n, exec_cores, mem]``
+    with n = lo..hi REAL executor JVMs — the north rule's own unit
+    ("N and 4N executors"); each executor has its own heap, GC and
+    Python worker pool, so the measurement isolates job scalability
+    from single-JVM contention. mode="threads": local[n] pinned to n
+    hardware threads via taskset (stresses one shared memory bus)."""
     import shutil
 
     results = {}
-    for cpus in (lo, hi):
-        # pin to cpus hardware threads: plain local[N] on an M-core box
-        # lets N python workers ride the other M-N cores, which would
-        # overstate the small config and understate scaling
-        pin = (
-            ["taskset", "-c", f"0-{cpus - 1}"]
-            if shutil.which("taskset") and cpus <= os.cpu_count()
-            else []
-        )
+    for n in (lo, hi):
+        if mode == "executors":
+            pin = []
+            master = f"local-cluster[{n},{exec_cores},{exec_mem_mb}]"
+            cpus = n * exec_cores
+            tag = f"{n}x{exec_cores}"
+        else:
+            # pin to n hardware threads: plain local[N] on an M-core box
+            # lets N python workers ride the other M-N cores, overstating
+            # the small config
+            pin = (
+                ["taskset", "-c", f"0-{n - 1}"]
+                if shutil.which("taskset") and n <= os.cpu_count()
+                else []
+            )
+            master = None
+            cpus = n
+            tag = str(n)
+        cmd = pin + [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--encode-only",
+            "--cpus",
+            str(cpus),
+            "--rows",
+            str(rows),
+            "--sf-dir",
+            sf_dir,
+        ]
+        if master:
+            cmd += ["--master", master]
         proc = subprocess.run(
-            pin
-            + [
-                sys.executable,
-                os.path.abspath(__file__),
-                "--encode-only",
-                "--cpus",
-                str(cpus),
-                "--rows",
-                str(rows),
-                "--sf-dir",
-                sf_dir,
-            ],
+            cmd,
             capture_output=True,
             text=True,
             check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
-    thr_lo, thr_hi = results[lo]["gbps"], results[hi]["gbps"]
+        results[tag] = json.loads(proc.stdout.strip().splitlines()[-1])
+    tags = list(results)
+    thr_lo, thr_hi = results[tags[0]]["gbps"], results[tags[1]]["gbps"]
     eff = thr_hi / (thr_lo * (hi / lo))
+    unit_name = "executors" if mode == "executors" else "cores"
     return {
-        "metric": f"encode scaling efficiency local[{lo}] -> local[{hi}]",
+        "metric": f"encode scaling efficiency {lo} -> {hi} {unit_name}"
+        + (f" ({exec_cores} cores each)" if mode == "executors" else ""),
         "value": round(eff, 4),
         "unit": "efficiency",
         "sf": sf_of(sf_dir),
         "rows": rows,
+        "mode": mode,
         "runs": results,
         "gbps_lo": thr_lo,
         "gbps_hi": thr_hi,
@@ -344,16 +384,32 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--encode-only", action="store_true")
+    ap.add_argument("--master", default=None, help="override spark master")
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--scaling-lo", type=int, default=8)
+    ap.add_argument("--scaling-lo", type=int, default=1)
+    ap.add_argument("--scaling-hi", type=int, default=None)
+    ap.add_argument(
+        "--scaling-mode", choices=("executors", "threads"), default="executors"
+    )
+    ap.add_argument("--exec-cores", type=int, default=4)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     rows = args.rows or max(2000, int(ROWS_PER_SF * sf_of(args.sf_dir)))
     if args.encode_only:
-        result = run_encode_only(args.sf_dir, args.cpus, rows)
+        result = run_encode_only(args.sf_dir, args.cpus, rows, master=args.master)
     elif args.scaling:
-        result = run_scaling(args.sf_dir, args.scaling_lo, args.cpus, rows)
+        hi = args.scaling_hi or (
+            4 * args.scaling_lo if args.scaling_mode == "executors" else args.cpus
+        )
+        result = run_scaling(
+            args.sf_dir,
+            args.scaling_lo,
+            hi,
+            rows,
+            mode=args.scaling_mode,
+            exec_cores=args.exec_cores,
+        )
     else:
         result = run_headline(args.sf_dir, args.cpus, rows)
 

@@ -34,6 +34,7 @@ import time
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -116,8 +117,8 @@ def _num_stat(vals: np.ndarray) -> dict:
     }
 
 
-def encode_block_pdf(
-    pdf: pd.DataFrame,
+def encode_block_arrow(
+    tbl: "pa.Table",
     col_specs: list[tuple[str, str]],
     sort_cols: list[str],
     zlib_level: int,
@@ -125,17 +126,24 @@ def encode_block_pdf(
     salt: int,
     ts_col: str | None,
 ) -> dict:
-    """Encode one block's rows -> one output row dict.
+    """Encode one block's rows (an Arrow table) -> one output row dict.
 
-    Runs inside Arrow-vectorized UDFs; all per-value work is
-    numpy/pyarrow. Rows are deterministically ordered (ts, url) so
-    re-encoding the same block yields identical bytes (resume
-    idempotency) and timestamp deltas stay small for the delta codec.
+    THE encode kernel for every path (batch applyInArrow, mask
+    re-encode, streaming). No pandas, no per-value Python objects:
+    string/binary columns never leave Arrow buffers; numerics drop to
+    numpy views. Rows are deterministically ordered (ts, url,
+    nulls first) so re-encoding the same block yields identical bytes
+    (resume idempotency) and timestamp deltas stay small.
     """
-    pdf = pdf.sort_values(sort_cols, kind="mergesort", na_position="first").reset_index(
-        drop=True
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[(c, "ascending") for c in sort_cols],
+        null_placement="at_start",
     )
-    n = len(pdf)
+    tbl = tbl.take(idx)
+    n = tbl.num_rows
     row: dict = {BLOCK: block, SALT: salt, "n_rows": n}
     codecs: dict[str, str] = {}
     cat_counts: dict[str, dict[str, int]] = {}
@@ -144,26 +152,37 @@ def encode_block_pdf(
     enc_total = 0
     ts_min = ts_max = None
     for name, kind in col_specs:
-        s = pdf[name]
-        payload, cname, cstats = selector.encode_column(s, kind, zlib_level)
+        col = tbl[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        payload, cname, cstats = selector.encode_column_arrow(col, kind, zlib_level)
         row[blob_col(name)] = payload
         codecs[name] = cname
         raw_total += cstats["raw_bytes"]
         enc_total += len(payload)
         if kind == selector.KIND_STRING:
-            vc = s.value_counts(dropna=True)
-            if 0 < len(vc) <= MAX_CAT_DISTINCT:
-                cat_counts[name] = {str(k): int(v) for k, v in vc.items()}
-            lens = s.dropna().str.len()
-            if len(lens):
-                num_stats[f"len_{name}"] = _num_stat(lens.to_numpy(np.int64))
+            valid = col.drop_null()
+            if len(valid):
+                vc = pc.value_counts(valid)
+                if 0 < len(vc) <= MAX_CAT_DISTINCT:
+                    cat_counts[name] = {
+                        str(f["values"]): int(f["counts"]) for f in vc.to_pylist()
+                    }
+                lens = pc.utf8_length(valid).to_numpy(zero_copy_only=False)
+                num_stats[f"len_{name}"] = _num_stat(lens.astype(np.int64))
         elif kind == selector.KIND_INT:
-            vals = s.dropna().to_numpy(dtype=np.int64)
-            if len(vals):
+            valid = col.drop_null()
+            if len(valid):
+                vals = valid.cast(pa.int64()).to_numpy(zero_copy_only=False)
                 num_stats[name] = _num_stat(vals)
         elif kind == selector.KIND_TIMESTAMP:
-            vals = s.dropna().to_numpy().astype("datetime64[us]").view("int64")
-            if len(vals):
+            valid = col.drop_null()
+            if len(valid):
+                vals = (
+                    valid.cast(pa.timestamp("us"))
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                )
                 st = _num_stat(vals)
                 num_stats[name] = st
                 if ts_col and name == ts_col:
@@ -183,23 +202,70 @@ def encode_block_pdf(
     return row
 
 
+def _pdf_to_arrow(pdf: pd.DataFrame, col_specs: list[tuple[str, str]]) -> "pa.Table":
+    """pandas -> Arrow with the engine's explicit per-kind types (the
+    mask/transform path decodes to pandas; this keeps its re-encode
+    bit-consistent with the batch Arrow path)."""
+    arrays, names = [], []
+    for name, kind in col_specs:
+        s = pdf[name]
+        if kind == selector.KIND_STRING:
+            arrays.append(pa.array(s, type=pa.large_string()))
+        elif kind == selector.KIND_BINARY:
+            arrays.append(pa.array(s, type=pa.large_binary()))
+        elif kind == selector.KIND_TIMESTAMP:
+            arrays.append(pa.Array.from_pandas(s, type=pa.timestamp("us")))
+        elif kind == selector.KIND_DOUBLE:
+            arrays.append(pa.array(s.to_numpy(dtype=np.float64), type=pa.float64()))
+        else:
+            arrays.append(pa.Array.from_pandas(s, type=pa.int64()))
+        names.append(name)
+    return pa.table(arrays, names=names)
+
+
+def encode_block_pdf(
+    pdf: pd.DataFrame,
+    col_specs: list[tuple[str, str]],
+    sort_cols: list[str],
+    zlib_level: int,
+    block: int,
+    salt: int,
+    ts_col: str | None,
+) -> dict:
+    """pandas wrapper over :func:`encode_block_arrow` (transform path)."""
+    return encode_block_arrow(
+        _pdf_to_arrow(pdf, col_specs), col_specs, sort_cols, zlib_level, block, salt, ts_col
+    )
+
+
 def sort_cols_for(columns: list[dict], url_col: str, ts_col: str | None) -> list[str]:
     names = {c["name"] for c in columns}
     return [c for c in (ts_col, url_col) if c and c in names] or [columns[0]["name"]]
 
 
 def make_encode_fn(columns: list[dict], url_col: str, ts_col: str | None, zlib_level: int):
-    """Per-(block, salt) encoder run via applyInPandas (Arrow batches in,
-    one block row out — all numpy/pyarrow inside, no per-row Python)."""
+    """Per-(block, salt) encoder run via applyInArrow: the group arrives
+    as a pa.Table (string/binary data stays in Arrow buffers — no pandas
+    object materialization, which dominated memory traffic and capped
+    multi-core scaling), one block row goes back as a 1-row pa.Table."""
 
     col_specs = [(c["name"], c["kind"]) for c in columns]
     sort_cols = sort_cols_for(columns, url_col, ts_col)
+    from pyspark.sql.pandas.types import to_arrow_schema
 
-    def encode_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        row = encode_block_pdf(
-            pdf, col_specs, sort_cols, zlib_level, int(key[0]), int(key[1]), ts_col
+    arrow_schema = to_arrow_schema(blocks_schema(columns))
+
+    def encode_fn(key: tuple, tbl: "pa.Table") -> "pa.Table":
+        block, salt = (
+            k.as_py() if hasattr(k, "as_py") else int(k) for k in key
         )
-        return pd.DataFrame([row])
+        row = encode_block_arrow(
+            tbl, col_specs, sort_cols, zlib_level, int(block), int(salt), ts_col
+        )
+        arrays = [
+            pa.array([row.get(f.name)], type=f.type) for f in arrow_schema
+        ]
+        return pa.Table.from_arrays(arrays, schema=arrow_schema)
 
     return encode_fn
 
@@ -289,7 +355,7 @@ def encode_table(
 
     schema = blocks_schema(columns)
     encode_fn = make_encode_fn(columns, url_col, ts_col, zlib_level)
-    blocks = keyed.groupBy(BLOCK, SALT).applyInPandas(encode_fn, schema=schema)
+    blocks = keyed.groupBy(BLOCK, SALT).applyInArrow(encode_fn, schema=schema)
 
     man = mf.build_manifest(
         columns=columns,

@@ -93,10 +93,16 @@ def decode_blocks(
     *,
     with_block: bool = False,
 ) -> DataFrame:
-    """blocks -> original rows via mapInPandas (Arrow batches, payloads
-    decoded with the numpy/pyarrow kernels; the Python loop is per block
-    row, never per value — raquet_decode_band analog,
+    """blocks -> original rows via mapInArrow (payload bytes in, Arrow
+    arrays out — decoded strings never materialize as Python objects;
+    the Python loop is per block row, never per value —
+    raquet_decode_band analog,
     /root/reference/src/raster/st_raster_value.cpp:145-211)."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
+
     specs = _colspecs(man, cols)
     needed = [BLOCK, SALT, "n_rows"] + [blob_col(n) for n, _, _ in specs]
     src = blocks.select(*needed)  # Parquet reads only these payloads
@@ -105,21 +111,46 @@ def decode_blocks(
         schema_parts += [f"{BLOCK} long", f"{SALT} int"]
     schema_parts += [f"`{n}` {t}" for n, t, _ in specs]
     out_schema = ", ".join(schema_parts)
+    arrow_schema = to_arrow_schema(T._parse_datatype_string(out_schema))
 
     def fn(batches):
-        for pdf in batches:
-            for r in pdf.itertuples(index=False):
-                n = int(r.n_rows)
-                data = {}
+        for rb in batches:
+            n_rows_col = rb.column(rb.schema.get_field_index("n_rows"))
+            blk_col = rb.column(rb.schema.get_field_index(BLOCK))
+            salt_col = rb.column(rb.schema.get_field_index(SALT))
+            payload_cols = {
+                name: rb.column(rb.schema.get_field_index(blob_col(name)))
+                for name, _, _ in specs
+            }
+            for i in range(rb.num_rows):
+                n = n_rows_col[i].as_py()
+                arrays = []
                 if with_block:
-                    data[BLOCK] = np.full(n, int(r.block), dtype=np.int64)
-                    data[SALT] = np.full(n, int(r.salt), dtype=np.int32)
+                    arrays.append(
+                        pa.array(
+                            np.full(n, blk_col[i].as_py(), dtype=np.int64),
+                            type=pa.int64(),
+                        )
+                    )
+                    arrays.append(
+                        pa.array(
+                            np.full(n, salt_col[i].as_py(), dtype=np.int32),
+                            type=pa.int32(),
+                        )
+                    )
                 for name, _, kind in specs:
-                    payload = getattr(r, blob_col(name))
-                    data[name] = selector.decode_column(bytes(payload), kind, n)
-                yield pd.DataFrame(data)
+                    payload = payload_cols[name][i].as_py()
+                    arr = selector.decode_column_arrow(bytes(payload), kind, n)
+                    arrays.append(arr)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        a.cast(f.type) if a.type != f.type else a
+                        for a, f in zip(arrays, arrow_schema)
+                    ],
+                    schema=arrow_schema,
+                )
 
-    return src.mapInPandas(fn, schema=out_schema)
+    return src.mapInArrow(fn, schema=out_schema)
 
 
 # ------------------------------------------------------------ point/range ----

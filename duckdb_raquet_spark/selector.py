@@ -107,64 +107,109 @@ def encode_int_auto(values: np.ndarray, zlib_level: int = 6) -> bytes:
     return best
 
 
-def encode_column(
-    series, kind: str, zlib_level: int = 6
+def _as_large_binary(arr: pa.Array) -> pa.Array:
+    t = arr.type
+    if t == pa.large_binary():
+        return arr
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return arr.cast(pa.large_string()).cast(pa.large_binary())
+    return arr.cast(pa.large_binary())
+
+
+def encode_column_arrow(
+    arr: pa.Array | pa.ChunkedArray, kind: str, zlib_level: int = 6
 ) -> tuple[bytes, str, dict]:
-    """Encode one pandas Series of a block -> (payload, codec name, stats).
+    """Encode one Arrow column of a block -> (payload, codec name, stats).
 
-    Null handling is explicit (NULLABLE wrapper), mirroring the
-    reference's NODATA->NULL semantics but without sentinel values.
+    This is THE encode kernel: no pandas, no per-value Python objects —
+    string/binary data stays in Arrow buffers end to end, numerics drop
+    to numpy views. Null handling is explicit (NULLABLE wrapper),
+    mirroring the reference's NODATA->NULL semantics without sentinels.
     """
-    import pandas as pd
-
-    n = len(series)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
     if kind in (KIND_STRING, KIND_BINARY):
-        if kind == KIND_STRING:
-            arr = pa.array(series, type=pa.large_string()).cast(pa.large_binary())
-        else:
-            arr = pa.array(series, type=pa.large_binary())
-        validity = ~np.asarray(pd.isna(series))
+        arr = _as_large_binary(arr)
         if arr.null_count:
-            valid_arr = arr.drop_null()
-            inner = encode_str_auto(valid_arr, zlib_level)
+            validity = arr.is_valid().to_numpy(zero_copy_only=False)
+            inner = encode_str_auto(arr.drop_null(), zlib_level)
             payload = registry.encode_nullable(validity, inner)
         else:
             payload = encode_str_auto(arr, zlib_level)
-        raw = int(
-            pa.compute.sum(pa.compute.binary_length(arr)).as_py() or 0
-        )
+        raw = int(pa.compute.sum(pa.compute.binary_length(arr)).as_py() or 0)
     elif kind == KIND_DOUBLE:
         # doubles: raw IEEE-754 bit patterns (bijective int64 view);
-        # pandas cannot distinguish null from NaN, so neither do we here
-        vals64 = np.ascontiguousarray(
-            series.to_numpy(dtype=np.float64)
-        ).view(np.int64)
-        validity = np.ones(n, dtype=bool)
+        # null and NaN are conflated (pandas upstream cannot tell them
+        # apart either)
+        vals = np.ascontiguousarray(
+            arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        )
         raw = 8 * n
-        payload = encode_int_auto(vals64, zlib_level)
+        payload = encode_int_auto(vals.view(np.int64), zlib_level)
     else:
         if kind == KIND_TIMESTAMP:
-            validity = series.notna().to_numpy()
-            vals64 = np.zeros(n, dtype=np.int64)
-            if validity.any():
-                vals64[validity] = (
-                    series.dropna().to_numpy().astype("datetime64[us]").view("int64")
-                )
-        elif series.dtype.kind in "iu":
-            validity = np.ones(n, dtype=bool)
-            vals64 = series.to_numpy(dtype=np.int64)
-        else:  # nullable int (object / Int64 / float-with-NaN)
-            validity = series.notna().to_numpy()
-            vals64 = np.zeros(n, dtype=np.int64)
-            if validity.any():
-                vals64[validity] = series.dropna().to_numpy(dtype=np.int64)
+            arr = arr.cast(pa.timestamp("us")).cast(pa.int64())
+        elif not pa.types.is_int64(arr.type):
+            arr = arr.cast(pa.int64())
         raw = 8 * n
-        if validity.all():
-            payload = encode_int_auto(vals64, zlib_level)
-        else:
+        if arr.null_count:
+            validity = arr.is_valid().to_numpy(zero_copy_only=False)
+            vals64 = np.ascontiguousarray(
+                arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
             inner = encode_int_auto(vals64[validity], zlib_level)
             payload = registry.encode_nullable(validity, inner)
+        else:
+            vals64 = np.ascontiguousarray(
+                arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            payload = encode_int_auto(vals64, zlib_level)
     return payload, codec_name(payload), {"raw_bytes": raw, "enc_bytes": len(payload)}
+
+
+def encode_column(
+    series, kind: str, zlib_level: int = 6
+) -> tuple[bytes, str, dict]:
+    """pandas wrapper over :func:`encode_column_arrow` (same bytes for
+    the same logical content — transform/mask re-encode paths go through
+    pandas and must stay bit-consistent with the Arrow encode path)."""
+    if kind == KIND_STRING:
+        arr = pa.array(series, type=pa.large_string())
+    elif kind == KIND_BINARY:
+        arr = pa.array(series, type=pa.large_binary())
+    elif kind == KIND_TIMESTAMP:
+        arr = pa.Array.from_pandas(series, type=pa.timestamp("us"))
+    elif kind == KIND_DOUBLE:
+        # preserve NaN-as-value semantics (from_pandas would null them)
+        vals = np.ascontiguousarray(series.to_numpy(dtype=np.float64))
+        raw = 8 * len(series)
+        payload = encode_int_auto(vals.view(np.int64), zlib_level)
+        return payload, codec_name(payload), {"raw_bytes": raw, "enc_bytes": len(payload)}
+    else:
+        arr = pa.Array.from_pandas(series, type=pa.int64())
+    return encode_column_arrow(arr, kind, zlib_level)
+
+
+def decode_column_arrow(payload: bytes, kind: str, n: int) -> pa.Array:
+    """payload -> Arrow array of the original logical type (bit-exact),
+    staying in Arrow buffers (read-path twin of encode_column_arrow)."""
+    value = registry.decode_any(payload)
+    if kind in (KIND_STRING, KIND_BINARY):
+        if isinstance(value, np.ndarray):
+            raise ValueError("int payload for string column")
+        return value.cast(pa.large_string() if kind == KIND_STRING else pa.large_binary())
+    if isinstance(value, np.ndarray):
+        ints64 = pa.array(value, type=pa.int64())
+    else:  # NULLABLE payload decoded to arrow int64-with-validity
+        ints64 = value if value.type == pa.int64() else value.cast(pa.int64())
+    if kind == KIND_TIMESTAMP:
+        return ints64.cast(pa.timestamp("us"))
+    if kind == KIND_DOUBLE:
+        if isinstance(value, np.ndarray):
+            return pa.array(value.view(np.float64), type=pa.float64())
+        raise ValueError("nullable double payloads are not produced by this engine")
+    return ints64
 
 
 def decode_column(payload: bytes, kind: str, n: int):
