@@ -46,9 +46,15 @@ def sf_of(sf_dir: str) -> float:
 def make_spark(cpus: int, master: str | None = None):
     from pyspark.sql import SparkSession
 
+    builder = SparkSession.builder.master(master or f"local[{cpus}]")
+    if master and master.startswith("local-cluster"):
+        # the mem field in local-cluster[n,cores,mem] is only the worker's
+        # advertised capacity; executor JVMs still launch at the
+        # spark.executor.memory default (1g) unless set explicitly
+        mem_mb = int(master.rstrip("]").split(",")[2])
+        builder = builder.config("spark.executor.memory", f"{mem_mb}m")
     spark = (
-        SparkSession.builder.master(master or f"local[{cpus}]")
-        .appName(f"raquet-bench-{cpus}")
+        builder.appName(f"raquet-bench-{cpus}")
         .config("spark.driver.memory", "20g")
         .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 16)))
         .config("spark.sql.adaptive.enabled", "true")
@@ -193,7 +199,7 @@ def warmup(spark, input_path: str, rows: int, ts_range) -> None:
 
 
 def run_encode_only(
-    sf_dir: str, cpus: int, rows: int, reps: int = 5, master: str | None = None
+    sf_dir: str, cpus: int, rows: int, reps: int = 3, master: str | None = None
 ) -> dict:
     """Steady-state encode throughput: one untimed warmup run, then
     best-of-``reps`` timed runs (JVM C2 keeps improving over the first
@@ -228,7 +234,7 @@ def run_scaling(
     rows: int,
     mode: str = "executors",
     exec_cores: int = 4,
-    exec_mem_mb: int = 16384,
+    exec_mem_mb: int = 8192,
 ) -> dict:
     """Same job, same on-disk input, two cluster sizes in separate JVMs
     -> throughput at both + scaling efficiency (BASELINE.json's N->4N
@@ -392,10 +398,17 @@ def main() -> None:
         "--scaling-mode", choices=("executors", "threads"), default="executors"
     )
     ap.add_argument("--exec-cores", type=int, default=4)
+    ap.add_argument("--exec-mem-mb", type=int, default=8192)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     rows = args.rows or max(2000, int(ROWS_PER_SF * sf_of(args.sf_dir)))
+    if args.scaling and args.rows is None:
+        # scaling evidence needs compute >> fixed job overhead: a 120k-row
+        # encode is ~1 s of zlib CPU vs ~3 s of scheduling/shuffle setup,
+        # which caps measurable speedup regardless of the engine. ~2.6 GB
+        # raw puts the low config at ~25 s where overhead is noise.
+        rows = max(rows, 1_200_000)
     if args.encode_only:
         result = run_encode_only(args.sf_dir, args.cpus, rows, master=args.master)
     elif args.scaling:
@@ -409,6 +422,7 @@ def main() -> None:
             rows,
             mode=args.scaling_mode,
             exec_cores=args.exec_cores,
+            exec_mem_mb=args.exec_mem_mb,
         )
     else:
         result = run_headline(args.sf_dir, args.cpus, rows)

@@ -13,6 +13,7 @@ from .ids import codec_name  # noqa: F401
 from .ints import decode_ints, encode_delta, encode_for, encode_int_best, encode_plain, encode_rle  # noqa: F401
 from .registry import (  # noqa: F401
     decode_any,
+    encode_bz2,
     encode_const,
     encode_nullable,
     encode_str_best_of,

@@ -17,6 +17,9 @@ STR_DICT = 0x11    # dictionary payload + integer codes payload
 STR_FSST = 0x12    # FSST symbol table + compressed concat + lengths
 ZLIB = 0x20        # zlib-wrapped inner payload (the reference's codec,
                    #   /root/reference/src/raster/band_encoder.cpp:190-203)
+BZ2 = 0x21         # bz2-wrapped inner payload — 900 KB block-sort window
+                   #   catches cross-row boilerplate repeats that zlib's
+                   #   32 KB window cannot; sample-gated (selector.py)
 NULLABLE = 0x30    # validity bitmap + inner payload of valid values only
 CONST = 0x31       # single repeated value (strings or ints)
 
@@ -29,6 +32,7 @@ NAMES = {
     STR_DICT: "dict",
     STR_FSST: "fsst",
     ZLIB: "zlib",
+    BZ2: "bz2",
     NULLABLE: "nullable",
     CONST: "const",
 }
@@ -42,6 +46,8 @@ def codec_name(payload: bytes) -> str:
     name = NAMES.get(tag, f"0x{tag:02x}")
     if tag == ZLIB:
         return "zlib"
+    if tag == BZ2:
+        return "bz2"
     if tag == NULLABLE:
         # nullable header: n varint + bitmap, then inner payload
         from .util import read_uvarint

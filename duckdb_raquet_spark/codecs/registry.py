@@ -188,6 +188,28 @@ def _decode_zlib(buf: bytes, pos: int):
     return decode_any(zlib.decompress(bytes(buf[pos:])))
 
 
+# ------------------------------------------------------------------- BZ2 ----
+
+
+def encode_bz2(inner: bytes, level: int | None = None) -> bytes:
+    """bz2 wrapper — the BWT block (level x 100 KB) catches cross-row
+    boilerplate repeats far beyond zlib's 32 KB match window, which is
+    what dominates webtext blocks (many rows share per-domain template
+    text). ~4x zlib CPU, so the selector sample-gates it; level defaults
+    to the payload size so the whole payload fits one BWT block."""
+    import bz2
+
+    if level is None:
+        level = min(9, max(1, len(inner) // 100_000 + 1))
+    return bytes([ids.BZ2]) + bz2.compress(inner, level)
+
+
+def _decode_bz2(buf: bytes, pos: int):
+    import bz2
+
+    return decode_any(bz2.decompress(bytes(buf[pos:])))
+
+
 # -------------------------------------------------------------- NULLABLE ----
 
 
@@ -251,6 +273,8 @@ def decode_any(buf: bytes):
         return _decode_const(buf, 1)
     if tag == ids.ZLIB:
         return _decode_zlib(buf, 1)
+    if tag == ids.BZ2:
+        return _decode_bz2(buf, 1)
     if tag == ids.NULLABLE:
         return _decode_nullable(buf, 1)
     raise ValueError(f"unknown codec tag 0x{tag:02x}")

@@ -33,6 +33,7 @@ from .encode import (
     SALT,
     blob_col,
     blocks_schema,
+    encode_block_arrow,
     encode_block_pdf,
     sort_cols_for,
     _data_path,
@@ -329,44 +330,117 @@ def transform_blocks(
     man: dict,
     row_filter,
     zlib_level: int = 6,
+    filter_cols: list[str] | None = None,
 ) -> DataFrame:
     """decode -> row mask -> re-encode, block-local (ST_MaskBandValues*
     analog, /root/reference/src/raster/st_value_mask.cpp:116-237 — the
     round-trip pattern that proves encode/decode are bit-exact inverses).
     ``row_filter(pdf) -> bool mask`` runs on the decoded block frame.
     Blocks left empty by the mask are dropped (empty-block elision,
-    read_raster.cpp:444-483)."""
+    read_raster.cpp:444-483).
+
+    ``filter_cols`` names the columns the predicate actually reads: only
+    those are materialized as pandas/Python objects; every other column
+    stays in Arrow buffers from decode through re-encode (a full pandas
+    round-trip of text/html payloads was ~5x the codec cost itself)."""
+    import pyarrow as pa
+
     columns = man["columns"]
     specs = [(c["name"], c["spark_type"], c["kind"]) for c in columns]
     col_specs = [(c["name"], c["kind"]) for c in columns]
     sort_cols = sort_cols_for(columns, man["url_col"], man["ts_col"])
     ts_col = man["ts_col"]
     schema = blocks_schema(columns)
+    fcols = list(filter_cols) if filter_cols else [n for n, _, _ in specs]
 
     def fn(batches):
         for pdf in batches:
             out_rows = []
             for r in pdf.itertuples(index=False):
                 n = int(r.n_rows)
-                data = {
-                    name: selector.decode_column(bytes(getattr(r, blob_col(name))), kind, n)
+                arrays = {
+                    name: selector.decode_column_arrow(
+                        bytes(getattr(r, blob_col(name))), kind, n
+                    )
                     for name, _, kind in specs
                 }
-                frame = pd.DataFrame(data)
+                frame = pd.DataFrame(
+                    {name: _arrow_to_pandas(arrays[name], kindmap[name]) for name in fcols}
+                )
                 mask = np.asarray(row_filter(frame), dtype=bool)
                 if not mask.any():
                     continue
-                sub = frame[mask].reset_index(drop=True)
+                tbl = pa.table({name: arrays[name] for name, _, _ in specs})
+                if not mask.all():
+                    tbl = tbl.filter(pa.array(mask))
                 out_rows.append(
-                    encode_block_pdf(
-                        sub, col_specs, sort_cols, zlib_level, int(r.block), int(r.salt), ts_col
+                    encode_block_arrow(
+                        tbl, col_specs, sort_cols, zlib_level, int(r.block), int(r.salt), ts_col
                     )
                 )
             if out_rows:
                 yield pd.DataFrame(out_rows)
 
+    kindmap = {c["name"]: c["kind"] for c in columns}
     needed = [BLOCK, SALT, "n_rows"] + [blob_col(n) for n, _, _ in specs]
-    return blocks.select(*needed).mapInPandas(fn, schema=schema)
+    src = blocks.select(*needed)
+    # the blocks table is compact on disk (few parquet files), so a
+    # file-split scan gives far fewer tasks than cores; re-encode is
+    # codec-bound CPU, so spread block rows across the cluster first
+    # (shuffling N KB payload rows is noise next to the codec work)
+    src = src.repartition(BLOCK, SALT)
+    return src.mapInPandas(fn, schema=schema)
+
+
+def _arrow_to_pandas(arr, kind: str):
+    """Arrow decode output -> the pandas view decode_column would give
+    (predicate semantics must not depend on which decode path ran)."""
+    import pyarrow as pa
+
+    if kind == selector.KIND_STRING:
+        return arr.cast(pa.large_string()).to_pandas()
+    if kind == selector.KIND_DOUBLE:
+        return arr.cast(pa.float64()).to_pandas()
+    if kind == selector.KIND_INT and arr.null_count:
+        # keep nullable ints integral (plain to_pandas would widen to
+        # float64 and lose >2^53 precision)
+        return arr.to_pandas(types_mapper={pa.int64(): pd.Int64Dtype()}.get)
+    return arr.to_pandas()
+
+
+def _masked_tri_state(
+    blocks: DataFrame, man: dict, row_filter, all_match, none_match,
+    filter_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tri-state mask execution: blocks whose per-block stats PROVE the
+    predicate for every row pass through with payloads untouched (no
+    decode, no re-encode — the precomputed-stats passthrough pattern,
+    /root/reference/src/raster/st_raster_stats.cpp:311-349); blocks
+    proven to match no row are dropped JVM-side; only the undecidable
+    remainder pays the Python decode->mask->re-encode path. At scale a
+    selective mask touches a small fraction of blocks, so this turns an
+    all-blocks Arrow round-trip into a metadata-only scan plus a narrow
+    transform. ``all_match``/``none_match`` must be *proofs* (Columns),
+    conservatively false when stats are absent."""
+    # coalesce both proofs: a NULL stats lookup must mean "unproven"
+    # (three-valued logic would otherwise drop the block from BOTH
+    # branches — where(NULL) is false on each side)
+    all_match = F.coalesce(all_match, F.lit(False))
+    none_match = F.coalesce(none_match, F.lit(False))
+    decided_all = all_match & ~none_match
+    undecided = ~(decided_all | none_match)
+    passthrough = blocks.where(decided_all)
+    worked = transform_blocks(
+        blocks.where(undecided), man, row_filter, filter_cols=filter_cols
+    )
+    return worked.unionByName(passthrough.select(*worked.columns))
+
+
+def _cat_covered(col: str):
+    """cat_counts[col] exists and covers every row (no nulls)."""
+    cc = F.col("cat_counts").getItem(col)
+    total = F.aggregate(F.map_values(cc), F.lit(0).cast("long"), lambda a, x: a + x)
+    return cc.isNotNull() & (total == F.col("n_rows"))
 
 
 def mask_values_in(
@@ -374,12 +448,50 @@ def mask_values_in(
 ) -> DataFrame:
     """Whitelist mask — ST_MaskBandValuesList analog (st_value_mask.cpp:116-172)."""
     allowed_set = set(allowed)
-    return transform_blocks(blocks, man, lambda pdf: pdf[col].isin(allowed_set).to_numpy())
+    lits = [F.lit(v) for v in allowed]
+    cc = F.col("cat_counts").getItem(col)
+    keys = F.map_keys(cc)
+    in_allowed = lambda k: k.isin(*lits) if lits else F.lit(False)  # noqa: E731
+    # every distinct value allowed AND no nulls -> whole block survives;
+    # no distinct value allowed -> nothing survives (nulls never match)
+    all_match = _cat_covered(col) & F.forall(keys, in_allowed)
+    none_match = cc.isNotNull() & ~F.exists(keys, in_allowed)
+    return _masked_tri_state(
+        blocks,
+        man,
+        lambda pdf: pdf[col].isin(allowed_set).to_numpy(),
+        all_match,
+        none_match,
+        filter_cols=[col],
+    )
 
 
 def mask_values_eq(blocks: DataFrame, man: dict, col: str, value) -> DataFrame:
     """Single-value mask — ST_MaskBandValuesEq analog (st_value_mask.cpp:239-280)."""
-    return transform_blocks(blocks, man, lambda pdf: (pdf[col] == value).fillna(False).to_numpy())
+    kind = next(c["kind"] for c in man["columns"] if c["name"] == col)
+    if kind in (selector.KIND_STRING, selector.KIND_BINARY):
+        return mask_values_in(blocks, man, col, [value])
+    if kind != selector.KIND_INT:
+        # num_stats store int64 *views* (epoch-us, IEEE bits) — the
+        # proof below would compare mixed units; decode instead
+        return transform_blocks(
+            blocks, man,
+            lambda pdf: (pdf[col] == value).fillna(False).to_numpy(),
+            filter_cols=[col],
+        )
+    ns = F.col("num_stats").getItem(col)
+    covered = ns.isNotNull() & (ns["cnt"] == F.col("n_rows"))
+    v = F.lit(value)
+    all_match = covered & (ns["min"] == v) & (ns["max"] == v)
+    none_match = ns.isNotNull() & ((v < ns["min"]) | (v > ns["max"]))
+    return _masked_tri_state(
+        blocks,
+        man,
+        lambda pdf: (pdf[col] == value).fillna(False).to_numpy(),
+        all_match,
+        none_match,
+        filter_cols=[col],
+    )
 
 
 def mask_values_range(
@@ -396,4 +508,19 @@ def mask_values_range(
             m &= (pdf[col] <= high).fillna(False).to_numpy()
         return m
 
-    return transform_blocks(blocks, man, pred)
+    kind = next(c["kind"] for c in man["columns"] if c["name"] == col)
+    if kind != selector.KIND_INT:
+        return transform_blocks(blocks, man, pred, filter_cols=[col])
+    ns = F.col("num_stats").getItem(col)
+    covered = ns.isNotNull() & (ns["cnt"] == F.col("n_rows"))
+    all_match = covered
+    none_match = F.lit(False)
+    if low is not None:
+        all_match = all_match & (ns["min"] >= F.lit(low))
+        none_match = none_match | (ns.isNotNull() & (ns["max"] < F.lit(low)))
+    if high is not None:
+        all_match = all_match & (ns["max"] <= F.lit(high))
+        none_match = none_match | (ns.isNotNull() & (ns["min"] > F.lit(high)))
+    return _masked_tri_state(
+        blocks, man, pred, all_match, none_match, filter_cols=[col]
+    )

@@ -37,6 +37,12 @@ KIND_DOUBLE = "double"
 FSST_MAX_BYTES = 1 << 22
 FSST_MAX_AVG_LEN = 512
 
+# bz2 candidate gate: only payloads big enough that its BWT window can
+# beat zlib's 32 KB horizon, and only when sampled slices predict a win
+# large enough to pay bz2's ~4x-zlib CPU cost
+BZ2_MIN_BYTES = 1 << 17
+BZ2_MIN_GAIN = 0.08
+
 
 def kind_of_spark_type(dt: str) -> str:
     dt = dt.lower()
@@ -53,6 +59,15 @@ def kind_of_spark_type(dt: str) -> str:
     raise ValueError(f"unsupported column type for encoding: {dt}")
 
 
+def _sample_slices(data: bytes, k: int = 3, each: int = 1 << 15) -> bytes:
+    """k spread slices of the payload (head/mid/tail for k=3) — cheap,
+    position-diverse sample for codec-ratio extrapolation."""
+    if len(data) <= k * each:
+        return data
+    step = (len(data) - each) // (k - 1)
+    return b"".join(data[i * step : i * step + each] for i in range(k))
+
+
 def encode_str_auto(arr: pa.Array, zlib_level: int = 6) -> bytes:
     """Measured best-of over stats-gated string candidates."""
     st = stats_mod.str_column_stats(arr)
@@ -67,6 +82,21 @@ def encode_str_auto(arr: pa.Array, zlib_level: int = 6) -> bytes:
     plain = registry.encode_str_plain(arr)
     cands.append(plain)
     cands.append(registry.encode_zlib(plain, zlib_level))
+    if n and st["data_bytes"] >= BZ2_MIN_BYTES:
+        # estimate-then-commit (same policy as FSST below): compress
+        # three spread slices with both codecs, run the full bz2 encode
+        # only when the sampled ratio projects a >=BZ2_MIN_GAIN win over
+        # the best candidate so far
+        import zlib as _zlib
+
+        best = min(len(c) for c in cands)
+        _, data = registry.str_parts(arr)
+        sample = _sample_slices(data)
+        zr = len(_zlib.compress(sample, zlib_level)) / max(1, len(sample))
+        br = len(registry.encode_bz2(sample)) / max(1, len(sample))
+        est = br / max(zr, 1e-9) * best
+        if est < best * (1.0 - BZ2_MIN_GAIN):
+            cands.append(registry.encode_bz2(plain))
     if n and st["distinct_frac"] <= 0.6:
         cands.append(registry.encode_str_dict(arr))
     if (

@@ -151,6 +151,38 @@ def test_zlib_wrapper_is_reference_codec():
     assert decode_any(buf).equals(arr)
 
 
+def test_bz2_wrapper_round_trip():
+    import bz2 as _bz2
+
+    from duckdb_raquet_spark.codecs import encode_bz2
+
+    arr = bins([b"per-domain template text, repeated " * 30] * 40)
+    buf = encode_bz2(encode_str_plain(arr))
+    assert buf[0] == ids.BZ2
+    assert _bz2.decompress(buf[1:])[0] == ids.STR_PLAIN
+    assert decode_any(buf).equals(arr)
+
+
+def test_bz2_gate_picks_bz2_on_big_boilerplate_payloads():
+    """Blocks of webtext with cross-row template repeats beyond zlib's
+    32 KB window: the selector's sampled estimate must commit to bz2 and
+    the chosen payload must beat the zlib baseline."""
+    from duckdb_raquet_spark import selector
+
+    rng = np.random.default_rng(42)
+    words = [f"w{i}" for i in range(4000)]
+    rows = []
+    for i in range(400):
+        body = " ".join(words[j % 4000] for j in rng.integers(0, 4000, 120))
+        rows.append((f"welcome to d{i % 7:04d} official page terms privacy " + body).encode())
+    arr = bins(rows)
+    payload = selector.encode_str_auto(arr)
+    assert payload[0] == ids.BZ2
+    baseline = encode_zlib(encode_str_plain(arr))
+    assert len(payload) < len(baseline)
+    assert decode_any(payload).equals(arr)
+
+
 # ---------------------------------------------------------------- fsst ----
 
 
