@@ -47,7 +47,8 @@ def make_spark(cpus: int, master: str | None = None):
     from pyspark.sql import SparkSession
 
     builder = SparkSession.builder.master(master or f"local[{cpus}]")
-    if master and master.startswith("local-cluster"):
+    is_cluster = bool(master and master.startswith("local-cluster"))
+    if is_cluster:
         # the mem field in local-cluster[n,cores,mem] is only the worker's
         # advertised capacity; executor JVMs still launch at the
         # spark.executor.memory default (1g) unless set explicitly
@@ -56,17 +57,22 @@ def make_spark(cpus: int, master: str | None = None):
     spark = (
         builder.appName(f"raquet-bench-{cpus}")
         .config("spark.driver.memory", "20g")
-        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 16)))
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(max(int(os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "2")) * cpus, 16)),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         # keep Python-heavy encode stages at full width: coalescing tiny
         # Arrow-shuffle partitions starves cores, not the network here
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         # local-mode shuffle via tmpfs, uncompressed (page-cached either
-        # way; on a real cluster keep compression for the network)
+        # way); local-cluster keeps lz4 on — separate JVMs really move the
+        # bytes through disk files, and ~3x less shuffle I/O beats the
+        # small lz4 CPU cost
         .config("spark.local.dir", "/dev/shm/raquet_spark_local")
-        .config("spark.shuffle.compress", "false")
-        .config("spark.shuffle.spill.compress", "false")
+        .config("spark.shuffle.compress", str(is_cluster).lower())
+        .config("spark.shuffle.spill.compress", str(is_cluster).lower())
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -210,6 +216,11 @@ def run_encode_only(
     walls = []
     man = None
     for _ in range(reps):
+        # JVM GC fires the ContextCleaner, which drops the previous rep's
+        # shuffle files — otherwise they pile up in the (RAM-backed) local
+        # dirs across reps and later reps measure memory pressure, not
+        # the job
+        spark.sparkContext._jvm.System.gc()
         wall, man = encode_run(spark, input_path, rows, f"c{cpus}", ts_range)
         walls.append(wall)
     wall = min(walls)
@@ -233,7 +244,7 @@ def run_scaling(
     hi: int,
     rows: int,
     mode: str = "executors",
-    exec_cores: int = 4,
+    exec_cores: int = 2,
     exec_mem_mb: int = 8192,
 ) -> dict:
     """Same job, same on-disk input, two cluster sizes in separate JVMs
@@ -280,12 +291,23 @@ def run_scaling(
         ]
         if master:
             cmd += ["--master", master]
+        env = dict(os.environ)
+        if mode == "executors":
+            # standalone workers hand executors SPARK_LOCAL_DIRS, not the
+            # driver's spark.local.dir — without this, shuffle files land
+            # on the (virtualized, slow) /tmp disk and the I/O floor eats
+            # the speedup the extra executors should deliver; bench
+            # inputs/outputs go to tmpfs for the same reason (identical
+            # for both cluster sizes, so the comparison stays fair)
+            env["SPARK_LOCAL_DIRS"] = "/dev/shm/raquet_spark_local"
+            env.setdefault("SPARK_GRAFT_TMP", "/dev/shm/raquet_bench")
         proc = subprocess.run(
             cmd,
             capture_output=True,
             text=True,
             check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
+            env=env,
         )
         results[tag] = json.loads(proc.stdout.strip().splitlines()[-1])
     tags = list(results)
@@ -397,7 +419,14 @@ def main() -> None:
     ap.add_argument(
         "--scaling-mode", choices=("executors", "threads"), default="executors"
     )
-    ap.add_argument("--exec-cores", type=int, default=4)
+    # 2 cores/executor: the high config (8 executors x 2 = 16 task slots)
+    # leaves half the 32-core box for the 8 JVMs' Arrow-IPC/shuffle/GC
+    # service threads — with zero headroom those threads starve the
+    # Python workers and the measurement reads as poor engine scaling
+    # (real clusters size executor cores below node vCPUs for the same
+    # reason, and on separate nodes the service threads don't even share
+    # the bus with other executors)
+    ap.add_argument("--exec-cores", type=int, default=2)
     ap.add_argument("--exec-mem-mb", type=int, default=8192)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()

@@ -415,22 +415,33 @@ def _append_manifest_row(
     target: str | None = None,
     mode: str = "append",
 ) -> None:
-    # built JVM-side (spark.range + literals): a python-parallelized
-    # 1-row DataFrame pays seconds of Python-RDD write overhead per job
-    schema = blocks_schema(columns)
+    # written driver-side with pyarrow into the committed data dir: a
+    # 1-row DataFrame write costs a whole Spark job (scheduling + commit
+    # protocol), measurable against the encode wall at cluster sizes.
+    # Local-filesystem paths only (this sandbox); an object-store deploy
+    # would route the same bytes through the Hadoop FileSystem API.
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    dest = target or _data_path(path)
+    if mode == "overwrite":
+        shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+    arrow_schema = to_arrow_schema(blocks_schema(columns))
     values = {
-        BLOCK: F.lit(bk.MANIFEST_BLOCK).cast("long"),
-        SALT: F.lit(0).cast("int"),
-        "n_rows": F.lit(0).cast("long"),
-        "metadata": F.lit(mf.to_json(man)),
+        BLOCK: bk.MANIFEST_BLOCK,
+        SALT: 0,
+        "n_rows": 0,
+        "metadata": mf.to_json(man),
     }
-    cols = [
-        values.get(f.name, F.lit(None).cast(f.dataType)).alias(f.name)
-        for f in schema.fields
-    ]
-    spark.range(1).select(*cols).coalesce(1).write.mode(mode).parquet(
-        target or _data_path(path)
+    tbl = pa.table(
+        {f.name: [values.get(f.name)] for f in arrow_schema},
+        schema=arrow_schema,
     )
+    pq.write_table(tbl, os.path.join(dest, "part-manifest-row.parquet"))
 
 
 def write_blocks(

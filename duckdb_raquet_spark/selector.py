@@ -69,59 +69,77 @@ def _sample_slices(data: bytes, k: int = 3, each: int = 1 << 15) -> bytes:
 
 
 def encode_str_auto(arr: pa.Array, zlib_level: int = 6) -> bytes:
-    """Measured best-of over stats-gated string candidates."""
+    """Measured best-of over stats-gated string candidates.
+
+    Structured to minimize bytes *moved*, not just bytes produced: the
+    column's data never leaves its Arrow buffer (``str_parts_view`` +
+    streaming compressors), the plain payload is materialized only if it
+    actually wins, and a full zlib pass is skipped when a committed bz2
+    payload already beats zlib's sampled estimate by a wide margin. On
+    bandwidth-starved hosts the redundant copies/passes were the part of
+    the kernel that stopped scaling with cores — the codecs themselves
+    (BWT/deflate over block-sized payloads) are cache-resident."""
+    import zlib as _zlib
+
     st = stats_mod.str_column_stats(arr)
     n = st["n"]
-    cands: list[bytes] = []
     if n and st["distinct"] == 1 and st["distinct_frac"] <= 1.0:
         # verify exactness cheaply: dict probe below covers false positives
         import pyarrow.compute as pc
 
         if pc.count_distinct(arr).as_py() == 1:
             return registry.encode_const(arr[0].as_py(), n)
-    plain = registry.encode_str_plain(arr)
-    cands.append(plain)
-    cands.append(registry.encode_zlib(plain, zlib_level))
-    if n and st["data_bytes"] >= BZ2_MIN_BYTES:
-        # estimate-then-commit (same policy as FSST below): compress
-        # three spread slices with both codecs, run the full bz2 encode
-        # only when the sampled ratio projects a >=BZ2_MIN_GAIN win over
-        # the best candidate so far
-        import zlib as _zlib
+    arr = registry._canonical(arr)
+    lengths, data = registry.str_parts_view(arr)
+    head = registry.plain_header(n, lengths)
+    plain_size = len(head) + len(data)
+    cands: list[bytes] = []
 
-        best = min(len(c) for c in cands)
-        _, data = registry.str_parts(arr)
+    zlib_est = None
+    if n and st["data_bytes"] >= BZ2_MIN_BYTES:
+        # estimate-then-commit: compress three spread slices with both
+        # codecs; run the full bz2 encode only when the sampled ratio
+        # projects a >=BZ2_MIN_GAIN win over zlib
         sample = _sample_slices(data)
         zr = len(_zlib.compress(sample, zlib_level)) / max(1, len(sample))
-        br = len(registry.encode_bz2(sample)) / max(1, len(sample))
-        est = br / max(zr, 1e-9) * best
-        if est < best * (1.0 - BZ2_MIN_GAIN):
-            cands.append(registry.encode_bz2(plain))
+        br = len(registry.encode_bz2(bytes(sample))) / max(1, len(sample))
+        zlib_est = zr * plain_size
+        if br < zr * (1.0 - BZ2_MIN_GAIN):
+            cands.append(registry.encode_bz2_stream(head, data))
+    # the zlib baseline pass is skipped only when a committed bz2 payload
+    # is already well under zlib's sampled estimate (0.85x covers the
+    # estimate's error band); the "chosen <= reference codec" guarantee
+    # needs zlib's actual size everywhere else
+    if not (cands and zlib_est is not None and len(cands[0]) <= 0.85 * zlib_est):
+        cands.append(registry.encode_zlib_stream(head, data, zlib_level))
     if n and st["distinct_frac"] <= 0.6:
         cands.append(registry.encode_str_dict(arr))
+    best = min((len(c) for c in cands), default=plain_size)
     if (
         n
         and st["data_bytes"] <= FSST_MAX_BYTES
         and st["avg_len"] <= FSST_MAX_AVG_LEN
         and st["entropy"] <= 6.5
         and st["distinct_frac"] > 0.05  # low-cardinality is dict's job
+        and best > 0.25 * st["data_bytes"]  # >4:1 already: FSST can't win
     ):
         # estimate-then-commit: train on the bounded sample, compress
         # only the sample, extrapolate. The full FSST encode (regex scan
         # over all bytes) runs only when the estimate can actually beat
         # the best candidate so far — the wasted-candidate cost was ~40%
         # of encode time before this gate.
-        best = min(len(c) for c in cands)
         from .codecs import fsst as fsst_mod
 
-        _, data = registry.str_parts(arr)
-        sample = fsst_mod.sample_of(data)
-        table = fsst_mod.build_table(data)
+        data_b = bytes(data)
+        sample = fsst_mod.sample_of(data_b)
+        table = fsst_mod.build_table(data_b)
         if table and sample:
             ratio = len(fsst_mod.compress(sample, table)) / len(sample)
             est = ratio * st["data_bytes"] + len(fsst_mod.serialize_table(table)) + n
             if est < best * 1.05:
                 cands.append(registry.encode_str_fsst(arr, table=table))
+    if not cands or plain_size < min(len(c) for c in cands):
+        cands.append(head + bytes(data))
     return min(cands, key=len)
 
 
