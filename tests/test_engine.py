@@ -185,3 +185,47 @@ def test_decode_only_requested_columns_plan(spark, table):
     # only the lang payload is read; text/html blobs are pruned
     assert "lang_blob" in plan
     assert "text_blob" not in plan.split("ReadSchema")[-1]
+
+
+def test_mask_tri_state_passthrough_and_drop(spark):
+    """Blocks whose stats PROVE the mask (single-lang table: every block's
+    cat_counts covers all rows) must take the decode-free passthrough /
+    JVM-side drop branches and still produce exactly the brute-force
+    result (st_raster_stats.cpp:311-349 passthrough semantics)."""
+    path = "/tmp/raquet_test_tristate"
+    shutil.rmtree(path, ignore_errors=True)
+    rows = [
+        (f"https://c{i % 7:02d}.example.org/d/{i}",
+         datetime.datetime(2024, 1, 1 + i % 20),
+         f"body text {i} " * 5,
+         "en",
+         100 + (i % 50))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string, n int"
+    )
+    encode.encode_to_path(spark, df, path, target_rows_per_block=64, resolution=3)
+    man = scan.read_manifest(spark, path)
+    blocks = scan.read_blocks(spark, path)
+
+    # all-match proof -> passthrough: every row survives, text bit-exact
+    kept = scan.mask_values_in(blocks, man, "lang", ["en", "de"])
+    dec = scan.decode_blocks(kept, man, ["url", "text"])
+    assert dec.count() == 600
+    assert dec.exceptAll(df.select("url", "text")).count() == 0
+
+    # none-match proof -> JVM-side drop, no decode work at all
+    assert scan.mask_values_in(blocks, man, "lang", ["fr"]).count() == 0
+
+    # int num_stats proofs: n in [100, 149] everywhere
+    assert scan.mask_values_range(blocks, man, "n", low=0, high=500).count() == \
+        blocks.count()  # all blocks pass through whole
+    assert scan.mask_values_range(blocks, man, "n", low=1000).count() == 0
+    # eq with value outside [min,max] everywhere -> none-match drop
+    assert scan.mask_values_eq(blocks, man, "n", 99).count() == 0
+    # undecidable eq goes through decode and matches brute force
+    got = scan.decode_blocks(
+        scan.mask_values_eq(blocks, man, "n", 117), man, ["url", "n"]
+    )
+    assert got.count() == df.where(F.col("n") == 117).count()
