@@ -386,6 +386,17 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
     for name in ("dedup_minhash", "ann_topk", "txt_quality", "agg_lineitem_pricing"):
         timed(timings, name, lambda n=name: force(qs[n](spark, sf_dir)))
 
+    # at-scale throughput: the sf-sized encode above is fixed-overhead
+    # dominated (a 260 MB job spends ~40% of its wall in job setup and
+    # commit); one 2.6 GB run reports what the engine actually sustains
+    big_rows = 1_200_000
+    big_gbps = None
+    if rows < big_rows:
+        big_input, big_ts = prepare_input(spark, big_rows)
+        big_wall, big_man = encode_run(spark, big_input, big_rows, "big", big_ts)
+        big_gbps = round(big_man["raw_bytes"] / big_wall / 1e9, 4)
+        timings["encode_2p6gb"] = round(big_wall, 4)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline suite wall time (encode + read path + pipelines)",
@@ -402,6 +413,8 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "gzip_baseline_bytes": gz,
         "vs_gzip_baseline": round(enc / gz, 4),  # <1.0 = smaller than reference codec
     }
+    if big_gbps is not None:
+        out["encode_gbps_at_2p6gb"] = big_gbps
     spark.stop()
     return out
 
