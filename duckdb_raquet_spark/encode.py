@@ -151,11 +151,14 @@ def encode_block_arrow(
     raw_total = 0
     enc_total = 0
     ts_min = ts_max = None
-    for name, kind in col_specs:
+    for name, kind, *rest in col_specs:
+        force = rest[0] if rest else None
         col = tbl[name]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        payload, cname, cstats = selector.encode_column_arrow(col, kind, zlib_level)
+        payload, cname, cstats = selector.encode_column_arrow(
+            col, kind, zlib_level, force=force
+        )
         row[blob_col(name)] = payload
         codecs[name] = cname
         raw_total += cstats["raw_bytes"]
@@ -207,7 +210,7 @@ def _pdf_to_arrow(pdf: pd.DataFrame, col_specs: list[tuple[str, str]]) -> "pa.Ta
     mask/transform path decodes to pandas; this keeps its re-encode
     bit-consistent with the batch Arrow path)."""
     arrays, names = [], []
-    for name, kind in col_specs:
+    for name, kind, *_ in col_specs:
         s = pdf[name]
         if kind == selector.KIND_STRING:
             arrays.append(pa.array(s, type=pa.large_string()))
@@ -249,7 +252,7 @@ def make_encode_fn(columns: list[dict], url_col: str, ts_col: str | None, zlib_l
     object materialization, which dominated memory traffic and capped
     multi-core scaling), one block row goes back as a 1-row pa.Table."""
 
-    col_specs = [(c["name"], c["kind"]) for c in columns]
+    col_specs = [(c["name"], c["kind"], c.get("codec")) for c in columns]
     sort_cols = sort_cols_for(columns, url_col, ts_col)
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -284,6 +287,7 @@ def encode_table(
     zlib_level: int = 6,
     chunk: tuple[int, int] | None = None,
     num_partitions: int | None = None,
+    codec_overrides: dict[str, str] | None = None,
 ) -> tuple[DataFrame, dict]:
     """Lazy encode plan: input rows -> one row per (block, salt).
 
@@ -302,6 +306,18 @@ def encode_table(
     names = {c["name"] for c in columns}
     if url_col not in names:
         raise ValueError(f"url_col {url_col!r} not in {sorted(names)}")
+    if codec_overrides:
+        # explicit per-column codec, the reference encoder's `compression`
+        # parameter re-expressed per column (read_raster named param,
+        # /root/reference/src/raster/read_raster.cpp:733-1100); recorded
+        # in the manifest so mask/streaming re-encodes honor it too
+        unknown = set(codec_overrides) - names
+        if unknown:
+            raise ValueError(f"codec_overrides for unknown columns {sorted(unknown)}")
+        for c in columns:
+            if c["name"] in codec_overrides:
+                selector.validate_override(c["kind"], codec_overrides[c["name"]])
+                c["codec"] = codec_overrides[c["name"]]
     if ts_col is not None and ts_col not in names:
         ts_col = None
     if est_rows is None:

@@ -347,7 +347,7 @@ def transform_blocks(
 
     columns = man["columns"]
     specs = [(c["name"], c["spark_type"], c["kind"]) for c in columns]
-    col_specs = [(c["name"], c["kind"]) for c in columns]
+    col_specs = [(c["name"], c["kind"], c.get("codec")) for c in columns]
     sort_cols = sort_cols_for(columns, man["url_col"], man["ts_col"])
     ts_col = man["ts_col"]
     schema = blocks_schema(columns)

@@ -68,8 +68,14 @@ def _sample_slices(data: bytes, k: int = 3, each: int = 1 << 15) -> bytes:
     return b"".join(data[i * step : i * step + each] for i in range(k))
 
 
-def encode_str_auto(arr: pa.Array, zlib_level: int = 6) -> bytes:
+def encode_str_auto(
+    arr: pa.Array, zlib_level: int = 6, force: str | None = None
+) -> bytes:
     """Measured best-of over stats-gated string candidates.
+
+    ``force`` pins one codec (user per-column override — the reference
+    encoder's explicit `compression` parameter) instead of the measured
+    race; the payload still round-trips through the same tagged decode.
 
     Structured to minimize bytes *moved*, not just bytes produced: the
     column's data never leaves its Arrow buffer (``str_parts_view`` +
@@ -80,6 +86,22 @@ def encode_str_auto(arr: pa.Array, zlib_level: int = 6) -> bytes:
     the kernel that stopped scaling with cores — the codecs themselves
     (BWT/deflate over block-sized payloads) are cache-resident."""
     import zlib as _zlib
+
+    if force is not None:
+        arr = registry._canonical(arr)
+        if force == "dict":
+            return registry.encode_str_dict(arr)
+        if force == "fsst":
+            return registry.encode_str_fsst(arr)
+        lengths, data = registry.str_parts_view(arr)
+        head = registry.plain_header(len(arr), lengths)
+        if force == "plain":
+            return head + bytes(data)
+        if force == "zlib":
+            return registry.encode_zlib_stream(head, data, zlib_level)
+        if force == "bz2":
+            return registry.encode_bz2_stream(head, data)
+        raise ValueError(f"unknown forced codec {force!r}")
 
     st = stats_mod.str_column_stats(arr)
     n = st["n"]
@@ -143,7 +165,11 @@ def encode_str_auto(arr: pa.Array, zlib_level: int = 6) -> bytes:
     return min(cands, key=len)
 
 
-def encode_int_auto(values: np.ndarray, zlib_level: int = 6) -> bytes:
+def encode_int_auto(
+    values: np.ndarray, zlib_level: int = 6, force: str | None = None
+) -> bytes:
+    if force == "plain":
+        return ints.encode_plain(values)
     st = stats_mod.int_column_stats(values)
     try_rle = st["run_frac"] >= 0.3
     best = ints.encode_int_best(values, try_rle=try_rle)
@@ -164,8 +190,23 @@ def _as_large_binary(arr: pa.Array) -> pa.Array:
     return arr.cast(pa.large_binary())
 
 
+VALID_STR_OVERRIDES = ("plain", "zlib", "bz2", "dict", "fsst")
+VALID_NUM_OVERRIDES = ("plain", "auto")
+
+
+def validate_override(kind: str, codec: str) -> None:
+    """Reject a per-column codec override the kind cannot honor."""
+    ok = (
+        VALID_STR_OVERRIDES if kind in (KIND_STRING, KIND_BINARY)
+        else VALID_NUM_OVERRIDES
+    )
+    if codec not in ok:
+        raise ValueError(f"codec {codec!r} not valid for {kind} columns (one of {ok})")
+
+
 def encode_column_arrow(
-    arr: pa.Array | pa.ChunkedArray, kind: str, zlib_level: int = 6
+    arr: pa.Array | pa.ChunkedArray, kind: str, zlib_level: int = 6,
+    force: str | None = None,
 ) -> tuple[bytes, str, dict]:
     """Encode one Arrow column of a block -> (payload, codec name, stats).
 
@@ -181,10 +222,10 @@ def encode_column_arrow(
         arr = _as_large_binary(arr)
         if arr.null_count:
             validity = arr.is_valid().to_numpy(zero_copy_only=False)
-            inner = encode_str_auto(arr.drop_null(), zlib_level)
+            inner = encode_str_auto(arr.drop_null(), zlib_level, force=force)
             payload = registry.encode_nullable(validity, inner)
         else:
-            payload = encode_str_auto(arr, zlib_level)
+            payload = encode_str_auto(arr, zlib_level, force=force)
         raw = int(pa.compute.sum(pa.compute.binary_length(arr)).as_py() or 0)
     elif kind == KIND_DOUBLE:
         # doubles: raw IEEE-754 bit patterns (bijective int64 view);
@@ -194,7 +235,7 @@ def encode_column_arrow(
             arr.to_numpy(zero_copy_only=False).astype(np.float64)
         )
         raw = 8 * n
-        payload = encode_int_auto(vals.view(np.int64), zlib_level)
+        payload = encode_int_auto(vals.view(np.int64), zlib_level, force=force)
     else:
         if kind == KIND_TIMESTAMP:
             arr = arr.cast(pa.timestamp("us")).cast(pa.int64())
@@ -206,13 +247,13 @@ def encode_column_arrow(
             vals64 = np.ascontiguousarray(
                 arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
             )
-            inner = encode_int_auto(vals64[validity], zlib_level)
+            inner = encode_int_auto(vals64[validity], zlib_level, force=force)
             payload = registry.encode_nullable(validity, inner)
         else:
             vals64 = np.ascontiguousarray(
                 arr.to_numpy(zero_copy_only=False).astype(np.int64)
             )
-            payload = encode_int_auto(vals64, zlib_level)
+            payload = encode_int_auto(vals64, zlib_level, force=force)
     return payload, codec_name(payload), {"raw_bytes": raw, "enc_bytes": len(payload)}
 
 

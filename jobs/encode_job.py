@@ -42,6 +42,15 @@ def main() -> None:
     ap.add_argument("--target-rows-per-block", type=int, default=65536)
     ap.add_argument("--zlib-level", type=int, default=6)
     ap.add_argument(
+        "--codec",
+        action="append",
+        default=[],
+        metavar="COL=CODEC",
+        help="pin a column's codec (plain|zlib|bz2|dict|fsst; numeric: "
+        "plain|auto) instead of auto-selection — the reference encoder's "
+        "`compression` parameter, per column; repeatable",
+    )
+    ap.add_argument(
         "--synth-rows",
         type=int,
         default=0,
@@ -76,6 +85,7 @@ def main() -> None:
         est_rows=est,
         target_rows_per_block=args.target_rows_per_block,
         zlib_level=args.zlib_level,
+        codec_overrides=dict(kv.split("=", 1) for kv in args.codec) or None,
     )
     summary = {
         k: man[k]

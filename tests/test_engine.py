@@ -229,3 +229,41 @@ def test_mask_tri_state_passthrough_and_drop(spark):
         scan.mask_values_eq(blocks, man, "n", 117), man, ["url", "n"]
     )
     assert got.count() == df.where(F.col("n") == 117).count()
+
+
+def test_codec_overrides_round_trip(spark):
+    """Per-column codec pinning (the reference encoder's `compression`
+    parameter, read_raster.cpp:733-1100): the override is recorded in the
+    manifest, every block honors it, re-encode paths keep honoring it,
+    and decode stays bit-exact."""
+    path = "/tmp/raquet_test_overrides"
+    shutil.rmtree(path, ignore_errors=True)
+    df = synth.synth_webtext(spark, 500, num_partitions=2)
+    final = encode.encode_to_path(
+        spark, df, path, target_rows_per_block=128, resolution=3,
+        codec_overrides={"text": "zlib", "url": "fsst", "lang": "dict"},
+    )
+    hist = final["codec_histogram"]
+    assert set(hist["text"]) <= {"zlib", "nullable(zlib)"}
+    assert set(hist["url"]) <= {"fsst", "nullable(fsst)"}
+    assert set(hist["lang"]) <= {"dict", "nullable(dict)"}
+    man = scan.read_manifest(spark, path)
+    assert {c["name"]: c.get("codec") for c in man["columns"]}["text"] == "zlib"
+    blocks = scan.read_blocks(spark, path)
+    dec = scan.decode_blocks(blocks, man, ["url", "text"])
+    assert dec.exceptAll(df.select("url", "text")).count() == 0
+    # transform (mask) re-encode inherits the pinned codecs via the manifest
+    masked = scan.mask_values_in(blocks, man, "lang", ["en", "de"])
+    got = scan.decode_blocks(masked, man, ["url", "lang"])
+    want = df.where(F.col("lang").isin("en", "de"))
+    assert got.count() == want.count()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        encode.encode_to_path(
+            spark, df, path + "_bad", codec_overrides={"text": "jpeg"}
+        )
+    with _pytest.raises(ValueError):
+        encode.encode_to_path(
+            spark, df, path + "_bad2", codec_overrides={"nope": "zlib"}
+        )
