@@ -93,6 +93,26 @@ def q_rt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.decode_blocks(blocks, man, ["doc_id", "text", "lang"])
 
 
+def q_rt_pinned_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip with per-column codec pinning (the reference encoder's
+    explicit `compression` parameter, read_raster.cpp:733-1100): text
+    forced to zlib, lang to dict — decode must still be bit-exact."""
+    df = _webtext(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/raquet_entry_pinned_{tag}_v{drs.__version__}"
+    try:
+        man = scan.read_manifest(spark, path)
+        if man.get("engine") != f"duckdb_raquet_spark/{drs.__version__}":
+            raise ValueError
+    except Exception:
+        man = encode.encode_to_path(
+            spark, df, path, target_rows_per_block=512,
+            codec_overrides={"text": "zlib", "lang": "dict"},
+        )
+    blocks = scan.read_blocks(spark, path)
+    return scan.decode_blocks(blocks, man, ["doc_id", "text", "lang"])
+
+
 def q_rt_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, man = _encoded(spark, sf_dir)
     url = "https://src3.example.com/doc/123"
@@ -394,6 +414,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rt_roundtrip": q_rt_roundtrip,
+        "rt_pinned_codecs": q_rt_pinned_codecs,
         "rt_point_lookup": q_rt_point_lookup,
         "rt_range_scan": q_rt_range_scan,
         "rt_summary_stats": q_rt_summary_stats,
@@ -470,6 +491,7 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
 def oracle_sql() -> dict[str, str]:
     return {
         "rt_roundtrip": "SELECT doc_id, text, lang FROM documents",
+        "rt_pinned_codecs": "SELECT doc_id, text, lang FROM documents",
         "rt_point_lookup": "SELECT doc_id, text FROM documents WHERE doc_id = 123",
         "rt_range_scan": f"""
             SELECT doc_id, ({EPOCH0} + doc_id * 60) AS ts_epoch FROM documents
