@@ -267,3 +267,38 @@ def test_codec_overrides_round_trip(spark):
         encode.encode_to_path(
             spark, df, path + "_bad2", codec_overrides={"nope": "zlib"}
         )
+
+
+def test_numeric_kinds_round_trip_bit_exact(spark):
+    """double (NaN/±inf/-0.0 bit patterns) and nullable int columns
+    survive encode->decode bit-exactly (the engine's IEEE-754-bits-as-
+    int64 bijective view; reference dtype-edge care at
+    raquet_metadata.hpp:180-206)."""
+    import math
+
+    path = "/tmp/raquet_test_numeric"
+    shutil.rmtree(path, ignore_errors=True)
+    vals = [1.5, -0.0, 0.0, float("inf"), float("-inf"), float("nan"), 3.14159, 2.0**-1049]
+    rows = [
+        (f"https://n.example.org/{i}",
+         datetime.datetime(2024, 2, 1 + i % 10),
+         vals[i % len(vals)],
+         None if i % 7 == 0 else i * 1_000_000_007)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, score double, big bigint"
+    )
+    encode.encode_to_path(spark, df, path, target_rows_per_block=64, resolution=3)
+    man = scan.read_manifest(spark, path)
+    dec = scan.decode_blocks(scan.read_blocks(spark, path), man, ["url", "score", "big"])
+    got = {r["url"]: (r["score"], r["big"]) for r in dec.collect()}
+    assert len(got) == 400
+    for r in rows:
+        s, b = got[r[0]]
+        want = r[2]
+        if math.isnan(want):
+            assert math.isnan(s)
+        else:
+            assert s == want and math.copysign(1, s) == math.copysign(1, want)
+        assert b == r[3]
