@@ -429,10 +429,23 @@ def _masked_tri_state(
     none_match = F.coalesce(none_match, F.lit(False))
     decided_all = all_match & ~none_match
     undecided = ~(decided_all | none_match)
+    # cheap narrow pre-count (stats columns only): a branch that would be
+    # empty still costs a full-width scan of every payload column inside
+    # the union, so skip empty branches outright
+    cnt = blocks.agg(
+        F.sum(decided_all.cast("long")).alias("n_pass"),
+        F.sum(undecided.cast("long")).alias("n_work"),
+    ).first()
+    n_pass, n_work = int(cnt["n_pass"] or 0), int(cnt["n_work"] or 0)
     passthrough = blocks.where(decided_all)
+    if n_work == 0:
+        cols = [f.name for f in blocks_schema(man["columns"]).fields]
+        return passthrough.select(*cols)
     worked = transform_blocks(
         blocks.where(undecided), man, row_filter, filter_cols=filter_cols
     )
+    if n_pass == 0:
+        return worked
     return worked.unionByName(passthrough.select(*worked.columns))
 
 
