@@ -22,6 +22,7 @@ from duckdb_raquet_spark.functions import dedup, similarity, text as textfn
 
 EPOCH0 = 1704067200  # 2024-01-01 UTC
 _STOPWORDS = textfn.STOPWORDS_EN
+_LANG_PROFILES = textfn.LANG_PROFILES
 
 # ------------------------------------------------------------- fixtures ----
 
@@ -55,13 +56,27 @@ def _webtext(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ENC_CACHE: dict[str, tuple[str, dict]] = {}
 
+# the driver runs correctness at sf0.01; several oracles verify the
+# ENGINE's own output by having DuckDB read the encoded parquet directly
+# (the reference's own trick — its tables are plain parquet any engine
+# can open, /root/reference/README.md:474-485), so they need the
+# deterministic fixture path
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _enc_path(sf_dir: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/raquet_entry_{tag}_v{drs.__version__}"
+
+
+_ENC_GLOB = _enc_path(DRIVER_SF_DIR) + "/data/*.parquet"
+
 
 def _encoded(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
     """Encode the webtext view once per sf_dir (cached on /tmp, keyed by
     engine version) — queries share the encoded table like the
     reference's tests share its parquet fixture."""
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = f"/tmp/raquet_entry_{tag}_v{drs.__version__}"
+    path = _enc_path(sf_dir)
     if sf_dir in _ENC_CACHE:
         return _ENC_CACHE[sf_dir]
     man = None
@@ -164,6 +179,47 @@ def q_rt_mask_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.decode_blocks(masked, man, ["doc_id", "lang"])
 
 
+def q_rt_mask_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-shape null mask — ST_ClipMask analog: rows outside the
+    predicate keep their keys/coordinates, only the masked value column
+    becomes NULL; row count is preserved."""
+    blocks, man, _ = _blocks(spark, sf_dir)
+    masked = scan.mask_to_null_in(blocks, man, "lang", ["en"], null_cols=["text"])
+    return scan.decode_blocks(masked, man, ["doc_id", "text", "lang"])
+
+
+def q_rt_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused column math + stats in one decode pass — the
+    ST_NormalizedDifferenceStats analog: (a-b)/(a+b) over two decoded
+    numeric columns, aggregated without materializing the derived
+    column."""
+    blocks, man, _ = _blocks(spark, sf_dir)
+    s = scan.column_math_stats(
+        blocks,
+        man,
+        ["n_chars", "doc_id"],
+        lambda a: (a["n_chars"] - a["doc_id"]) / (a["n_chars"] + a["doc_id"]),
+    )
+    return s.select(
+        F.col("cnt"),
+        F.round("mean", 4).alias("mean"),
+        F.round("min", 4).alias("min"),
+        F.round("max", 4).alias("max"),
+    )
+
+
+def q_rt_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-table read surface: the encoded table registered as a SQL
+    view (Iceberg stand-in), manifest read from the block=0 row of the
+    view, decode through the table API — ST_Raster over a loaded table
+    (/root/reference/src/raquet_extension.cpp:106-156)."""
+    path, _ = _encoded(spark, sf_dir)
+    scan.register_table(spark, path, "raquet_docs")
+    man = scan.read_manifest_table(spark, "raquet_docs")
+    blocks = scan.read_blocks_table(spark, "raquet_docs")
+    return scan.decode_blocks(blocks, man, ["doc_id", "text", "lang"])
+
+
 def q_manifest_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """raquet_validate_metadata analog (reference
     src/metadata/raquet_metadata.cpp:16-133): structural manifest check;
@@ -212,16 +268,18 @@ def q_rt_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_img_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload -> (stubbed deterministic)
-    decode -> resize -> channel-mean features via mapInPandas. Rows-only
-    check (decode kernel is a seeded stand-in, SURVEY.md §2.8)."""
+    """Multimodal plumbing: binary payload -> (stubbed, content-derived)
+    decode -> resize -> channel-mean features via mapInPandas. The fake
+    decode is closed-form on md5 slices, so the whole pipeline has an
+    exact SQL oracle (chan0 recovers the channel-0 fill byte from the
+    float32 feature)."""
     from duckdb_raquet_spark.functions import multimodal as mm
 
     docs = _webtext(spark, sf_dir).select("doc_id", "html")
     feats = mm.image_features(docs, "doc_id", "html")
     return feats.select(
         F.col("id").alias("doc_id"), "width", "height",
-        F.round(F.element_at("features", 1), 4).alias("f0"),
+        F.round(F.element_at("features", 1) * 255).cast("int").alias("chan0"),
     ).orderBy("doc_id")
 
 
@@ -233,10 +291,10 @@ def q_mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _webtext(spark, sf_dir).select("doc_id", "html")
     stats = docs.select("doc_id", *mm.binary_stats_col("html"))
     return (
-        stats.groupBy("n_bytes", "content_hash")
+        stats.groupBy("n_bytes", "content_hash", "content_md5")  # 192-bit digest
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
         .select("n_bytes", "keep_id", "n_copies")  # hash itself has no SQL
-        .orderBy("keep_id")  # twin; (bytes,hash) groups == text groups
+        .orderBy("keep_id")  # twin; digest groups == text groups
     )
 
 
@@ -298,6 +356,8 @@ def q_txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest-grouped exact dedup: the shuffle carries (len, md5, xxh64)
+    digests, never document bodies; output is the keep-decision list."""
     docs = _read(spark, sf_dir, "documents")
     return dedup.exact_dedup(docs, "doc_id", "text")
 
@@ -315,8 +375,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the md5_60 token hash: bit-identical
+    in any ANSI engine, so the banded pipeline is verified against a
+    brute-force all-pairs Hamming oracle (pigeonhole guarantees the
+    banding loses nothing at <= 3 bits)."""
     docs = _read(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3, hasher="md5_60")
 
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,11 +406,28 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("score", 4).alias("score"))
 
 
+def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, cached like _encoded) the persisted sig-sorted ANN
+    index table for this sf_dir."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/raquet_ann_{tag}_v{drs.__version__}"
+    if not os.path.exists(os.path.join(path, "_ann_index.json")):
+        emb = _read(spark, sf_dir, "embeddings")
+        similarity.build_ann_index(
+            emb, "vec_id", "embedding", path, n_planes=12
+        )
+    return path
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN over the PERSISTED sig-sorted index: the
+    probe is a pushed `sig IN (79 sigs)` pruned scan, not a full pass.
+    Oracle: the identical signature/probe/cosine algebra in SQL."""
     emb = _read(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
     top = similarity.ann_lsh(
-        emb, "vec_id", "embedding", q, k=10, n_planes=12, probe_hamming=2, exclude_id=0
+        emb, "vec_id", "embedding", q, k=10, n_planes=12, probe_hamming=2,
+        exclude_id=0, index_path=_ann_index_path(spark, sf_dir),
     )
     return top.select("vec_id", F.round("score", 4).alias("score"))
 
@@ -422,6 +503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_mask_lang": q_rt_mask_lang,
         "rt_mask_range": q_rt_mask_range,
         "rt_mask_eq": q_rt_mask_eq,
+        "rt_mask_null": q_rt_mask_null,
+        "rt_band_math": q_rt_band_math,
+        "rt_catalog": q_rt_catalog,
         "manifest_validate": q_manifest_validate,
         "rt_region_stats": q_rt_region_stats,
         "rt_rollup": q_rt_rollup,
@@ -488,7 +572,208 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
 )
 
 
+# ---------------------------------------------------------- engine oracles ----
+# These verify the ENGINE's own artifacts: DuckDB opens the encoded
+# parquet directly (a raquet table is plain parquet any engine can read —
+# the reference's own demo, /root/reference/README.md:474-485) and
+# recomputes the key algebra / rollups / codec histogram / manifest
+# checks from the committed block rows, independently of the engine.
+
+_MORTON = (1 << 52) - 1
+_HEADER = 1 << 62
+
+# compact26 (Morton bit-gather) as a chain of REPLACE CTEs; vx gathers
+# the even (url-hash) bits, vy the odd (ts-bucket) bits — the SQL twin
+# of blockkey.compact26 / _compact26_col
+_COMPACT_CTES = f"""
+  c0 AS (SELECT *,
+           (block & {_MORTON}) & 6148914691236517205 AS vx,
+           ((block & {_MORTON}) >> 1) & 6148914691236517205 AS vy
+         FROM src),
+  c1 AS (SELECT * REPLACE ((vx | (vx >> 1)) & 3689348814741910323 AS vx,
+                           (vy | (vy >> 1)) & 3689348814741910323 AS vy) FROM c0),
+  c2 AS (SELECT * REPLACE ((vx | (vx >> 2)) & 1085102592571150095 AS vx,
+                           (vy | (vy >> 2)) & 1085102592571150095 AS vy) FROM c1),
+  c3 AS (SELECT * REPLACE ((vx | (vx >> 4)) & 71777214294589695 AS vx,
+                           (vy | (vy >> 4)) & 71777214294589695 AS vy) FROM c2),
+  c4 AS (SELECT * REPLACE ((vx | (vx >> 8)) & 281470681808895 AS vx,
+                           (vy | (vy >> 8)) & 281470681808895 AS vy) FROM c3),
+  c5 AS (SELECT * REPLACE ((vx | (vx >> 16)) & 4294967295 AS vx,
+                           (vy | (vy >> 16)) & 4294967295 AS vy) FROM c4)"""
+
+_KEY_MATH_ORACLE = f"""
+WITH src AS (
+  SELECT block, n_rows, (block >> 52) & 31 AS res
+  FROM read_parquet('{_ENC_GLOB}') WHERE block <> 0
+),{_COMPACT_CTES}
+SELECT block, res, (vy >> (26 - res)) AS ts_cell, (vx >> (26 - res)) AS hash_cell,
+       n_rows
+FROM c5 ORDER BY block
+"""
+
+_ROLLUP_ORACLE = f"""
+WITH d AS (
+  SELECT block, n_rows, num_stats['n_chars'][1] AS st,
+         greatest(((block >> 52) & 31) - 1, 0) AS pres
+  FROM read_parquet('{_ENC_GLOB}') WHERE block <> 0
+),
+p AS (SELECT *, (1::BIGINT << (52 - 2*pres)) - 1 AS foot FROM d)
+SELECT ((block & xor({_MORTON}::BIGINT, foot)) | ({_HEADER} | (pres << 52) | foot)) AS block,
+       sum(n_rows)::BIGINT AS n_rows, sum(st.cnt)::BIGINT AS cnt,
+       sum(st.sum)::BIGINT AS sum, min(st.min) AS min, max(st.max) AS max,
+       round(sum(st.sum)::DOUBLE / sum(st.cnt), 4) AS mean
+FROM p WHERE st.cnt IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+_ENC_METRICS_ORACLE = f"""
+WITH man AS (
+  SELECT metadata AS j FROM read_parquet('{_ENC_GLOB}')
+  WHERE block = 0
+  ORDER BY json_extract(metadata, '$.created_unix')::BIGINT DESC LIMIT 1
+),
+cols AS (SELECT unnest(json_keys(j, '$.codec_histogram')) AS col, j FROM man),
+cc AS (SELECT col, unnest(json_keys(j, '$.codec_histogram."' || col || '"')) AS codec, j
+       FROM cols)
+SELECT col AS "column", codec,
+       json_extract(j, '$.codec_histogram."' || col || '"."' || codec || '"')::INT AS n_blocks
+FROM cc ORDER BY col, codec
+"""
+
+_MANIFEST_VALIDATE_ORACLE = f"""
+WITH man AS (
+  SELECT metadata AS j FROM read_parquet('{_ENC_GLOB}')
+  WHERE block = 0
+  ORDER BY json_extract(metadata, '$.created_unix')::BIGINT DESC LIMIT 1
+),
+f AS (SELECT j,
+  json_extract_string(j, '$.format_version') AS fv,
+  json_extract_string(j, '$.key.scheme') AS scheme,
+  json_extract(j, '$.key.resolution')::INT AS res,
+  json_extract(j, '$.key.bucket_seconds')::BIGINT AS bucket,
+  json_array_length(j, '$.columns')::BIGINT AS ncols,
+  json_extract_string(j, '$.url_col') AS url_col,
+  json_extract_string(j, '$.ts_col') AS ts_col,
+  json_extract(j, '$.num_blocks') AS nb_json
+FROM man),
+n AS (SELECT *,
+  [json_extract_string(j, '$.columns[' || i || '].name') FOR i IN range(ncols)] AS names
+FROM f),
+e AS (SELECT *,
+  ((fv IS DISTINCT FROM '1.0')::INT
+   + (scheme IS DISTINCT FROM 'hashts-morton-v1')::INT
+   + (res IS NULL OR res < 0 OR res > 26)::INT
+   + (bucket IS NULL OR bucket <= 0)::INT
+   + (ncols IS NULL OR ncols = 0)::INT
+   + (len(list_distinct(names)) <> len(names))::INT
+   + (NOT list_contains(names, url_col))::INT
+   + (ts_col IS NOT NULL AND NOT list_contains(names, ts_col))::INT) AS n_errors,
+  (nb_json IS NULL OR nb_json = 'null')::INT AS n_warnings
+FROM n)
+SELECT (n_errors = 0) AS is_valid, n_errors::INT AS n_errors,
+       n_warnings::INT AS n_warnings, fv AS format_version, scheme,
+       json_extract(j, '$.num_blocks')::BIGINT AS num_blocks
+FROM e
+"""
+
+
+def _langid_oracle() -> str:
+    langs = sorted(_LANG_PROFILES)
+    score_cols = ",\n  ".join(
+        "len(list_filter(w, x -> x IN ({})))::INT AS s_{}".format(
+            ", ".join(f"'{w}'" for w in _LANG_PROFILES[lang]), lang
+        )
+        for lang in langs
+    )
+    m = "greatest({})".format(", ".join(f"s_{lang}" for lang in langs))
+    picks = "\n    ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id,
+  {score_cols}
+FROM t),
+g AS (SELECT *, {m} AS m FROM s)
+SELECT doc_id, CASE WHEN m <= 0 THEN 'und'
+    {picks}
+    END AS pred_lang
+FROM g
+"""
+
+
+_IMG_FEATURES_ORACLE = """
+SELECT doc_id,
+  (8 + (('0x' || substr(md5(text), 1, 8))::BIGINT % 25))::INT AS width,
+  (8 + (('0x' || substr(md5(text), 9, 8))::BIGINT % 25))::INT AS height,
+  (('0x' || substr(md5(text), 17, 8))::BIGINT % 254)::INT AS chan0
+FROM documents ORDER BY doc_id
+"""
+
+_SIMHASH_ORACLE = """
+WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+           FROM documents),
+h AS (SELECT doc_id,
+        list_transform(toks, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+      FROM t),
+b AS (SELECT doc_id,
+        list_sum([
+          CASE WHEN list_sum([((h >> i) & 1) * 2 - 1 FOR h IN hs]) > 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END
+          FOR i IN range(60)])::BIGINT AS sim
+      FROM h)
+SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.sim, y.sim))::INT AS hamming
+FROM b x JOIN b y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sim, y.sim)) <= 3
+"""
+
+
+def _ann_lsh_oracle() -> str:
+    """SQL twin of the whole LSH algebra: same fixed hyperplanes as
+    literals, same sign-bit signature, same <=2-bit multi-probe filter,
+    same cosine re-rank — exact parity with the index probe."""
+    planes = similarity.hyperplanes(64, 12)
+    vecs = [
+        "[" + ", ".join(repr(float(v)) for v in p) + "]::DOUBLE[]" for p in planes
+    ]
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {vec}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, vec in enumerate(vecs)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (SELECT vec_id, v, ({sig_terms})::BIGINT AS sig FROM e),
+qs AS (SELECT sig AS qsig, v AS qv FROM sigs WHERE vec_id = 0)
+SELECT vec_id, round(score, 4) AS score FROM (
+  SELECT s.vec_id, list_cosine_similarity(s.v, qs.qv) AS score
+  FROM sigs s, qs
+  WHERE bit_count(xor(s.sig, qs.qsig)) <= 2 AND s.vec_id <> 0
+  ORDER BY score DESC, s.vec_id ASC LIMIT 10)
+"""
+
+
+def _ensure_driver_fixture() -> None:
+    """Several oracles read the ENCODED parquet at the sf0.01 fixture
+    path; if the driver asks for oracles before running the rt_* queries
+    (which build it), create the fixture now using whatever session is
+    live. Best-effort — without a session the rt_* queries themselves
+    still build it before any scan runs."""
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if (
+            spark is not None
+            and os.path.isdir(DRIVER_SF_DIR)
+            and not os.path.exists(_enc_path(DRIVER_SF_DIR))
+        ):
+            _encoded(spark, DRIVER_SF_DIR)
+    except Exception:
+        pass
+
+
 def oracle_sql() -> dict[str, str]:
+    _ensure_driver_fixture()
     return {
         "rt_roundtrip": "SELECT doc_id, text, lang FROM documents",
         "rt_pinned_codecs": "SELECT doc_id, text, lang FROM documents",
@@ -510,6 +795,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE n_chars BETWEEN 100 AND 300""",
         "rt_mask_eq": "SELECT doc_id, lang FROM documents WHERE lang = 'fr'",
+        "rt_mask_null": """
+            SELECT doc_id, CASE WHEN lang = 'en' THEN text END AS text, lang
+            FROM documents""",
+        "rt_band_math": """
+            SELECT count(*)::BIGINT AS cnt,
+                   round(avg(y), 4) AS mean, round(min(y), 4) AS min,
+                   round(max(y), 4) AS max
+            FROM (SELECT (n_chars - doc_id)::DOUBLE / (n_chars + doc_id) AS y
+                  FROM documents)""",
+        "rt_catalog": "SELECT doc_id, text, lang FROM documents",
+        "manifest_validate": _MANIFEST_VALIDATE_ORACLE,
+        "rt_rollup": _ROLLUP_ORACLE,
+        "enc_metrics": _ENC_METRICS_ORACLE,
+        "key_math": _KEY_MATH_ORACLE,
+        "txt_langid": _langid_oracle(),
+        "mm_img_features": _IMG_FEATURES_ORACLE,
+        "dedup_simhash": _SIMHASH_ORACLE,
+        "ann_lsh": _ann_lsh_oracle(),
         "rt_region_stats": f"""
             SELECT count(n_chars)::BIGINT AS cnt, sum(n_chars)::BIGINT AS sum,
                    round(avg(n_chars), 4) AS mean, min(n_chars) AS min,
@@ -540,7 +843,7 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
             FROM documents GROUP BY text ORDER BY keep_id""",
         "dedup_exact": """
-            SELECT text, min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
+            SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
             FROM documents GROUP BY text""",
         "dedup_ngram": _JACCARD_PAIRS_BLOCKED,
         "dedup_minhash": _JACCARD_PAIRS_GLOBAL,

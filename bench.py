@@ -360,6 +360,11 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
             spark, enc_path, url0, ts_epoch=ts0, cols=["text"], man=man
         ).collect(),
     )
+    timed(
+        timings,
+        "point_lookup_nots",
+        lambda: scan.point_lookup(spark, enc_path, url0, cols=["text"], man=man).collect(),
+    )
     lo_ep, hi_ep = 1704067200 + 30 * 86400, 1704067200 + 37 * 86400
     timed(
         timings,
@@ -380,10 +385,24 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "decode_full",
         lambda: force(scan.decode_blocks(blocks, man, ["url", "text", "lang"])),
     )
+    timed(
+        timings,
+        "band_math",
+        lambda: scan.column_math_stats(
+            blocks, man, ["warc_ts"], lambda a: a["warc_ts"] * 1e-6
+        ).collect(),
+    )
 
-    # pipeline queries over the driver's sf tables (shared op surface)
+    # pipeline queries over the driver's sf tables (shared op surface);
+    # ann_lsh probes the persisted sig-sorted index (built once, cached)
     qs = entrymod.queries()
-    for name in ("dedup_minhash", "ann_topk", "txt_quality", "agg_lineitem_pricing"):
+    for name in (
+        "dedup_minhash",
+        "ann_topk",
+        "ann_lsh",
+        "txt_quality",
+        "agg_lineitem_pricing",
+    ):
         timed(timings, name, lambda n=name: force(qs[n](spark, sf_dir)))
 
     # at-scale throughput: the sf-sized encode above is fixed-overhead

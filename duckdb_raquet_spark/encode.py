@@ -434,18 +434,18 @@ def _append_manifest_row(
     # written driver-side with pyarrow into the committed data dir: a
     # 1-row DataFrame write costs a whole Spark job (scheduling + commit
     # protocol), measurable against the encode wall at cluster sizes.
-    # Local-filesystem paths only (this sandbox); an object-store deploy
-    # would route the same bytes through the Hadoop FileSystem API.
-    import shutil
-
+    # The bytes route through fsio — plain paths hit the local FS, any
+    # ``scheme://`` path goes through the Hadoop FileSystem API, so the
+    # manifest-last invariant holds on object stores too.
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    from . import fsio
+
     dest = target or _data_path(path)
     if mode == "overwrite":
-        shutil.rmtree(dest, ignore_errors=True)
-    os.makedirs(dest, exist_ok=True)
+        fsio.delete_dir(spark, dest)
     arrow_schema = to_arrow_schema(blocks_schema(columns))
     values = {
         BLOCK: bk.MANIFEST_BLOCK,
@@ -457,7 +457,11 @@ def _append_manifest_row(
         {f.name: [values.get(f.name)] for f in arrow_schema},
         schema=arrow_schema,
     )
-    pq.write_table(tbl, os.path.join(dest, "part-manifest-row.parquet"))
+    sink = pa.BufferOutputStream()
+    pq.write_table(tbl, sink)
+    fsio.write_bytes(
+        spark, dest, "part-manifest-row.parquet", sink.getvalue().to_pybytes()
+    )
 
 
 def write_blocks(
@@ -493,7 +497,7 @@ def write_blocks(
     totals, hist = _aggregate_written(spark, path)
     final = mf.finalize_manifest(man, codec_histogram=hist, **totals)
     _append_manifest_row(spark, path, final, columns)
-    mf.write_sidecar(path, final)
+    mf.write_sidecar(path, final, spark)
     return final
 
 
@@ -554,6 +558,7 @@ def encode_to_path(
                 "wall_seconds": round(time.time() - t0, 3),
                 "input_rows": est_rows,
             },
+            spark,
         )
         return final
 
@@ -561,7 +566,7 @@ def encode_to_path(
     # chunk=<k> subdirectory — re-running a chunk after a mid-write crash
     # can never duplicate rows (no append anywhere), and the lineage
     # record is written strictly after the chunk's job commit.
-    done = mf.read_chunk_lineage(path) if resume else {}
+    done = mf.read_chunk_lineage(path, spark) if resume else {}
     man = None
     files_per_chunk = max(1, spark.sparkContext.defaultParallelism // chunks)
     for k in range(chunks):
@@ -607,6 +612,7 @@ def encode_to_path(
                 "raw_bytes": int(agg[2] or 0),
                 "enc_bytes": int(agg[3] or 0),
             },
+            spark,
         )
     man["lineage_chunks"] = chunks
     totals, hist = _aggregate_written(spark, path)
@@ -621,5 +627,5 @@ def encode_to_path(
         target=os.path.join(_data_path(path), "chunk=-1"),
         mode="overwrite",
     )
-    mf.write_sidecar(path, final)
+    mf.write_sidecar(path, final, spark)
     return final

@@ -64,12 +64,26 @@ def jaccard_col(a: Column, b: Column) -> Column:
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep the smallest id per identical text — one hash aggregate.
-    At scale, group on a digest (xxhash64) instead of the full text to
-    keep shuffle rows small; collisions are then re-checked. Here the
-    direct exact form."""
-    return df.groupBy(text_col).agg(
-        F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
+    """Keep the smallest id per identical text — one hash aggregate on a
+    192-bit composite digest ``(length, md5, xxhash64)``, all JVM-side.
+
+    Grouping on the digest instead of the text column means the exchange
+    carries ~45-byte rows, not document bodies (at 100 TB, grouping on
+    ``text`` shuffles the whole corpus); map-side partial aggregation
+    collapses duplicates before a byte moves. The composite is exact for
+    any non-adversarial corpus (independent-hash collision P ~ 2^-128 at
+    10^12 docs), and an adversarially md5-colliding pair still differs
+    in xxhash64. Returns (keep_id, n_copies) — the dedup decision list."""
+    d = df.select(
+        F.col(id_col).alias("_id"),
+        F.length(text_col).alias("_len"),
+        F.md5(F.col(text_col).cast("binary")).alias("_md5"),
+        F.xxhash64(text_col).alias("_xx"),
+    )
+    return (
+        d.groupBy("_len", "_md5", "_xx")
+        .agg(F.min("_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
     )
 
 
@@ -141,15 +155,27 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     n: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-verified.
 
     signatures (Column exprs) -> band hashes -> explode to (band, hash)
     -> self-equi-join on the bucket (the only shuffle that matters; no
     all-pairs product) -> distinct candidate pairs -> exact Jaccard
-    verification >= threshold. bands x rows = k; recall ~
+    verification of the CANDIDATES ONLY. bands x rows = k; recall ~
     1-(1-t^rows)^bands.
-    """
+
+    Hot-bucket cap: a bucket of near-identical boilerplate (cookie
+    banners, mirrored pages) would otherwise produce |bucket|^2
+    candidates — the one quadratic hazard in the plan. Buckets larger
+    than ``max_bucket`` switch from all-pairs to consecutive-id chaining
+    (n-1 candidate pairs connecting the same near-dup cluster
+    transitively); verification stays exact, so for dedup-by-connected-
+    components the result is identical, while pathological buckets stay
+    linear. Verification joins shingle only the candidate ids (semi-join
+    first), never the whole corpus."""
+    from pyspark.sql import Window
+
     rows = k // bands
     hs = df.select(
         F.col(id_col).alias("_id"),
@@ -174,23 +200,53 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("_id", "bk.band", "bk.h")
-    cand = (
-        buckets.alias("x")
+    # one exchange on (band, h) computes both the bucket size and the
+    # next-id chain; the split below reuses it
+    w = Window.partitionBy("band", "h")
+    wo = w.orderBy("_id")
+    sized = buckets.select(
+        "_id",
+        "band",
+        "h",
+        F.count("*").over(w).alias("_n"),
+        F.lead("_id").over(wo).alias("_next"),
+    )
+    small = sized.where(F.col("_n") <= max_bucket)
+    pairs_small = (
+        small.alias("x")
         .join(
-            buckets.alias("y"),
+            small.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.h") == F.col("y.h"))
             & (F.col("x._id") < F.col("y._id")),
         )
         .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+    )
+    pairs_big = (
+        sized.where((F.col("_n") > max_bucket) & F.col("_next").isNotNull())
+        .select(F.col("_id").alias("a"), F.col("_next").alias("b"))
+    )
+    cand = pairs_small.unionByName(pairs_big).distinct()
+    # shingle only the candidate ids: the semi-join (AQE-broadcast for
+    # realistic candidate counts) runs BEFORE the shingle projection, so
+    # verification never tokenizes or shuffles non-candidate documents
+    ids = (
+        cand.select(F.col("a").alias("_id"))
+        .unionByName(cand.select(F.col("b").alias("_id")))
         .distinct()
     )
-    sh = df.select(
-        F.col(id_col).alias("_id"), shingles_col(text_col, n).alias("_sh")
+    sh_cand = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .join(ids, "_id", "left_semi")
+        .select("_id", shingles_col("_t", n).alias("_sh"))
     )
     verified = (
-        cand.join(sh.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "_sha"), "a")
-        .join(sh.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "_shb"), "b")
+        cand.join(
+            sh_cand.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "_sha"), "a"
+        )
+        .join(
+            sh_cand.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "_shb"), "b"
+        )
         .select(
             "a",
             "b",
@@ -204,13 +260,34 @@ def minhash_lsh_pairs(
 # ----------------------------------------------------------------- simhash ----
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _token_hash_col(tok: Column, hasher: str) -> Column:
+    """Per-token 64-bit (or 60-bit) hash, JVM-side.
+
+    ``xxh64`` is the default (cheapest). ``md5_60`` takes the top 60
+    bits of md5 as an integer — marginally more expensive but computable
+    bit-identically in any ANSI engine (DuckDB, Trino), which makes the
+    whole SimHash pipeline cross-engine verifiable; SimHash quality is
+    indifferent to which uniform hash feeds it."""
+    if hasher == "xxh64":
+        return F.xxhash64(tok)
+    if hasher == "md5_60":
+        return F.conv(F.substring(F.md5(F.encode(tok, "UTF-8")), 1, 15), 16, 10).cast(
+            "long"
+        )
+    raise ValueError(f"unknown hasher {hasher!r}")
+
+
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, *, hasher: str = "xxh64"
+) -> DataFrame:
     """64-bit SimHash per document: explode tokens, hash JVM-side, take
-    the per-bit majority — all shuffles are one groupBy on the id."""
+    the per-bit majority — all shuffles are one groupBy on the id.
+    With ``hasher='md5_60'`` bits 60-63 are constant-zero votes (every
+    token votes -1), so the effective signature is 60 bits."""
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", _token_hash_col(F.col("tok"), hasher))
     bit_sums = toks.groupBy("_id").agg(
         *[
             F.sum(
@@ -229,12 +306,24 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    *,
+    hasher: str = "xxh64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming via 4x16-bit
     banding (pigeonhole: <=3 differing bits leave >=1 band intact), then
     exact popcount verification."""
-    sig = simhash64(df, id_col, text_col)
+    if max_hamming > 3:
+        # 4 bands only guarantee recall up to 3 differing bits; a larger
+        # radius needs more bands — failing loudly beats silent recall loss
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-band pigeonhole "
+            "guarantee (<= 3); use more bands"
+        )
+    sig = simhash64(df, id_col, text_col, hasher=hasher)
     bands = sig.select(
         id_col,
         "simhash",

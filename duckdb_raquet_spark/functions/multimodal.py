@@ -43,12 +43,21 @@ def _decode_image_kernel(
 
     Real implementation would dispatch on magic bytes to a JPEG/PNG/WebP
     decoder; this container has no image libs, so `deterministic=True`
-    yields a seeded fake whose shape derives from the payload hash."""
+    yields a content-derived fake: dims and fill value come from md5 hex
+    slices (width = 8 + hex[0:8] % 25, height = 8 + hex[8:16] % 25,
+    fill v = hex[16:24] % 254; channel c holds v + c). Closed-form on
+    purpose — any ANSI engine with md5 can predict the downstream
+    features exactly, so the whole mapInPandas plumbing is
+    oracle-checkable even though the decode is fake."""
     if not deterministic:
         raise NotImplementedError("image decoding requires PIL/libvips (not bundled)")
-    rng = np.random.default_rng(_seed_of(payload))
-    h, w = 8 + rng.integers(0, 25), 8 + rng.integers(0, 25)
-    arr = rng.integers(0, 256, (int(h), int(w), 3), dtype=np.uint8)
+    hx = hashlib.md5(payload).hexdigest()
+    w = 8 + int(hx[0:8], 16) % 25
+    h = 8 + int(hx[8:16], 16) % 25
+    v = int(hx[16:24], 16) % 254
+    arr = np.empty((h, w, 3), dtype=np.uint8)
+    for c in range(3):
+        arr[..., c] = v + c
     meta = {
         "width": int(w),
         "height": int(h),
@@ -176,10 +185,17 @@ def audio_frames(
 
 
 def binary_stats_col(binary_col: str | Column) -> list[Column]:
-    """Cheap JVM-side binary profiling (no decode, no Python): size and a
-    64-bit content hash — enough for exact-dup detection over media."""
+    """Cheap JVM-side binary profiling (no decode, no Python): size, a
+    64-bit hash, and a 128-bit md5 — exact-dup detection over media.
+
+    Grouping on (n_bytes, content_hash, content_md5) is 192 bits of
+    digest: a 64-bit hash alone collides at the ~2^32 birthday bound,
+    i.e. with certainty at 10^12 media payloads; the composite is
+    collision-free for any non-adversarial corpus, and an engineered md5
+    collision still differs in xxhash64."""
     c = F.col(binary_col) if isinstance(binary_col, str) else binary_col
     return [
         F.length(c).alias("n_bytes"),
         F.xxhash64(c).alias("content_hash"),
+        F.md5(c).alias("content_md5"),
     ]

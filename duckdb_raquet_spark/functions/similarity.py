@@ -80,6 +80,113 @@ def bucket_col(vec_col: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def query_signature(query: list[float], planes: np.ndarray) -> int:
+    q = np.asarray(query, dtype=np.float64)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(q, p)) >= 0:
+            qsig |= 1 << i
+    return qsig
+
+
+def probe_signatures(qsig: int, n_planes: int, probe_hamming: int) -> list[int]:
+    """Exact enumeration of every signature within ``probe_hamming`` bits
+    of the query's — the multi-probe set (C(n,0)+...+C(n,h) values; 79
+    for n=12, h=2). An ``isin`` on this set is EQUIVALENT to the
+    ``bit_count(sig XOR qsig) <= h`` filter but, unlike it, pushes down
+    to Parquet row-group stats on a sig-sorted index table."""
+    from itertools import combinations
+
+    out = []
+    for d in range(probe_hamming + 1):
+        for bits in combinations(range(n_planes), d):
+            s = qsig
+            for b in bits:
+                s ^= 1 << b
+            out.append(s)
+    return sorted(out)
+
+
+def build_ann_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    *,
+    n_planes: int = 12,
+    seed: int = 42,
+    num_files: int | None = None,
+) -> dict:
+    """Persist an LSH index table ``(sig, vec_id, vec)`` globally sorted
+    by signature, so probes are pruned scans.
+
+    The reference keeps its 'index' in the data layout — sorted block
+    keys prune every query (/root/reference/src/raquet_extension.cpp:61-64);
+    this is the same move for vectors: signature = sort key, probe =
+    pushed ``sig IN (multi-probe set)`` hitting only the row groups whose
+    min/max cover a probed signature. One signature table serves every
+    query; at 10^12 vectors a probe touches ~(probes/2^n_planes) of the
+    data instead of all of it."""
+    import json as _json
+
+    spark = df.sparkSession
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    sig = df.select(
+        bucket_col(F.col(vec_col), planes).alias("sig"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+    )
+    n_files = num_files or max(2, spark.sparkContext.defaultParallelism)
+    (
+        sig.repartitionByRange(n_files, "sig")
+        .sortWithinPartitions("sig")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    meta = {"n_planes": n_planes, "seed": seed, "dim": dim}
+    from .. import fsio
+
+    fsio.write_bytes(
+        spark, path, "_ann_index.json", _json.dumps(meta, sort_keys=True).encode()
+    )
+    return meta
+
+
+def ann_probe_index(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    *,
+    probe_hamming: int = 2,
+    exclude_id=None,
+) -> DataFrame:
+    """Probe a persisted ANN index: multi-probe signature set -> pushed
+    ``isin`` scan (row-group pruned on the sorted sig column) -> exact
+    cosine re-rank of the touched buckets only."""
+    import json as _json
+
+    from .. import fsio
+
+    meta = _json.loads(fsio.read_bytes(spark, path, "_ann_index.json"))
+    planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    qsig = query_signature(query, planes)
+    sigs = probe_signatures(qsig, meta["n_planes"], probe_hamming)
+    probe = spark.read.parquet(path).where(F.col("sig").isin(sigs))
+    if exclude_id is not None:
+        probe = probe.where(F.col("vec_id") != exclude_id)
+    q = _lit_vec(query)
+    return (
+        probe.select(
+            "vec_id", cosine_col(F.col("vec").cast("array<double>"), q).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ann_lsh(
     df: DataFrame,
     id_col: str,
@@ -90,25 +197,33 @@ def ann_lsh(
     n_planes: int = 12,
     probe_hamming: int = 2,
     exclude_id=None,
+    index_path: str | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: score only rows whose hyperplane
-    signature is within ``probe_hamming`` bits of the query's (multi-probe
-    — the IVF 'nearby centroids' idea). At scale the bucket table is
-    written bucketed/sorted so the probe is a pruned scan, not a full
-    pass."""
+    signature is in the multi-probe set (every signature within
+    ``probe_hamming`` bits of the query's — the IVF 'nearby centroids'
+    idea). With ``index_path`` the probe runs against the persisted,
+    sig-sorted index table (:func:`build_ann_index`) as a pruned scan;
+    without it, signatures are computed on the fly (ad-hoc one-shot
+    queries — a full scan, same results)."""
+    if index_path is not None:
+        return ann_probe_index(
+            df.sparkSession,
+            index_path,
+            query,
+            k,
+            probe_hamming=probe_hamming,
+            exclude_id=exclude_id,
+        )
     planes = hyperplanes(len(query), n_planes)
-    qsig = 0
-    for i, p in enumerate(planes):
-        if float(np.dot(np.asarray(query, dtype=np.float64), p)) >= 0:
-            qsig |= 1 << i
+    qsig = query_signature(query, planes)
+    sigs = probe_signatures(qsig, n_planes, probe_hamming)
     sig = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_v"),
         bucket_col(F.col(vec_col), planes).alias("_sig"),
     )
-    probe = sig.where(
-        F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming
-    )
+    probe = sig.where(F.col("_sig").isin(sigs))
     if exclude_id is not None:
         probe = probe.where(F.col("vec_id") != exclude_id)
     q = _lit_vec(query)

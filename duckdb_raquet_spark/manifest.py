@@ -121,47 +121,60 @@ def from_json(s: str) -> dict:
 # ------------------------------------------------------- local sidecars ----
 
 
+SIDECAR = "_raquet_manifest.json"
+
+
 def sidecar_path(path: str) -> str:
-    return os.path.join(path, "_raquet_manifest.json")
+    return os.path.join(path, SIDECAR)
 
 
-def write_sidecar(path: str, manifest: dict) -> None:
-    if "://" in path:
-        return  # object stores: the block=0 row is the canonical copy
-    os.makedirs(path, exist_ok=True)
-    tmp = sidecar_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(to_json(manifest))
-    os.replace(tmp, sidecar_path(path))
+def write_sidecar(path: str, manifest: dict, spark=None) -> None:
+    """Sidecar copy for cheap driver-side access. Remote (``://``) paths
+    need a live session to reach the Hadoop FileSystem; without one the
+    sidecar is skipped — the block=0 row stays the canonical copy."""
+    from . import fsio
+
+    if fsio.is_remote(path) and spark is None:
+        return
+    fsio.write_bytes(spark, path, SIDECAR, to_json(manifest).encode())
 
 
-def read_sidecar(path: str) -> dict | None:
-    p = sidecar_path(path)
-    if "://" not in path and os.path.exists(p):
-        with open(p) as f:
-            return json.load(f)
-    return None
+def read_sidecar(path: str, spark=None) -> dict | None:
+    from . import fsio
+
+    if fsio.is_remote(path) and spark is None:
+        return None
+    try:
+        if not fsio.exists(spark, path, SIDECAR):
+            return None
+        return json.loads(fsio.read_bytes(spark, path, SIDECAR))
+    except Exception:
+        return None
 
 
 def lineage_dir(path: str) -> str:
     return os.path.join(path, "_lineage")
 
 
-def write_chunk_lineage(path: str, chunk: int, record: dict[str, Any]) -> None:
-    d = lineage_dir(path)
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f"chunk-{chunk:05d}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(record, f, sort_keys=True)
-    os.replace(tmp, os.path.join(d, f"chunk-{chunk:05d}.json"))
+def write_chunk_lineage(
+    path: str, chunk: int, record: dict[str, Any], spark=None
+) -> None:
+    from . import fsio
+
+    fsio.write_bytes(
+        spark,
+        lineage_dir(path),
+        f"chunk-{chunk:05d}.json",
+        json.dumps(record, sort_keys=True).encode(),
+    )
 
 
-def read_chunk_lineage(path: str) -> dict[int, dict]:
+def read_chunk_lineage(path: str, spark=None) -> dict[int, dict]:
+    from . import fsio
+
     d = lineage_dir(path)
     out: dict[int, dict] = {}
-    if os.path.isdir(d):
-        for fn in sorted(os.listdir(d)):
-            if fn.startswith("chunk-") and fn.endswith(".json"):
-                with open(os.path.join(d, fn)) as f:
-                    out[int(fn[6:-5])] = json.load(f)
+    for fn in fsio.list_files(spark, d):
+        if fn.startswith("chunk-") and fn.endswith(".json"):
+            out[int(fn[6:-5])] = json.loads(fsio.read_bytes(spark, d, fn))
     return out

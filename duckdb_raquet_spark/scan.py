@@ -54,9 +54,10 @@ def read_blocks(spark: SparkSession, path: str) -> DataFrame:
 
 def read_manifest(spark: SparkSession, path: str) -> dict:
     """Manifest dict — read_raquet_metadata analog (:89-100). Prefers the
-    local sidecar; falls back to the block=0 row (latest if re-appended
-    by a resumed job)."""
-    side = mf.read_sidecar(path)
+    sidecar (local FS directly, object stores via the Hadoop FileSystem);
+    falls back to the block=0 row (latest if re-appended by a resumed
+    job)."""
+    side = mf.read_sidecar(path, spark)
     if side is not None:
         return side
     rows = (
@@ -178,16 +179,58 @@ def point_lookup(
         key = bk.key_for_point(url, ts_epoch, res, bucket, origin)
         pruned = blocks.where(F.col(BLOCK) == key)
     else:
-        x = bk.hash_x_from_url(url)
-        keys = bk.cover_keys_for_x(x, res)
-        pruned = blocks.where(
-            F.col(BLOCK).between(min(keys), max(keys)) & F.col(BLOCK).isin(keys)
-        )
+        pruned = prune_blocks_for_url_hash(blocks, man, bk.hash_x_from_url(url))
     url_col = man["url_col"]
     want = cols if cols is None else list(dict.fromkeys([url_col] + cols))
     decoded = decode_blocks(pruned, man, want)
     out = decoded.where(F.col(url_col) == url)
     return out.select(*cols) if cols is not None else out
+
+
+MAX_POINT_KEYS = 1024
+
+
+def prune_blocks_for_url_hash(blocks: DataFrame, man: dict, x26: int) -> DataFrame:
+    """ts-less point pruning, sargable at every resolution.
+
+    A url with unknown timestamp touches one cell per time bucket —
+    2^res candidates. Materializing them as an ``isin`` literal list
+    (QUADBIN_POLYFILL-style) stops scaling past res ~10 (8K+ literals in
+    the plan; unusable at res 20). Instead: a Morton BETWEEN over the
+    hash-slice envelope plus the exact bit-extracted
+    ``hash_cell_col(block, res) == xr`` predicate — the same
+    extract-and-compare pattern :func:`prune_blocks_for_ts` uses for
+    time (ref /root/reference/src/raquet_extension.cpp:61-64).
+
+    Because an expression predicate can't prune Parquet row groups, a
+    key-column-only pre-scan (payloads never read) first recovers the
+    cells that actually exist — bounded by how often the url's hash cell
+    was crawled — and those become a pushed ``isin``. If the cell is
+    pathologically hot (> MAX_POINT_KEYS blocks) the isin is skipped and
+    the bit predicate alone filters."""
+    res = man["key"]["resolution"]
+    shift = bk.COORD_BITS - res
+    xr = int(x26) >> shift
+    lo = int(bk.key_from_parts(np.uint64(xr << shift), np.uint64(0), res))
+    hi = int(
+        bk.key_from_parts(np.uint64(xr << shift), np.uint64(bk.COORD_MAX), res)
+    )
+    exact = F.col(BLOCK).between(lo, hi) & (
+        bk.hash_cell_col(F.col(BLOCK), res) == xr
+    )
+    hits = (
+        blocks.select(BLOCK)
+        .where(exact)
+        .distinct()
+        .limit(MAX_POINT_KEYS + 1)
+        .collect()
+    )
+    keys = sorted(int(r[0]) for r in hits)
+    if 0 < len(keys) <= MAX_POINT_KEYS:
+        return blocks.where(
+            F.col(BLOCK).between(keys[0], keys[-1]) & F.col(BLOCK).isin(keys)
+        )
+    return blocks.where(exact)
 
 
 def prune_blocks_for_ts(
@@ -421,7 +464,14 @@ def _masked_tri_state(
     selective mask touches a small fraction of blocks, so this turns an
     all-blocks Arrow round-trip into a metadata-only scan plus a narrow
     transform. ``all_match``/``none_match`` must be *proofs* (Columns),
-    conservatively false when stats are absent."""
+    conservatively false when stats are absent.
+
+    NOTE: NOT lazy — the narrow pre-count below runs a (stats-columns-
+    only) Spark job at construction time and snapshots branch emptiness,
+    so mask_values_* assumes the blocks table is an immutable committed
+    raquet table (which the manifest-last write protocol guarantees for
+    every table this engine produces). Tables mutated between mask
+    construction and execution are out of contract."""
     # coalesce both proofs: a NULL stats lookup must mean "unproven"
     # (three-valued logic would otherwise drop the block from BOTH
     # branches — where(NULL) is false on each side)
@@ -480,7 +530,13 @@ def mask_values_in(
 
 
 def mask_values_eq(blocks: DataFrame, man: dict, col: str, value) -> DataFrame:
-    """Single-value mask — ST_MaskBandValuesEq analog (st_value_mask.cpp:239-280)."""
+    """Single-value mask — ST_MaskBandValuesEq analog (st_value_mask.cpp:239-280).
+
+    ``value=None`` is rejected: NULL equals nothing here (the reference's
+    nodata semantics — its masks never match nodata cells either), and
+    silently delegating None to the isin path would *keep* null rows."""
+    if value is None:
+        raise ValueError("mask_values_eq(value=None): NULL matches no row")
     kind = next(c["kind"] for c in man["columns"] if c["name"] == col)
     if kind in (selector.KIND_STRING, selector.KIND_BINARY):
         return mask_values_in(blocks, man, col, [value])
@@ -537,3 +593,214 @@ def mask_values_range(
     return _masked_tri_state(
         blocks, man, pred, all_match, none_match, filter_cols=[col]
     )
+
+
+# --------------------------------------------- keep-shape null masking ----
+
+
+def transform_blocks_to_null(
+    blocks: DataFrame,
+    man: dict,
+    row_filter,
+    null_cols: list[str],
+    zlib_level: int = 6,
+    filter_cols: list[str] | None = None,
+) -> DataFrame:
+    """decode -> predicate -> NULL out ``null_cols`` where the predicate
+    fails -> re-encode, KEEP-SHAPE: every block keeps its row count and
+    key, non-matching rows keep their coordinate columns and lose only
+    the masked values — the ST_ClipMask analog (reference
+    src/raster/st_clip.cpp:598-734: outside-polygon pixels become nodata,
+    tile geometry preserved), vs :func:`transform_blocks` which is the
+    row-dropping ST_Clip. Nulled columns re-encode through the NULLABLE
+    codec wrapper automatically (null masks are part of every payload)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    columns = man["columns"]
+    specs = [(c["name"], c["spark_type"], c["kind"]) for c in columns]
+    col_specs = [(c["name"], c["kind"], c.get("codec")) for c in columns]
+    sort_cols = sort_cols_for(columns, man["url_col"], man["ts_col"])
+    ts_col = man["ts_col"]
+    schema = blocks_schema(columns)
+    kindmap = {c["name"]: c["kind"] for c in columns}
+    fcols = list(filter_cols) if filter_cols else [n for n, _, _ in specs]
+    to_null = set(null_cols)
+    unknown = to_null - {n for n, _, _ in specs}
+    if unknown:
+        raise ValueError(f"null_cols not in table: {sorted(unknown)}")
+
+    def fn(batches):
+        for pdf in batches:
+            out_rows = []
+            for r in pdf.itertuples(index=False):
+                n = int(r.n_rows)
+                arrays = {
+                    name: selector.decode_column_arrow(
+                        bytes(getattr(r, blob_col(name))), kind, n
+                    )
+                    for name, _, kind in specs
+                }
+                frame = pd.DataFrame(
+                    {name: _arrow_to_pandas(arrays[name], kindmap[name]) for name in fcols}
+                )
+                mask = pa.array(np.asarray(row_filter(frame), dtype=bool))
+                cols = {}
+                for name, _, kind in specs:
+                    arr = arrays[name]
+                    if name in to_null:
+                        arr = pc.if_else(mask, arr, pa.scalar(None, type=arr.type))
+                    cols[name] = arr
+                out_rows.append(
+                    encode_block_arrow(
+                        pa.table(cols), col_specs, sort_cols, zlib_level,
+                        int(r.block), int(r.salt), ts_col,
+                    )
+                )
+            if out_rows:
+                yield pd.DataFrame(out_rows)
+
+    needed = [BLOCK, SALT, "n_rows"] + [blob_col(n) for n, _, _ in specs]
+    src = blocks.select(*needed).repartition(BLOCK, SALT)
+    return src.mapInPandas(fn, schema=schema)
+
+
+def mask_to_null_in(
+    blocks: DataFrame, man: dict, col: str, allowed: list, null_cols: list[str]
+) -> DataFrame:
+    """Keep-shape whitelist mask: rows whose ``col`` is outside
+    ``allowed`` keep their keys/coordinates but have ``null_cols`` set to
+    NULL — ST_ClipMask with a value predicate. Blocks PROVEN all-match by
+    cat_counts pass through untouched (stats short-circuit); everything
+    else pays one decode->null->re-encode pass."""
+    allowed_set = set(allowed)
+    lits = [F.lit(v) for v in allowed]
+    cc = F.col("cat_counts").getItem(col)
+    keys = F.map_keys(cc)
+    in_allowed = lambda k: k.isin(*lits) if lits else F.lit(False)  # noqa: E731
+    all_match = F.coalesce(
+        _cat_covered(col) & F.forall(keys, in_allowed), F.lit(False)
+    )
+    passthrough = blocks.where(all_match)
+    worked = transform_blocks_to_null(
+        blocks.where(~all_match),
+        man,
+        lambda pdf: pdf[col].isin(allowed_set).to_numpy(),
+        null_cols,
+        filter_cols=[col],
+    )
+    return worked.unionByName(passthrough.select(*worked.columns))
+
+
+# ------------------------------------------------- fused column math ----
+
+
+def column_math_stats(blocks: DataFrame, man: dict, cols: list[str], expr_fn) -> DataFrame:
+    """Fused decode -> numpy expression -> aggregate, one pass — the
+    ST_BandMath / ST_NormalizedDifferenceStats analog (reference
+    src/raster/band_math.cpp:39-455 fuses the per-pixel expression with
+    the stats accumulator so the derived band never materializes).
+
+    Only the payloads named in ``cols`` are read (Parquet column
+    pruning); each block row emits one 5-field partial
+    (cnt/sum/sum_sq/min/max over the expression's finite values); a tiny
+    hash aggregate merges them. The derived column never exists as a
+    Spark column, never shuffles, never re-encodes. ``expr_fn`` receives
+    a dict of float64 numpy arrays (NULL -> NaN) and returns one array;
+    NaN/inf results are excluded from the stats (nodata semantics)."""
+    specs = _colspecs(man, cols)
+    needed = ["n_rows"] + [blob_col(n) for n, _, _ in specs]
+    src = blocks.select(*needed)
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n_rows_col = rb.column(rb.schema.get_field_index("n_rows"))
+            payload_cols = {
+                name: rb.column(rb.schema.get_field_index(blob_col(name)))
+                for name, _, _ in specs
+            }
+            cnt = 0
+            s = 0.0
+            ss = 0.0
+            mn = np.inf
+            mx = -np.inf
+            for i in range(rb.num_rows):
+                n = n_rows_col[i].as_py()
+                arrs = {}
+                for name, _, kind in specs:
+                    a = selector.decode_column_arrow(
+                        bytes(payload_cols[name][i].as_py()), kind, n
+                    )
+                    if pa.types.is_timestamp(a.type):
+                        a = a.cast(pa.int64())  # epoch-us view
+                    arrs[name] = a.cast(pa.float64()).to_numpy(zero_copy_only=False)
+                y = np.asarray(expr_fn(arrs), dtype=np.float64)
+                y = y[np.isfinite(y)]
+                if len(y):
+                    cnt += len(y)
+                    s += float(y.sum())
+                    ss += float(np.square(y).sum())
+                    mn = min(mn, float(y.min()))
+                    mx = max(mx, float(y.max()))
+            if cnt:
+                yield pa.RecordBatch.from_pylist(
+                    [{"cnt": cnt, "sum": s, "sum_sq": ss, "min": mn, "max": mx}]
+                )
+
+    partials = src.mapInArrow(
+        fn, schema="cnt long, sum double, sum_sq double, min double, max double"
+    )
+    agg = partials.agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum").alias("sum"),
+        F.sum("sum_sq").alias("sum_sq"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+    )
+    return agg.select(
+        "cnt",
+        "sum",
+        (F.col("sum") / F.col("cnt")).alias("mean"),
+        "min",
+        "max",
+        F.sqrt(
+            (F.col("sum_sq") - F.col("sum") * F.col("sum") / F.col("cnt"))
+            / (F.col("cnt") - 1)
+        ).alias("stddev"),
+    )
+
+
+# ------------------------------------------------- catalog-table surface ----
+
+
+def _manifest_from_rows(rows) -> dict:
+    mans = [mf.from_json(r[0]) for r in rows if r[0]]
+    if not mans:
+        raise ValueError("no manifest row (block = 0) found")
+    return max(mans, key=lambda m: m.get("created_unix") or 0)
+
+
+def register_table(spark: SparkSession, path: str, name: str) -> None:
+    """Expose a raquet path as a SQL-addressable table (temp view) — the
+    catalog-table read surface (the reference's ST_Raster over an
+    already-loaded table, /root/reference/src/raquet_extension.cpp:106-156).
+    On a real deployment this would be an Iceberg table; every reader in
+    this module works identically on the registered view."""
+    read_all(spark, path).createOrReplaceTempView(name)
+
+
+def read_blocks_table(spark: SparkSession, name: str) -> DataFrame:
+    """Data rows of a registered/catalog raquet table."""
+    return spark.table(name).where(F.col(BLOCK) != bk.MANIFEST_BLOCK)
+
+
+def read_manifest_table(spark: SparkSession, name: str) -> dict:
+    rows = (
+        spark.table(name)
+        .where(F.col(BLOCK) == bk.MANIFEST_BLOCK)
+        .select("metadata")
+        .collect()
+    )
+    return _manifest_from_rows(rows)

@@ -80,3 +80,30 @@ def test_spark_submit_encode_job(tmp_path):
     assert summary["num_rows"] == 400
     assert summary["enc_bytes"] < summary["raw_bytes"]
     assert os.path.exists(os.path.join(out_dir, "_raquet_manifest.json"))
+
+
+def test_dist_zip_not_stale():
+    """dist/duckdb_raquet_spark.zip ships with the repo (spark-submit
+    --py-files); its contents must match the source tree byte-for-byte —
+    a stale zip silently deploys old code."""
+    dist = os.path.join(REPO, "dist", f"{packager.PKG}.zip")
+    assert os.path.exists(dist), "dist zip missing — run tools/package.py"
+    src_root = os.path.join(REPO, packager.PKG)
+    want = {}
+    for root, _dirs, files in os.walk(src_root):
+        if "__pycache__" in root:
+            continue
+        for fn in sorted(files):
+            if fn.endswith((".pyc", ".pyo")):
+                continue
+            full = os.path.join(root, fn)
+            with open(full, "rb") as f:
+                want[os.path.relpath(full, REPO)] = f.read()
+    with zipfile.ZipFile(dist) as zf:
+        got = {n: zf.read(n) for n in zf.namelist() if not n.endswith("/")}
+    assert set(got) == set(want), (
+        f"zip drift: only-in-zip={sorted(set(got)-set(want))} "
+        f"only-in-src={sorted(set(want)-set(got))}"
+    )
+    stale = [n for n in want if got[n] != want[n]]
+    assert not stale, f"zip content differs from source for {stale}"

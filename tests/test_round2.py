@@ -1,0 +1,284 @@
+"""Round-2 surface tests: sargable ts-less point lookups, keep-shape
+null masking (ST_ClipMask analog), fused column math, the persisted ANN
+index, digest dedup, LSH hot-bucket capping, scheme-qualified (file://)
+table paths, and FSST greedy-parse equivalence."""
+
+from __future__ import annotations
+
+import random
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_raquet_spark import encode, scan, synth
+from duckdb_raquet_spark.codecs import fsst
+from duckdb_raquet_spark.functions import dedup, multimodal as mm, similarity
+
+pytestmark = pytest.mark.spark
+
+
+# ------------------------------------------------------ ts-less point ----
+
+
+def test_point_lookup_no_ts_high_res(spark, tmp_path):
+    """res >= 13 would need 8192+ isin literals under the old cover-list
+    plan; the two-phase sargable path must stay exact (and cheap)."""
+    df = synth.synth_webtext(spark, 400, num_partitions=4)
+    path = str(tmp_path / "hires")
+    encode.encode_to_path(
+        spark, df, path, target_rows_per_block=64, resolution=13
+    )
+    row = df.orderBy("url").first()
+    got = scan.point_lookup(spark, path, row["url"], cols=["text", "lang"]).collect()
+    assert len(got) == 1
+    assert got[0]["text"] == row["text"] and got[0]["lang"] == row["lang"]
+    missing = scan.point_lookup(
+        spark, path, "https://never.example.com/none", cols=["text"]
+    ).collect()
+    assert missing == []
+
+
+def test_prune_url_hash_plan_has_no_literal_blowup(spark, tmp_path):
+    """The pruned plan must not embed a 2^res cover list."""
+    df = synth.synth_webtext(spark, 200, num_partitions=2)
+    path = str(tmp_path / "hires2")
+    encode.encode_to_path(spark, df, path, target_rows_per_block=64, resolution=13)
+    man = scan.read_manifest(spark, path)
+    blocks = scan.read_blocks(spark, path)
+    from duckdb_raquet_spark import blockkey as bk
+
+    url = df.first()["url"]
+    pruned = scan.prune_blocks_for_url_hash(blocks, man, bk.hash_x_from_url(url))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # a cover-list plan at res 13 would print thousands of literals
+    assert len(plan) < 20000
+    assert pruned.count() >= 1
+
+
+# ------------------------------------------------ keep-shape null mask ----
+
+
+@pytest.fixture(scope="module")
+def small_table(spark):
+    path = "/tmp/raquet_test_round2"
+    df = synth.synth_webtext(spark, 600, num_partitions=4).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    encode.encode_to_path(spark, df, path, target_rows_per_block=128, resolution=3)
+    return df, path
+
+
+def test_mask_to_null_keeps_shape(spark, small_table):
+    df, path = small_table
+    man = scan.read_manifest(spark, path)
+    blocks = scan.read_blocks(spark, path)
+    langs = [r[0] for r in df.select("lang").distinct().collect() if r[0] is not None]
+    keep = sorted(langs)[:1]
+    masked = scan.mask_to_null_in(blocks, man, "lang", keep, null_cols=["text"])
+    dec = scan.decode_blocks(masked, man, ["url", "text", "lang"])
+    got = {r["url"]: (r["text"], r["lang"]) for r in dec.collect()}
+    exp = {r["url"]: (r["text"], r["lang"]) for r in df.collect()}
+    assert len(got) == len(exp)  # row count preserved (keep-shape)
+    for url, (text, lang) in exp.items():
+        g_text, g_lang = got[url]
+        assert g_lang == lang  # coordinates untouched
+        assert g_text == (text if lang in keep else None)
+
+
+def test_mask_values_eq_none_raises(spark, small_table):
+    _, path = small_table
+    man = scan.read_manifest(spark, path)
+    blocks = scan.read_blocks(spark, path)
+    with pytest.raises(ValueError):
+        scan.mask_values_eq(blocks, man, "lang", None)
+
+
+# ------------------------------------------------------ fused col math ----
+
+
+def test_column_math_stats_matches_dataframe(spark, small_table):
+    df, path = small_table
+    man = scan.read_manifest(spark, path)
+    blocks = scan.read_blocks(spark, path)
+    got = scan.column_math_stats(
+        blocks, man, ["n_chars"], lambda a: a["n_chars"] * 2.0 + 1.0
+    ).first()
+    exp = df.select((F.col("n_chars") * 2.0 + 1.0).alias("y")).agg(
+        F.count("y"), F.sum("y"), F.min("y"), F.max("y")
+    ).first()
+    assert got["cnt"] == exp[0]
+    assert got["sum"] == pytest.approx(exp[1], rel=1e-12)
+    assert got["min"] == exp[2] and got["max"] == exp[3]
+
+
+# ------------------------------------------------------------ ANN index ----
+
+
+def test_ann_index_probe_matches_adhoc(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((300, 16)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+    idx = str(tmp_path / "ann_idx")
+    similarity.build_ann_index(emb, "vec_id", "embedding", idx, n_planes=10)
+    a = similarity.ann_lsh(
+        emb, "vec_id", "embedding", q, k=5, n_planes=10, exclude_id=0,
+        index_path=idx,
+    ).collect()
+    b = similarity.ann_lsh(
+        emb, "vec_id", "embedding", q, k=5, n_planes=10, exclude_id=0
+    ).collect()
+    assert [(r["vec_id"], round(r["score"], 9)) for r in a] == [
+        (r["vec_id"], round(r["score"], 9)) for r in b
+    ]
+    # index probe reads a strict subset of buckets: verify pruning pushes
+    plan = (
+        spark.read.parquet(idx)
+        .where(F.col("sig").isin([1, 2, 3]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "In(sig" in plan.replace(" ", "")
+
+
+# ------------------------------------------------------------ dedup ----
+
+
+def test_exact_dedup_digest_groups(spark):
+    rows = [(0, "aa bb"), (1, "aa bb"), (2, "cc"), (3, "dd"), (4, "cc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["keep_id"], r["n_copies"])
+        for r in dedup.exact_dedup(df, "doc_id", "text").collect()
+    }
+    assert got == {(0, 2), (2, 2), (3, 1)}
+
+
+def test_minhash_hot_bucket_chains(spark):
+    """An all-identical boilerplate cluster must not go quadratic: with
+    max_bucket below the cluster size the candidate set is linear, yet
+    the verified pairs still connect the whole cluster."""
+    boiler = "cookie notice please accept our terms and conditions today"
+    rows = [(i, boiler) for i in range(120)]
+    rows += [(1000 + i, f"unique document number {i} with words {i * 7}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", 0.8, k=16, bands=4, max_bucket=50
+    ).collect()
+    # linear, not quadratic: 120 identical docs -> ~119 chained pairs,
+    # far below the 7140 of all-pairs
+    assert 0 < len(pairs) < 400
+    # connectivity: union-find over the emitted pairs joins the cluster
+    parent = {i: i for i in range(120)}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for r in pairs:
+        a, b = int(r["a"]), int(r["b"])
+        if a < 1000 and b < 1000:
+            parent[find(a)] = find(b)
+    assert len({find(i) for i in range(120)}) == 1
+
+
+def test_simhash_max_hamming_guard(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(df, "doc_id", "text", max_hamming=4)
+
+
+def test_simhash_hashers_agree_on_identical_docs(spark):
+    rows = [(0, "same words here"), (1, "same words here"), (2, "totally different content")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for hasher in ("xxh64", "md5_60"):
+        pairs = dedup.simhash_pairs(df, "doc_id", "text", 0, hasher=hasher).collect()
+        assert {(r["a"], r["b"]) for r in pairs} == {(0, 1)}
+
+
+def test_binary_stats_includes_md5(spark):
+    df = spark.createDataFrame([(0, bytearray(b"xyz"))], "id long, payload binary")
+    r = df.select(*mm.binary_stats_col("payload")).first()
+    assert r["n_bytes"] == 3
+    assert len(r["content_md5"]) == 32
+
+
+# ------------------------------------------------------ file:// scheme ----
+
+
+def test_encode_read_roundtrip_file_scheme(spark, tmp_path):
+    """The manifest-last invariant must hold on scheme-qualified paths
+    (the object-store shape) — manifest row, sidecar and lineage all
+    route through the Hadoop FileSystem API."""
+    df = synth.synth_webtext(spark, 150, num_partitions=2)
+    path = "file://" + str(tmp_path / "remote_enc")
+    final = encode.encode_to_path(
+        spark, df, path, target_rows_per_block=64, resolution=2
+    )
+    assert final["num_rows"] == 150
+    man = scan.read_manifest(spark, path)
+    assert man["num_rows"] == 150
+    dec = scan.decode_blocks(scan.read_blocks(spark, path), man, ["url", "text"])
+    assert dec.count() == 150
+    from duckdb_raquet_spark import manifest as mf
+
+    lin = mf.read_chunk_lineage(path, spark)
+    assert 0 in lin and lin[0]["rows"] == 150
+
+
+def test_catalog_table_surface(spark, small_table):
+    df, path = small_table
+    scan.register_table(spark, path, "rq_round2")
+    man = scan.read_manifest_table(spark, "rq_round2")
+    assert man["num_rows"] == 600
+    dec = scan.decode_blocks(
+        scan.read_blocks_table(spark, "rq_round2"), man, ["url", "n_chars"]
+    )
+    assert dec.count() == 600
+
+
+# ---------------------------------------------------------------- FSST ----
+
+
+def _greedy_reference(data: bytes, table: list[bytes]) -> bytes:
+    """Independent naive greedy longest-match encoder (spec oracle)."""
+    by_len = sorted(table, key=len, reverse=True)
+    codes = {s: bytes([i]) for i, s in enumerate(table)}
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        for s in by_len:
+            if data.startswith(s, pos):
+                out += codes[s]
+                pos += len(s)
+                break
+        else:
+            out += b"\xff" + data[pos : pos + 1]
+            pos += 1
+    return bytes(out)
+
+
+def test_fsst_compress_matches_greedy_spec():
+    rnd = random.Random(77)
+    for _ in range(30):
+        alpha = bytes(rnd.randrange(256) for _ in range(rnd.randrange(2, 10)))
+        data = bytes(rnd.choice(alpha) for _ in range(rnd.randrange(0, 2500)))
+        table, seen = [], set()
+        for _ in range(rnd.randrange(0, 25)):
+            ln = rnd.randrange(1, 9)
+            start = rnd.randrange(0, max(1, len(data) - ln)) if data else 0
+            s = data[start : start + ln]
+            if s and s not in seen:
+                seen.add(s)
+                table.append(s)
+        enc = fsst.compress(data, table)
+        assert enc == _greedy_reference(data, table)
+        assert fsst.decompress(enc, table) == data
