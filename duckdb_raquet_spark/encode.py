@@ -125,6 +125,7 @@ def encode_block_arrow(
     block: int,
     salt: int,
     ts_col: str | None,
+    effort: str = selector.EFFORT_MAX,
 ) -> dict:
     """Encode one block's rows (an Arrow table) -> one output row dict.
 
@@ -157,7 +158,7 @@ def encode_block_arrow(
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         payload, cname, cstats = selector.encode_column_arrow(
-            col, kind, zlib_level, force=force
+            col, kind, zlib_level, force=force, effort=effort
         )
         row[blob_col(name)] = payload
         codecs[name] = cname
@@ -234,10 +235,12 @@ def encode_block_pdf(
     block: int,
     salt: int,
     ts_col: str | None,
+    effort: str = selector.EFFORT_MAX,
 ) -> dict:
     """pandas wrapper over :func:`encode_block_arrow` (transform path)."""
     return encode_block_arrow(
-        _pdf_to_arrow(pdf, col_specs), col_specs, sort_cols, zlib_level, block, salt, ts_col
+        _pdf_to_arrow(pdf, col_specs), col_specs, sort_cols, zlib_level,
+        block, salt, ts_col, effort
     )
 
 
@@ -246,7 +249,10 @@ def sort_cols_for(columns: list[dict], url_col: str, ts_col: str | None) -> list
     return [c for c in (ts_col, url_col) if c and c in names] or [columns[0]["name"]]
 
 
-def make_encode_fn(columns: list[dict], url_col: str, ts_col: str | None, zlib_level: int):
+def make_encode_fn(
+    columns: list[dict], url_col: str, ts_col: str | None, zlib_level: int,
+    effort: str = selector.EFFORT_MAX,
+):
     """Per-(block, salt) encoder run via applyInArrow: the group arrives
     as a pa.Table (string/binary data stays in Arrow buffers — no pandas
     object materialization, which dominated memory traffic and capped
@@ -263,7 +269,8 @@ def make_encode_fn(columns: list[dict], url_col: str, ts_col: str | None, zlib_l
             k.as_py() if hasattr(k, "as_py") else int(k) for k in key
         )
         row = encode_block_arrow(
-            tbl, col_specs, sort_cols, zlib_level, int(block), int(salt), ts_col
+            tbl, col_specs, sort_cols, zlib_level, int(block), int(salt), ts_col,
+            effort,
         )
         arrays = [
             pa.array([row.get(f.name)], type=f.type) for f in arrow_schema
@@ -288,6 +295,7 @@ def encode_table(
     chunk: tuple[int, int] | None = None,
     num_partitions: int | None = None,
     codec_overrides: dict[str, str] | None = None,
+    effort: str = selector.EFFORT_MAX,
 ) -> tuple[DataFrame, dict]:
     """Lazy encode plan: input rows -> one row per (block, salt).
 
@@ -370,7 +378,7 @@ def encode_table(
     keyed = keyed.repartition(n_parts, BLOCK, SALT)
 
     schema = blocks_schema(columns)
-    encode_fn = make_encode_fn(columns, url_col, ts_col, zlib_level)
+    encode_fn = make_encode_fn(columns, url_col, ts_col, zlib_level, effort)
     blocks = keyed.groupBy(BLOCK, SALT).applyInArrow(encode_fn, schema=schema)
 
     man = mf.build_manifest(
@@ -381,6 +389,7 @@ def encode_table(
         url_col=url_col,
         ts_col=ts_col,
         n_salt=n_salt,
+        extra={"effort": effort},
     )
     return blocks, man
 

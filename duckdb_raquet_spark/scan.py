@@ -393,6 +393,7 @@ def transform_blocks(
     col_specs = [(c["name"], c["kind"], c.get("codec")) for c in columns]
     sort_cols = sort_cols_for(columns, man["url_col"], man["ts_col"])
     ts_col = man["ts_col"]
+    effort = man.get("effort", selector.EFFORT_MAX)
     schema = blocks_schema(columns)
     fcols = list(filter_cols) if filter_cols else [n for n, _, _ in specs]
 
@@ -418,7 +419,8 @@ def transform_blocks(
                     tbl = tbl.filter(pa.array(mask))
                 out_rows.append(
                     encode_block_arrow(
-                        tbl, col_specs, sort_cols, zlib_level, int(r.block), int(r.salt), ts_col
+                        tbl, col_specs, sort_cols, zlib_level,
+                        int(r.block), int(r.salt), ts_col, effort,
                     )
                 )
             if out_rows:
@@ -622,6 +624,7 @@ def transform_blocks_to_null(
     col_specs = [(c["name"], c["kind"], c.get("codec")) for c in columns]
     sort_cols = sort_cols_for(columns, man["url_col"], man["ts_col"])
     ts_col = man["ts_col"]
+    effort = man.get("effort", selector.EFFORT_MAX)
     schema = blocks_schema(columns)
     kindmap = {c["name"]: c["kind"] for c in columns}
     fcols = list(filter_cols) if filter_cols else [n for n, _, _ in specs]
@@ -654,7 +657,7 @@ def transform_blocks_to_null(
                 out_rows.append(
                     encode_block_arrow(
                         pa.table(cols), col_specs, sort_cols, zlib_level,
-                        int(r.block), int(r.salt), ts_col,
+                        int(r.block), int(r.salt), ts_col, effort,
                     )
                 )
             if out_rows:

@@ -68,10 +68,23 @@ def _sample_slices(data: bytes, k: int = 3, each: int = 1 << 15) -> bytes:
     return b"".join(data[i * step : i * step + each] for i in range(k))
 
 
+EFFORT_MAX = "max"
+EFFORT_FAST = "fast"
+
+
 def encode_str_auto(
-    arr: pa.Array, zlib_level: int = 6, force: str | None = None
+    arr: pa.Array, zlib_level: int = 6, force: str | None = None,
+    effort: str = EFFORT_MAX,
 ) -> bytes:
     """Measured best-of over stats-gated string candidates.
+
+    ``effort`` trades compression for encode throughput: ``"max"``
+    (default) races every gated candidate including bz2 — the size
+    winner on web text (measured 0.61x the reference codec) at ~3 MB/s
+    per core through the BWT; ``"fast"`` drops the bz2 candidate, which
+    is >90% of kernel CPU, for ~3x the encode throughput at ~0.99x the
+    reference codec size (still within the ≤-reference guarantee — zlib
+    remains in every race either way).
 
     ``force`` pins one codec (user per-column override — the reference
     encoder's explicit `compression` parameter) instead of the measured
@@ -118,7 +131,7 @@ def encode_str_auto(
     cands: list[bytes] = []
 
     zlib_est = None
-    if n and st["data_bytes"] >= BZ2_MIN_BYTES:
+    if n and effort != EFFORT_FAST and st["data_bytes"] >= BZ2_MIN_BYTES:
         # estimate-then-commit: compress three spread slices with both
         # codecs; run the full bz2 encode only when the sampled ratio
         # projects a >=BZ2_MIN_GAIN win over zlib
@@ -206,7 +219,7 @@ def validate_override(kind: str, codec: str) -> None:
 
 def encode_column_arrow(
     arr: pa.Array | pa.ChunkedArray, kind: str, zlib_level: int = 6,
-    force: str | None = None,
+    force: str | None = None, effort: str = EFFORT_MAX,
 ) -> tuple[bytes, str, dict]:
     """Encode one Arrow column of a block -> (payload, codec name, stats).
 
@@ -222,10 +235,12 @@ def encode_column_arrow(
         arr = _as_large_binary(arr)
         if arr.null_count:
             validity = arr.is_valid().to_numpy(zero_copy_only=False)
-            inner = encode_str_auto(arr.drop_null(), zlib_level, force=force)
+            inner = encode_str_auto(
+                arr.drop_null(), zlib_level, force=force, effort=effort
+            )
             payload = registry.encode_nullable(validity, inner)
         else:
-            payload = encode_str_auto(arr, zlib_level, force=force)
+            payload = encode_str_auto(arr, zlib_level, force=force, effort=effort)
         raw = int(pa.compute.sum(pa.compute.binary_length(arr)).as_py() or 0)
     elif kind == KIND_DOUBLE:
         # doubles: raw IEEE-754 bit patterns (bijective int64 view);

@@ -51,6 +51,14 @@ def main() -> None:
         "`compression` parameter, per column; repeatable",
     )
     ap.add_argument(
+        "--effort",
+        choices=("max", "fast"),
+        default="max",
+        help="codec effort: max = size-optimal candidate race (bz2 "
+        "included); fast = drop the bz2 candidate for ~3x encode "
+        "throughput at ~0.99x the reference codec size",
+    )
+    ap.add_argument(
         "--synth-rows",
         type=int,
         default=0,
@@ -86,6 +94,7 @@ def main() -> None:
         target_rows_per_block=args.target_rows_per_block,
         zlib_level=args.zlib_level,
         codec_overrides=dict(kv.split("=", 1) for kv in args.codec) or None,
+        effort=args.effort,
     )
     summary = {
         k: man[k]

@@ -282,3 +282,22 @@ def test_fsst_compress_matches_greedy_spec():
         enc = fsst.compress(data, table)
         assert enc == _greedy_reference(data, table)
         assert fsst.decompress(enc, table) == data
+
+
+def test_effort_fast_roundtrip(spark, tmp_path):
+    """effort='fast' drops the bz2 candidate (throughput mode) but keeps
+    bit-identity and the <=-reference guarantee (zlib stays in the race)."""
+    df = synth.synth_webtext(spark, 200, num_partitions=2)
+    path = str(tmp_path / "fast_enc")
+    final = encode.encode_to_path(
+        spark, df, path, target_rows_per_block=64, resolution=2, effort="fast"
+    )
+    assert final["effort"] == "fast"
+    man = scan.read_manifest(spark, path)
+    dec = scan.decode_blocks(scan.read_blocks(spark, path), man, ["url", "text"])
+    assert dec.exceptAll(df.select("url", "text")).count() == 0
+    assert not any(
+        "bz2" in codec
+        for inner in final["codec_histogram"].values()
+        for codec in inner
+    )
