@@ -208,6 +208,27 @@ def q_rt_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rt_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved column-group layout (interleave_bands analog,
+    reference band_encoder.cpp:333-352): text+html share ONE blob
+    compressed as one stream; decode of a grouped member must stay
+    bit-exact."""
+    df = _webtext(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/raquet_entry_grouped_{tag}_v{drs.__version__}"
+    try:
+        man = scan.read_manifest(spark, path)
+        if man.get("engine") != f"duckdb_raquet_spark/{drs.__version__}":
+            raise ValueError
+    except Exception:
+        man = encode.encode_to_path(
+            spark, df, path, target_rows_per_block=512,
+            column_groups=[["text", "html"]],
+        )
+    blocks = scan.read_blocks(spark, path)
+    return scan.decode_blocks(blocks, man, ["doc_id", "text", "lang"])
+
+
 def q_rt_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog-table read surface: the encoded table registered as a SQL
     view (Iceberg stand-in), manifest read from the block=0 row of the
@@ -505,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_mask_eq": q_rt_mask_eq,
         "rt_mask_null": q_rt_mask_null,
         "rt_band_math": q_rt_band_math,
+        "rt_groups": q_rt_groups,
         "rt_catalog": q_rt_catalog,
         "manifest_validate": q_manifest_validate,
         "rt_region_stats": q_rt_region_stats,
@@ -804,6 +826,7 @@ def oracle_sql() -> dict[str, str]:
                    round(max(y), 4) AS max
             FROM (SELECT (n_chars - doc_id)::DOUBLE / (n_chars + doc_id) AS y
                   FROM documents)""",
+        "rt_groups": "SELECT doc_id, text, lang FROM documents",
         "rt_catalog": "SELECT doc_id, text, lang FROM documents",
         "manifest_validate": _MANIFEST_VALIDATE_ORACLE,
         "rt_rollup": _ROLLUP_ORACLE,

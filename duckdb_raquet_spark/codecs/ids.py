@@ -22,6 +22,11 @@ BZ2 = 0x21         # bz2-wrapped inner payload — 900 KB block-sort window
                    #   32 KB window cannot; sample-gated (selector.py)
 NULLABLE = 0x30    # validity bitmap + inner payload of valid values only
 CONST = 0x31       # single repeated value (strings or ints)
+GROUP = 0x32       # k member payloads compressed as ONE stream — the
+                   #   interleaved column-group layout (the reference's
+                   #   interleave_bands, band_encoder.cpp:333-352):
+                   #   correlated columns share one compression window
+                   #   and one fetch
 
 NAMES = {
     INT_PLAIN: "plain",
@@ -35,6 +40,7 @@ NAMES = {
     BZ2: "bz2",
     NULLABLE: "nullable",
     CONST: "const",
+    GROUP: "group",
 }
 
 

@@ -301,6 +301,74 @@ def _decode_nullable(buf: bytes, pos: int) -> pa.Array:
     return str_from_parts(lengths, data, validity)
 
 
+# ----------------------------------------------------------------- GROUP ----
+
+_GROUP_STORE, _GROUP_ZLIB, _GROUP_BZ2 = 0, 1, 2
+
+
+def encode_group(
+    inners: list[bytes], zlib_level: int = 6, effort: str = "max"
+) -> bytes:
+    """Column-group payload: k member payloads compressed as ONE stream —
+    the interleave_bands analog (/root/reference/src/raster/
+    band_encoder.cpp:333-352). Correlated columns share a single
+    compression window (cross-column redundancy zlib/bz2 can exploit)
+    and a single Parquet fetch for co-accessed columns. Members are the
+    cheap structural payloads (plain/FoR), so decode is: decompress
+    once, slice, per-member tagged decode."""
+    concat = b"".join(inners)
+    cands = [(bytes([_GROUP_STORE]), concat)]
+    z = zlib.compress(concat, zlib_level)
+    cands.append((bytes([_GROUP_ZLIB]), z))
+    if effort != "fast" and len(concat) >= 1 << 17:
+        import bz2 as _bz2
+
+        level = min(9, max(1, len(concat) // 100_000 + 1))
+        cands.append((bytes([_GROUP_BZ2]), _bz2.compress(concat, level)))
+    comp_tag, blob = min(cands, key=lambda t: len(t[1]))
+    out = bytearray([ids.GROUP])
+    write_uvarint(out, len(inners))
+    out += comp_tag
+    for p in inners:
+        write_uvarint(out, len(p))
+    out += blob
+    return bytes(out)
+
+
+def decode_group(buf: bytes) -> list[bytes]:
+    """GROUP payload -> list of member payloads (each decode_any-able)."""
+    if buf[0] != ids.GROUP:
+        raise ValueError(f"not a GROUP payload (tag 0x{buf[0]:02x})")
+    k, pos = read_uvarint(buf, 1)
+    comp_tag = buf[pos]
+    pos += 1
+    lens = []
+    for _ in range(k):
+        ln, pos = read_uvarint(buf, pos)
+        lens.append(ln)
+    blob = bytes(buf[pos:])
+    if comp_tag == _GROUP_ZLIB:
+        concat = zlib.decompress(blob)
+    elif comp_tag == _GROUP_BZ2:
+        import bz2 as _bz2
+
+        concat = _bz2.decompress(blob)
+    else:
+        concat = blob
+    out = []
+    off = 0
+    for ln in lens:
+        out.append(concat[off : off + ln])
+        off += ln
+    return out
+
+
+def group_codec_name(payload: bytes) -> str:
+    comp = {_GROUP_STORE: "store", _GROUP_ZLIB: "zlib", _GROUP_BZ2: "bz2"}
+    k, pos = read_uvarint(payload, 1)
+    return f"group[{k}]({comp.get(payload[pos], '?')})"
+
+
 # -------------------------------------------------------------- dispatch ----
 
 _INT_TAGS = {ids.INT_PLAIN, ids.INT_FOR, ids.INT_DELTA, ids.INT_RLE}

@@ -73,18 +73,34 @@ def blob_col(name: str) -> str:
     return f"{name}_blob"
 
 
-def blocks_schema(columns: list[dict]) -> T.StructType:
+def member_to_group(groups: dict[str, list[str]] | None) -> dict[str, str]:
+    return {m: g for g, ms in (groups or {}).items() for m in ms}
+
+
+def blocks_schema(
+    columns: list[dict], groups: dict[str, list[str]] | None = None
+) -> T.StructType:
     """Output schema: one binary payload column per encoded input column
     (fixed columns, not a map, so Parquet prunes untouched payloads —
     the reference's single-band-fetch property,
-    /root/reference/docs/PERFORMANCE_COMPARISON.md:154-156)."""
+    /root/reference/docs/PERFORMANCE_COMPARISON.md:154-156). Columns in
+    a column group share ONE interleaved blob (named after the group),
+    emitted at the first member's position — the interleave_bands layout
+    (ref band_encoder.cpp:333-352)."""
+    m2g = member_to_group(groups)
     fields = [
         T.StructField(BLOCK, T.LongType(), False),
         T.StructField(SALT, T.IntegerType(), False),
         T.StructField("n_rows", T.LongType(), False),
     ]
+    emitted: set[str] = set()
     for c in columns:
-        fields.append(T.StructField(blob_col(c["name"]), T.BinaryType()))
+        g = m2g.get(c["name"])
+        if g is None:
+            fields.append(T.StructField(blob_col(c["name"]), T.BinaryType()))
+        elif g not in emitted:
+            emitted.add(g)
+            fields.append(T.StructField(blob_col(g), T.BinaryType()))
     fields += [
         T.StructField("codecs", T.StringType()),
         T.StructField("stats", STATS_TYPE),
@@ -126,6 +142,7 @@ def encode_block_arrow(
     salt: int,
     ts_col: str | None,
     effort: str = selector.EFFORT_MAX,
+    groups: dict[str, list[str]] | None = None,
 ) -> dict:
     """Encode one block's rows (an Arrow table) -> one output row dict.
 
@@ -152,18 +169,28 @@ def encode_block_arrow(
     raw_total = 0
     enc_total = 0
     ts_min = ts_max = None
+    m2g = member_to_group(groups)
+    pending: dict[str, dict[str, bytes]] = {}
     for name, kind, *rest in col_specs:
         force = rest[0] if rest else None
         col = tbl[name]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        payload, cname, cstats = selector.encode_column_arrow(
-            col, kind, zlib_level, force=force, effort=effort
-        )
-        row[blob_col(name)] = payload
-        codecs[name] = cname
+        if name in m2g:
+            # group member: cheap structural payload now, shared
+            # compression once per group below
+            payload, _, cstats = selector.encode_column_arrow(
+                col, kind, zlib_level, force="plain"
+            )
+            pending.setdefault(m2g[name], {})[name] = payload
+        else:
+            payload, cname, cstats = selector.encode_column_arrow(
+                col, kind, zlib_level, force=force, effort=effort
+            )
+            row[blob_col(name)] = payload
+            codecs[name] = cname
+            enc_total += len(payload)
         raw_total += cstats["raw_bytes"]
-        enc_total += len(payload)
         if kind == selector.KIND_STRING:
             valid = col.drop_null()
             if len(valid):
@@ -191,6 +218,16 @@ def encode_block_arrow(
                 num_stats[name] = st
                 if ts_col and name == ts_col:
                     ts_min, ts_max = st["min"], st["max"]
+    from .codecs import registry as _registry
+
+    for g, members in (groups or {}).items():
+        inners = [pending[g][m] for m in members]
+        payload = _registry.encode_group(inners, zlib_level, effort)
+        row[blob_col(g)] = payload
+        cname = _registry.group_codec_name(payload)
+        for m in members:
+            codecs[m] = cname
+        enc_total += len(payload)
     row["codecs"] = json.dumps(codecs, sort_keys=True)
     row["stats"] = {
         "n_rows": n,
@@ -236,11 +273,12 @@ def encode_block_pdf(
     salt: int,
     ts_col: str | None,
     effort: str = selector.EFFORT_MAX,
+    groups: dict[str, list[str]] | None = None,
 ) -> dict:
     """pandas wrapper over :func:`encode_block_arrow` (transform path)."""
     return encode_block_arrow(
         _pdf_to_arrow(pdf, col_specs), col_specs, sort_cols, zlib_level,
-        block, salt, ts_col, effort
+        block, salt, ts_col, effort, groups
     )
 
 
@@ -252,6 +290,7 @@ def sort_cols_for(columns: list[dict], url_col: str, ts_col: str | None) -> list
 def make_encode_fn(
     columns: list[dict], url_col: str, ts_col: str | None, zlib_level: int,
     effort: str = selector.EFFORT_MAX,
+    groups: dict[str, list[str]] | None = None,
 ):
     """Per-(block, salt) encoder run via applyInArrow: the group arrives
     as a pa.Table (string/binary data stays in Arrow buffers — no pandas
@@ -262,7 +301,7 @@ def make_encode_fn(
     sort_cols = sort_cols_for(columns, url_col, ts_col)
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    arrow_schema = to_arrow_schema(blocks_schema(columns))
+    arrow_schema = to_arrow_schema(blocks_schema(columns, groups))
 
     def encode_fn(key: tuple, tbl: "pa.Table") -> "pa.Table":
         block, salt = (
@@ -270,7 +309,7 @@ def make_encode_fn(
         )
         row = encode_block_arrow(
             tbl, col_specs, sort_cols, zlib_level, int(block), int(salt), ts_col,
-            effort,
+            effort, groups,
         )
         arrays = [
             pa.array([row.get(f.name)], type=f.type) for f in arrow_schema
@@ -296,6 +335,7 @@ def encode_table(
     num_partitions: int | None = None,
     codec_overrides: dict[str, str] | None = None,
     effort: str = selector.EFFORT_MAX,
+    column_groups: list[list[str]] | None = None,
 ) -> tuple[DataFrame, dict]:
     """Lazy encode plan: input rows -> one row per (block, salt).
 
@@ -314,6 +354,25 @@ def encode_table(
     names = {c["name"] for c in columns}
     if url_col not in names:
         raise ValueError(f"url_col {url_col!r} not in {sorted(names)}")
+    groups: dict[str, list[str]] | None = None
+    if column_groups:
+        groups = {}
+        seen: set[str] = set()
+        for members in column_groups:
+            if len(members) < 2:
+                raise ValueError("a column group needs >= 2 members")
+            for m in members:
+                if m not in names:
+                    raise ValueError(f"group member {m!r} not a column")
+                if m in seen:
+                    raise ValueError(f"column {m!r} in more than one group")
+                if codec_overrides and m in codec_overrides:
+                    raise ValueError(
+                        f"column {m!r} cannot have both a codec override "
+                        "and a group (the group owns its compression)"
+                    )
+                seen.add(m)
+            groups["+".join(members)] = list(members)
     if codec_overrides:
         # explicit per-column codec, the reference encoder's `compression`
         # parameter re-expressed per column (read_raster named param,
@@ -377,8 +436,8 @@ def encode_table(
     # in write_blocks, which are ~5x smaller than the input
     keyed = keyed.repartition(n_parts, BLOCK, SALT)
 
-    schema = blocks_schema(columns)
-    encode_fn = make_encode_fn(columns, url_col, ts_col, zlib_level, effort)
+    schema = blocks_schema(columns, groups)
+    encode_fn = make_encode_fn(columns, url_col, ts_col, zlib_level, effort, groups)
     blocks = keyed.groupBy(BLOCK, SALT).applyInArrow(encode_fn, schema=schema)
 
     man = mf.build_manifest(
@@ -389,7 +448,7 @@ def encode_table(
         url_col=url_col,
         ts_col=ts_col,
         n_salt=n_salt,
-        extra={"effort": effort},
+        extra={"effort": effort, "column_groups": groups},
     )
     return blocks, man
 
@@ -455,7 +514,7 @@ def _append_manifest_row(
     dest = target or _data_path(path)
     if mode == "overwrite":
         fsio.delete_dir(spark, dest)
-    arrow_schema = to_arrow_schema(blocks_schema(columns))
+    arrow_schema = to_arrow_schema(blocks_schema(columns, man.get("column_groups")))
     values = {
         BLOCK: bk.MANIFEST_BLOCK,
         SALT: 0,

@@ -88,6 +88,39 @@ def _colspecs(man: dict, cols: list[str] | None) -> list[tuple[str, str, str]]:
     return specs
 
 
+
+def _blob_plan(man: dict, specs: list[tuple[str, str, str]]):
+    """Resolve which blob columns the requested logical columns live in
+    (column-group members share one interleaved blob) and build a
+    per-row payload getter that decompresses each touched group ONCE."""
+    from .codecs import registry as _registry
+
+    groups = man.get("column_groups") or {}
+    m2g = {m: g for g, ms in groups.items() for m in ms}
+    blob_names: list[str] = []
+    seen: set[str] = set()
+    for name, _, _ in specs:
+        b = blob_col(m2g.get(name, name))
+        if b not in seen:
+            seen.add(b)
+            blob_names.append(b)
+
+    def payload_getter(get_blob):
+        cache: dict[str, list[bytes]] = {}
+
+        def get(name: str) -> bytes:
+            g = m2g.get(name)
+            if g is None:
+                return get_blob(blob_col(name))
+            if g not in cache:
+                cache[g] = _registry.decode_group(get_blob(blob_col(g)))
+            return cache[g][groups[g].index(name)]
+
+        return get
+
+    return blob_names, payload_getter
+
+
 def decode_blocks(
     blocks: DataFrame,
     man: dict,
@@ -106,7 +139,8 @@ def decode_blocks(
     from pyspark.sql.pandas.types import to_arrow_schema
 
     specs = _colspecs(man, cols)
-    needed = [BLOCK, SALT, "n_rows"] + [blob_col(n) for n, _, _ in specs]
+    blob_names, payload_getter = _blob_plan(man, specs)
+    needed = [BLOCK, SALT, "n_rows"] + blob_names
     src = blocks.select(*needed)  # Parquet reads only these payloads
     schema_parts = []
     if with_block:
@@ -121,11 +155,11 @@ def decode_blocks(
             blk_col = rb.column(rb.schema.get_field_index(BLOCK))
             salt_col = rb.column(rb.schema.get_field_index(SALT))
             payload_cols = {
-                name: rb.column(rb.schema.get_field_index(blob_col(name)))
-                for name, _, _ in specs
+                b: rb.column(rb.schema.get_field_index(b)) for b in blob_names
             }
             for i in range(rb.num_rows):
                 n = n_rows_col[i].as_py()
+                get = payload_getter(lambda b, i=i: bytes(payload_cols[b][i].as_py()))
                 arrays = []
                 if with_block:
                     arrays.append(
@@ -141,8 +175,7 @@ def decode_blocks(
                         )
                     )
                 for name, _, kind in specs:
-                    payload = payload_cols[name][i].as_py()
-                    arr = selector.decode_column_arrow(bytes(payload), kind, n)
+                    arr = selector.decode_column_arrow(get(name), kind, n)
                     arrays.append(arr)
                 yield pa.RecordBatch.from_arrays(
                     [
@@ -394,18 +427,22 @@ def transform_blocks(
     sort_cols = sort_cols_for(columns, man["url_col"], man["ts_col"])
     ts_col = man["ts_col"]
     effort = man.get("effort", selector.EFFORT_MAX)
-    schema = blocks_schema(columns)
+    groups = man.get("column_groups") or None
+    schema = blocks_schema(columns, groups)
+    blob_names, payload_getter = _blob_plan(man, specs)
     fcols = list(filter_cols) if filter_cols else [n for n, _, _ in specs]
 
     def fn(batches):
         for pdf in batches:
             out_rows = []
-            for r in pdf.itertuples(index=False):
-                n = int(r.n_rows)
+            # plain tuples + an index map: itertuples would mangle group
+            # blob names like "text+html_blob" into positional attrs
+            ix = {c: i for i, c in enumerate(pdf.columns)}
+            for r in pdf.itertuples(index=False, name=None):
+                n = int(r[ix["n_rows"]])
+                get = payload_getter(lambda b, r=r: bytes(r[ix[b]]))
                 arrays = {
-                    name: selector.decode_column_arrow(
-                        bytes(getattr(r, blob_col(name))), kind, n
-                    )
+                    name: selector.decode_column_arrow(get(name), kind, n)
                     for name, _, kind in specs
                 }
                 frame = pd.DataFrame(
@@ -420,14 +457,14 @@ def transform_blocks(
                 out_rows.append(
                     encode_block_arrow(
                         tbl, col_specs, sort_cols, zlib_level,
-                        int(r.block), int(r.salt), ts_col, effort,
+                        int(r[ix[BLOCK]]), int(r[ix[SALT]]), ts_col, effort, groups,
                     )
                 )
             if out_rows:
                 yield pd.DataFrame(out_rows)
 
     kindmap = {c["name"]: c["kind"] for c in columns}
-    needed = [BLOCK, SALT, "n_rows"] + [blob_col(n) for n, _, _ in specs]
+    needed = [BLOCK, SALT, "n_rows"] + blob_names
     src = blocks.select(*needed)
     # the blocks table is compact on disk (few parquet files), so a
     # file-split scan gives far fewer tasks than cores; re-encode is
@@ -491,7 +528,12 @@ def _masked_tri_state(
     n_pass, n_work = int(cnt["n_pass"] or 0), int(cnt["n_work"] or 0)
     passthrough = blocks.where(decided_all)
     if n_work == 0:
-        cols = [f.name for f in blocks_schema(man["columns"]).fields]
+        cols = [
+            f.name
+            for f in blocks_schema(
+                man["columns"], man.get("column_groups")
+            ).fields
+        ]
         return passthrough.select(*cols)
     worked = transform_blocks(
         blocks.where(undecided), man, row_filter, filter_cols=filter_cols
@@ -625,7 +667,9 @@ def transform_blocks_to_null(
     sort_cols = sort_cols_for(columns, man["url_col"], man["ts_col"])
     ts_col = man["ts_col"]
     effort = man.get("effort", selector.EFFORT_MAX)
-    schema = blocks_schema(columns)
+    groups = man.get("column_groups") or None
+    schema = blocks_schema(columns, groups)
+    blob_names, payload_getter = _blob_plan(man, specs)
     kindmap = {c["name"]: c["kind"] for c in columns}
     fcols = list(filter_cols) if filter_cols else [n for n, _, _ in specs]
     to_null = set(null_cols)
@@ -636,12 +680,12 @@ def transform_blocks_to_null(
     def fn(batches):
         for pdf in batches:
             out_rows = []
-            for r in pdf.itertuples(index=False):
-                n = int(r.n_rows)
+            ix = {c: i for i, c in enumerate(pdf.columns)}
+            for r in pdf.itertuples(index=False, name=None):
+                n = int(r[ix["n_rows"]])
+                get = payload_getter(lambda b, r=r: bytes(r[ix[b]]))
                 arrays = {
-                    name: selector.decode_column_arrow(
-                        bytes(getattr(r, blob_col(name))), kind, n
-                    )
+                    name: selector.decode_column_arrow(get(name), kind, n)
                     for name, _, kind in specs
                 }
                 frame = pd.DataFrame(
@@ -657,13 +701,13 @@ def transform_blocks_to_null(
                 out_rows.append(
                     encode_block_arrow(
                         pa.table(cols), col_specs, sort_cols, zlib_level,
-                        int(r.block), int(r.salt), ts_col, effort,
+                        int(r[ix[BLOCK]]), int(r[ix[SALT]]), ts_col, effort, groups,
                     )
                 )
             if out_rows:
                 yield pd.DataFrame(out_rows)
 
-    needed = [BLOCK, SALT, "n_rows"] + [blob_col(n) for n, _, _ in specs]
+    needed = [BLOCK, SALT, "n_rows"] + blob_names
     src = blocks.select(*needed).repartition(BLOCK, SALT)
     return src.mapInPandas(fn, schema=schema)
 
@@ -712,7 +756,8 @@ def column_math_stats(blocks: DataFrame, man: dict, cols: list[str], expr_fn) ->
     a dict of float64 numpy arrays (NULL -> NaN) and returns one array;
     NaN/inf results are excluded from the stats (nodata semantics)."""
     specs = _colspecs(man, cols)
-    needed = ["n_rows"] + [blob_col(n) for n, _, _ in specs]
+    blob_names, payload_getter = _blob_plan(man, specs)
+    needed = ["n_rows"] + blob_names
     src = blocks.select(*needed)
 
     def fn(batches):
@@ -721,8 +766,7 @@ def column_math_stats(blocks: DataFrame, man: dict, cols: list[str], expr_fn) ->
         for rb in batches:
             n_rows_col = rb.column(rb.schema.get_field_index("n_rows"))
             payload_cols = {
-                name: rb.column(rb.schema.get_field_index(blob_col(name)))
-                for name, _, _ in specs
+                b: rb.column(rb.schema.get_field_index(b)) for b in blob_names
             }
             cnt = 0
             s = 0.0
@@ -732,10 +776,9 @@ def column_math_stats(blocks: DataFrame, man: dict, cols: list[str], expr_fn) ->
             for i in range(rb.num_rows):
                 n = n_rows_col[i].as_py()
                 arrs = {}
+                get = payload_getter(lambda b, i=i: bytes(payload_cols[b][i].as_py()))
                 for name, _, kind in specs:
-                    a = selector.decode_column_arrow(
-                        bytes(payload_cols[name][i].as_py()), kind, n
-                    )
+                    a = selector.decode_column_arrow(get(name), kind, n)
                     if pa.types.is_timestamp(a.type):
                         a = a.cast(pa.int64())  # epoch-us view
                     arrs[name] = a.cast(pa.float64()).to_numpy(zero_copy_only=False)

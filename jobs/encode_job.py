@@ -59,6 +59,14 @@ def main() -> None:
         "throughput at ~0.99x the reference codec size",
     )
     ap.add_argument(
+        "--group",
+        action="append",
+        default=[],
+        metavar="COL,COL[,...]",
+        help="store these columns as ONE interleaved blob (column-group "
+        "layout — the reference's interleave_bands); repeatable",
+    )
+    ap.add_argument(
         "--synth-rows",
         type=int,
         default=0,
@@ -95,6 +103,7 @@ def main() -> None:
         zlib_level=args.zlib_level,
         codec_overrides=dict(kv.split("=", 1) for kv in args.codec) or None,
         effort=args.effort,
+        column_groups=[g.split(",") for g in args.group] or None,
     )
     summary = {
         k: man[k]

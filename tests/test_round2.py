@@ -301,3 +301,56 @@ def test_effort_fast_roundtrip(spark, tmp_path):
         for inner in final["codec_histogram"].values()
         for codec in inner
     )
+
+
+# ------------------------------------------------------- column groups ----
+
+
+def test_column_group_roundtrip_and_masks(spark, tmp_path):
+    """Interleaved column-group layout (interleave_bands analog): grouped
+    columns share one blob; decode, point reads, and the mask/transform
+    re-encode paths must all stay bit-exact."""
+    df = synth.synth_webtext(spark, 400, num_partitions=4)
+    path = str(tmp_path / "grouped")
+    final = encode.encode_to_path(
+        spark, df, path, target_rows_per_block=128, resolution=2,
+        column_groups=[["text", "html"]],
+    )
+    assert final["column_groups"] == {"text+html": ["text", "html"]}
+    man = scan.read_manifest(spark, path)
+    blocks = scan.read_blocks(spark, path)
+    # schema holds ONE blob for the group, none for the members
+    assert "text+html_blob" in blocks.columns
+    assert "text_blob" not in blocks.columns and "html_blob" not in blocks.columns
+    # codecs record the group for each member
+    import json as _json
+
+    c = _json.loads(blocks.select("codecs").first()[0])
+    assert c["text"].startswith("group[2](") and c["html"] == c["text"]
+    # full round trip, including the binary member
+    dec = scan.decode_blocks(blocks, man, ["url", "text", "html", "lang"])
+    key = [
+        F.col("url"), F.col("text"), F.md5(F.base64("html")).alias("h"), F.col("lang")
+    ]
+    assert dec.select(*key).exceptAll(df.select(*key)).count() == 0
+    assert dec.count() == 400
+    # single-member decode reads only the group blob (still correct)
+    one = scan.decode_blocks(blocks, man, ["text"])
+    assert one.count() == 400
+    # mask re-encode path round-trips grouped blobs too
+    langs = sorted(
+        r[0] for r in df.select("lang").distinct().collect() if r[0] is not None
+    )
+    masked = scan.mask_values_in(blocks, man, "lang", langs[:2])
+    got = scan.decode_blocks(masked, man, ["url", "text"])
+    exp = df.where(F.col("lang").isin(langs[:2])).select("url", "text")
+    assert got.exceptAll(exp).count() == 0 and got.count() == exp.count()
+
+
+def test_group_codec_unit():
+    from duckdb_raquet_spark.codecs import registry
+
+    inners = [b"\x10abcdef" * 10, b"\x00" + b"\x01" * 64, b""]
+    payload = registry.encode_group(inners, 6)
+    assert registry.decode_group(payload) == inners
+    assert registry.group_codec_name(payload).startswith("group[3](")
