@@ -368,6 +368,24 @@ def q_txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", textfn.fingerprint_md5_col("text").alias("fp"))
 
 
+def q_txt_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer count (letters-run | digit | punct-run) —
+    the 'tokens the model will see' estimator, pure regexp_count."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textfn.token_count_bpe_col("text").cast("int").alias("n_bpe")
+    )
+
+
+def q_txt_fp_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling fingerprint: min of md5-60 hashes over
+    sliding 8-token windows — document sketch, pure Column exprs."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textfn.fingerprint_rolling_md5_col("text", 8).alias("fp")
+    )
+
+
 def q_txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", textfn.langid_udf()(F.col("text")).alias("pred_lang"))
@@ -538,6 +556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_tokens": q_txt_tokens,
         "txt_quality": q_txt_quality,
         "txt_fingerprint": q_txt_fingerprint,
+        "txt_tokens_bpe": q_txt_tokens_bpe,
+        "txt_fp_rolling": q_txt_fp_rolling,
         "txt_langid": q_txt_langid,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
@@ -861,6 +881,18 @@ def oracle_sql() -> dict[str, str]:
                     + least(1.0, sw * 10.0 / greatest(n_tokens, 1)) * 0.5, 4) AS quality
             FROM m""",
         "txt_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "txt_tokens_bpe": r"""
+            SELECT doc_id,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))::INT
+                AS n_bpe
+            FROM documents""",
+        "txt_fp_rolling": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            g AS (SELECT doc_id,
+              [('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT
+               FOR i IN range(1, greatest(len(w) - 8, 0) + 2)] AS hs
+            FROM t)
+            SELECT doc_id, list_min(hs) AS fp FROM g""",
         "mm_binary_stats": """
             SELECT octet_length(encode(text)) AS n_bytes,
                    min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies

@@ -82,6 +82,44 @@ def quality_columns(text: Column | str, stopwords: list[str] | None = None) -> l
     ]
 
 
+# BPE-ish pre-tokenizer: letter runs, single digits, punctuation runs —
+# the GPT-2-style split shape (contiguous letters are one token, digits
+# split singly, punctuation separate), kept to a regex subset that means
+# the same thing in Java regex (Spark) and RE2 (DuckDB/engines)
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe_col(text: Column | str) -> Column:
+    """Subword-ish token count via the BPE pre-tokenizer regex — the
+    'how many tokens will the model see' estimator, pure JVM
+    (regexp_count, whole-stage codegen)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_SPLIT_PATTERN))
+
+
+def fingerprint_rolling_md5_col(text: Column | str, window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprint with a cross-engine hash:
+    min over sliding token-window hashes, where the window hash is the
+    top 60 bits of md5 — computable bit-identically in any ANSI engine
+    (same trick as the md5_60 SimHash hasher), so the sketch is
+    oracle-verifiable. Pure Column expressions."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat_ws(" ", F.slice(toks, i + 1, window)), "UTF-8")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return F.array_min(grams)
+
+
 def fingerprint_md5_col(text: Column | str) -> Column:
     """Whole-document fingerprint (md5 hex) — ANSI-SQL portable."""
     return F.md5((F.col(text) if isinstance(text, str) else text).cast("binary"))

@@ -127,18 +127,29 @@ def decode_blocks(
     cols: list[str] | None = None,
     *,
     with_block: bool = False,
+    eq_filter: tuple[str, object] | None = None,
 ) -> DataFrame:
     """blocks -> original rows via mapInArrow (payload bytes in, Arrow
     arrays out — decoded strings never materialize as Python objects;
     the Python loop is per block row, never per value —
     raquet_decode_band analog,
-    /root/reference/src/raster/st_raster_value.cpp:145-211)."""
+    /root/reference/src/raster/st_raster_value.cpp:145-211).
+
+    ``eq_filter=(col, value)`` is the single-element-extract fast path
+    (get_pixel_value analog, ref st_raster_value.cpp:352-420): the
+    filter column decodes FIRST; blocks with no matching row skip every
+    other payload entirely, and matching blocks emit only the matching
+    rows (element take, not full-block Arrow transfer). Point lookups
+    over many candidate blocks decode exactly one payload per miss."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from pyspark.sql import types as T
     from pyspark.sql.pandas.types import to_arrow_schema
 
     specs = _colspecs(man, cols)
+    if eq_filter is not None and eq_filter[0] not in {s[0] for s in specs}:
+        raise ValueError(f"eq_filter column {eq_filter[0]!r} not in decode set")
     blob_names, payload_getter = _blob_plan(man, specs)
     needed = [BLOCK, SALT, "n_rows"] + blob_names
     src = blocks.select(*needed)  # Parquet reads only these payloads
@@ -160,22 +171,43 @@ def decode_blocks(
             for i in range(rb.num_rows):
                 n = n_rows_col[i].as_py()
                 get = payload_getter(lambda b, i=i: bytes(payload_cols[b][i].as_py()))
+                decoded: dict[str, pa.Array] = {}
+                take_idx = None
+                if eq_filter is not None:
+                    fname, fval = eq_filter
+                    kind = next(k for nm, _, k in specs if nm == fname)
+                    farr = selector.decode_column_arrow(get(fname), kind, n)
+                    eq = pc.equal(farr, pa.scalar(fval, type=farr.type))
+                    idx = np.flatnonzero(
+                        eq.to_numpy(zero_copy_only=False) == True  # noqa: E712
+                    )
+                    if len(idx) == 0:
+                        continue  # no other payload is touched
+                    take_idx = pa.array(idx)
+                    decoded[fname] = farr.take(take_idx)
+                    n_out = len(idx)
+                else:
+                    n_out = n
                 arrays = []
                 if with_block:
                     arrays.append(
                         pa.array(
-                            np.full(n, blk_col[i].as_py(), dtype=np.int64),
+                            np.full(n_out, blk_col[i].as_py(), dtype=np.int64),
                             type=pa.int64(),
                         )
                     )
                     arrays.append(
                         pa.array(
-                            np.full(n, salt_col[i].as_py(), dtype=np.int32),
+                            np.full(n_out, salt_col[i].as_py(), dtype=np.int32),
                             type=pa.int32(),
                         )
                     )
                 for name, _, kind in specs:
-                    arr = selector.decode_column_arrow(get(name), kind, n)
+                    arr = decoded.get(name)
+                    if arr is None:
+                        arr = selector.decode_column_arrow(get(name), kind, n)
+                        if take_idx is not None:
+                            arr = arr.take(take_idx)
                     arrays.append(arr)
                 yield pa.RecordBatch.from_arrays(
                     [
@@ -215,8 +247,8 @@ def point_lookup(
         pruned = prune_blocks_for_url_hash(blocks, man, bk.hash_x_from_url(url))
     url_col = man["url_col"]
     want = cols if cols is None else list(dict.fromkeys([url_col] + cols))
-    decoded = decode_blocks(pruned, man, want)
-    out = decoded.where(F.col(url_col) == url)
+    decoded = decode_blocks(pruned, man, want, eq_filter=(url_col, url))
+    out = decoded.where(F.col(url_col) == url)  # no-op safety re-check
     return out.select(*cols) if cols is not None else out
 
 

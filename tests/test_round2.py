@@ -354,3 +354,34 @@ def test_group_codec_unit():
     payload = registry.encode_group(inners, 6)
     assert registry.decode_group(payload) == inners
     assert registry.group_codec_name(payload).startswith("group[3](")
+
+
+# ----------------------------------------------------------- text ops ----
+
+
+def test_bpe_token_count_and_rolling_fp(spark):
+    from duckdb_raquet_spark.functions import text as textfn
+
+    df = spark.createDataFrame(
+        [(0, "Hello, world 42!"), (1, "a"), (2, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", textfn.token_count_bpe_col("text").alias("n")
+        ).collect()
+    }
+    # Hello | , | world | 4 | 2 | !  -> 6
+    assert got[0] == 6 and got[1] == 1
+    fp = df.select(
+        "doc_id", textfn.fingerprint_rolling_md5_col("text", 8).alias("fp")
+    ).collect()
+    assert all(r["fp"] is not None for r in fp)
+    # identical text -> identical fingerprint; sliding window really slides
+    again = df.select(
+        "doc_id", textfn.fingerprint_rolling_md5_col("text", 8).alias("fp")
+    ).collect()
+    assert sorted((r["doc_id"], r["fp"]) for r in fp) == sorted(
+        (r["doc_id"], r["fp"]) for r in again
+    )
