@@ -85,7 +85,7 @@ def encode_stream(
             target=f"{enc._data_path(path)}/chunk=-1",
             mode="overwrite",
         )
-        mf.write_sidecar(path, final)
+        mf.write_sidecar(path, final, spark)
         mf.write_chunk_lineage(
             path,
             batch_id,
@@ -97,6 +97,7 @@ def encode_stream(
                 "wall_seconds": round(time.time() - t0, 3),
                 "streaming": True,
             },
+            spark,
         )
 
     writer = stream_df.writeStream.foreachBatch(process_batch).outputMode("append")

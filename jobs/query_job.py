@@ -59,6 +59,18 @@ def main() -> None:
     p.add_argument("--cols", default=None)
     p.add_argument("--limit", type=int, default=None)
 
+    p = sub.add_parser("rollup")
+    p.add_argument("--parent-res", type=int, required=True)
+    p.add_argument("--col", required=True, help="num_stats key, e.g. len_text")
+
+    p = sub.add_parser("bandmath")
+    p.add_argument("--cols", required=True, help="decoded numeric columns, comma-sep")
+    p.add_argument(
+        "--expr",
+        required=True,
+        help="numpy expression over the column names, e.g. '(a - b) / (a + b)'",
+    )
+
     sub.add_parser("manifest")
 
     args = ap.parse_args()
@@ -89,6 +101,18 @@ def main() -> None:
     elif args.cmd == "counts":
         blocks = scan.read_blocks(spark, args.path)
         _rows_out(scan.cat_value_counts(blocks, args.col), None)
+    elif args.cmd == "rollup":
+        blocks = scan.read_blocks(spark, args.path)
+        _rows_out(scan.rollup_stats(blocks, man, args.parent_res, args.col), None)
+    elif args.cmd == "bandmath":
+        import numpy as np
+
+        blocks = scan.read_blocks(spark, args.path)
+        expr = args.expr
+        # The expression is the caller's own code running on their own job;
+        # keep builtins so numpy internals (lazy imports) work under eval.
+        fn = lambda a, expr=expr: eval(expr, {"np": np}, dict(a))  # noqa: E731,S307
+        _rows_out(scan.column_math_stats(blocks, man, cols, fn), None)
     elif args.cmd == "decode":
         blocks = scan.read_blocks(spark, args.path)
         _rows_out(scan.decode_blocks(blocks, man, cols), args.limit)
