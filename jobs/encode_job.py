@@ -46,7 +46,7 @@ def main() -> None:
         action="append",
         default=[],
         metavar="COL=CODEC",
-        help="pin a column's codec (plain|zlib|bz2|dict|fsst; numeric: "
+        help="pin a column's codec (plain|zlib|bz2|zstd|dict|fsst; numeric: "
         "plain|auto) instead of auto-selection — the reference encoder's "
         "`compression` parameter, per column; repeatable",
     )
@@ -55,8 +55,8 @@ def main() -> None:
         choices=("max", "fast"),
         default="max",
         help="codec effort: max = size-optimal candidate race (bz2 "
-        "included); fast = drop the bz2 candidate for ~3x encode "
-        "throughput at ~0.99x the reference codec size",
+        "included); fast = zstd-led race (bz2 dropped, zlib sample-gated) "
+        "for multi-x encode throughput at ~0.99x the reference codec size",
     )
     ap.add_argument(
         "--group",
