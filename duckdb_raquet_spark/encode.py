@@ -319,6 +319,77 @@ def make_encode_fn(
     return encode_fn
 
 
+def make_map_encode_fn(
+    columns: list[dict], url_col: str, ts_col: str | None, zlib_level: int,
+    effort: str = selector.EFFORT_MAX,
+    groups: dict[str, list[str]] | None = None,
+):
+    """Per-PARTITION encoder run via mapInArrow — the shuffle-free
+    encode path. Each input partition locally groups its rows by block
+    key and emits one encoded row per (block, salt=partitionId): the
+    raw bytes never cross the network. The salt dimension already
+    models split blocks (hot-key salting), so readers need no changes —
+    a block's rows are simply spread over as many salted rows as input
+    partitions that touched it.
+
+    The trade, explicitly: with K partitions contributing to each block
+    cell, blobs are ~K× smaller, so compression degrades toward the
+    small-blob regime (the reference has the same trade between tile
+    size and ratio). Right when the input is already clustered by the
+    key dimensions (an Iceberg table partitioned by crawl date ~ the
+    time cells) — then K is small and the shuffle saved at 100 TB is
+    the dominant cost. Wrong for uniformly random input at high
+    resolution; use the default hash-shuffle path there."""
+
+    col_specs = [(c["name"], c["kind"], c.get("codec")) for c in columns]
+    sort_cols = sort_cols_for(columns, url_col, ts_col)
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(blocks_schema(columns, groups))
+    ROWS_PER_OUT_BATCH = 32  # bound driver/exchange batch size (~blobs)
+
+    def encode_partition(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = int(ctx.partitionId()) if ctx is not None else 0
+        batches = list(batches)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        blocks_np = tbl[BLOCK].to_numpy(zero_copy_only=False)
+        order = np.argsort(blocks_np, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        blocks_np = blocks_np[order]
+        bounds = np.flatnonzero(
+            np.r_[True, blocks_np[1:] != blocks_np[:-1], True]
+        )
+        rows: list[dict] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sub = tbl.slice(int(s), int(e - s))
+            rows.append(
+                encode_block_arrow(
+                    sub, col_specs, sort_cols, zlib_level,
+                    int(blocks_np[s]), pid, ts_col, effort, groups,
+                )
+            )
+            if len(rows) >= ROWS_PER_OUT_BATCH:
+                yield _rows_to_batch(rows, arrow_schema)
+                rows = []
+        if rows:
+            yield _rows_to_batch(rows, arrow_schema)
+
+    return encode_partition
+
+
+def _rows_to_batch(rows: list[dict], arrow_schema) -> "pa.RecordBatch":
+    arrays = [
+        pa.array([r.get(f.name) for r in rows], type=f.type)
+        for f in arrow_schema
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+
 def encode_table(
     df: DataFrame,
     *,
@@ -336,8 +407,17 @@ def encode_table(
     codec_overrides: dict[str, str] | None = None,
     effort: str = selector.EFFORT_MAX,
     column_groups: list[list[str]] | None = None,
+    shuffle: str = "hash",
 ) -> tuple[DataFrame, dict]:
     """Lazy encode plan: input rows -> one row per (block, salt).
+
+    ``shuffle`` picks how rows reach their encode group: ``"hash"``
+    (default) is one hash repartition on (block, salt) — every block's
+    rows are co-located, one encoded row per (block, salt). ``"none"``
+    is the map-only path (:func:`make_map_encode_fn`): zero raw-byte
+    shuffle, salt = input partition id, K× more (smaller) block rows
+    when K partitions touch a cell — the explicit scale lever for
+    inputs already clustered by the key dimensions.
 
     Returns (blocks_df, unfinalized manifest). The ONLY shuffle is a
     range repartition on (block, salt) placed BEFORE the groupBy —
@@ -428,17 +508,24 @@ def encode_table(
         )
 
     spark = df.sparkSession
-    n_parts = num_partitions or max(2, spark.sparkContext.defaultParallelism)
-    # hash repartition (satisfies the groupBy's clustered distribution ->
-    # no second exchange) — NOT repartitionByRange, whose boundary
-    # sampling executes the whole child an extra time (a full input scan
-    # here); global block order is restored cheaply on the encoded rows
-    # in write_blocks, which are ~5x smaller than the input
-    keyed = keyed.repartition(n_parts, BLOCK, SALT)
-
     schema = blocks_schema(columns, groups)
-    encode_fn = make_encode_fn(columns, url_col, ts_col, zlib_level, effort, groups)
-    blocks = keyed.groupBy(BLOCK, SALT).applyInArrow(encode_fn, schema=schema)
+    if shuffle == "none":
+        blocks = keyed.mapInArrow(
+            make_map_encode_fn(columns, url_col, ts_col, zlib_level, effort, groups),
+            schema=schema,
+        )
+    elif shuffle == "hash":
+        n_parts = num_partitions or max(2, spark.sparkContext.defaultParallelism)
+        # hash repartition (satisfies the groupBy's clustered distribution
+        # -> no second exchange) — NOT repartitionByRange, whose boundary
+        # sampling executes the whole child an extra time (a full input
+        # scan here); global block order is restored cheaply on the
+        # encoded rows in write_blocks, which are ~5x smaller than input
+        keyed = keyed.repartition(n_parts, BLOCK, SALT)
+        encode_fn = make_encode_fn(columns, url_col, ts_col, zlib_level, effort, groups)
+        blocks = keyed.groupBy(BLOCK, SALT).applyInArrow(encode_fn, schema=schema)
+    else:
+        raise ValueError(f"shuffle must be 'hash' or 'none', got {shuffle!r}")
 
     man = mf.build_manifest(
         columns=columns,
@@ -448,7 +535,7 @@ def encode_table(
         url_col=url_col,
         ts_col=ts_col,
         n_salt=n_salt,
-        extra={"effort": effort, "column_groups": groups},
+        extra={"effort": effort, "column_groups": groups, "shuffle": shuffle},
     )
     return blocks, man
 

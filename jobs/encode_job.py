@@ -67,6 +67,14 @@ def main() -> None:
         "layout — the reference's interleave_bands); repeatable",
     )
     ap.add_argument(
+        "--shuffle",
+        choices=("hash", "none"),
+        default="hash",
+        help="hash = co-locate each block's rows (one shuffle of the raw "
+        "input); none = map-only encode, salt=partition id — zero raw-byte "
+        "shuffle, for inputs already clustered by url-hash/time",
+    )
+    ap.add_argument(
         "--synth-rows",
         type=int,
         default=0,
@@ -104,6 +112,7 @@ def main() -> None:
         codec_overrides=dict(kv.split("=", 1) for kv in args.codec) or None,
         effort=args.effort,
         column_groups=[g.split(",") for g in args.group] or None,
+        shuffle=args.shuffle,
     )
     summary = {
         k: man[k]

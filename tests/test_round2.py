@@ -385,3 +385,46 @@ def test_bpe_token_count_and_rolling_fp(spark):
     assert sorted((r["doc_id"], r["fp"]) for r in fp) == sorted(
         (r["doc_id"], r["fp"]) for r in again
     )
+
+
+# ---------------------------------------------------- map-only encode ----
+
+
+def test_shuffle_none_maponly_roundtrip(spark, tmp_path):
+    """shuffle='none' (map-only encode): zero raw-byte shuffle, salt =
+    input partition id. Same format — every reader works unchanged —
+    with a block's rows spread across one salted row per touching
+    partition."""
+    from pyspark.sql import functions as F
+
+    df = synth.synth_webtext(spark, 300, num_partitions=4)
+    path = str(tmp_path / "maponly_enc")
+    final = encode.encode_to_path(
+        spark, df, path, target_rows_per_block=64, resolution=2, shuffle="none"
+    )
+    assert final["shuffle"] == "none"
+    assert final["num_rows"] == 300
+    man = scan.read_manifest(spark, path)
+    blocks = scan.read_blocks(spark, path)
+    # salts are partition ids (several per block allowed)
+    salts = {r["salt"] for r in blocks.select("salt").distinct().collect()}
+    assert salts <= set(range(4))
+    # bit-exact round trip of the full table
+    dec = scan.decode_blocks(blocks, man, ["url", "warc_ts", "text", "html", "lang"])
+    src = df.select(*dec.columns)
+    assert dec.exceptAll(src).count() == 0
+    assert src.exceptAll(dec).count() == 0
+    # point lookup still prunes to one block key and finds the row
+    probe = df.orderBy("url").first()
+    got = scan.point_lookup(
+        spark, path, probe["url"], cols=["url", "text"], man=man
+    ).collect()
+    assert any(r["url"] == probe["url"] for r in got)
+    # decoded text identical for the probed url (the per-row invariant)
+    assert [r["text"] for r in got if r["url"] == probe["url"]] == [probe["text"]]
+
+
+def test_shuffle_none_rejects_unknown_mode(spark):
+    df = synth.synth_webtext(spark, 50, num_partitions=1)
+    with pytest.raises(ValueError, match="shuffle"):
+        encode.encode_table(df, est_rows=50, shuffle="range")
