@@ -128,6 +128,45 @@ def q_rt_pinned_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.decode_blocks(blocks, man, ["doc_id", "text", "lang"])
 
 
+def q_rt_maponly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only (shuffle='none') encode round trip: zero raw-byte
+    shuffle, salt = input partition id — the scale lever for inputs
+    already clustered by the key dimensions (encode.make_map_encode_fn).
+    Bit-identity must hold exactly as for the shuffled path."""
+    df = _webtext(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/raquet_entry_maponly_{tag}_v{drs.__version__}"
+    try:
+        man = scan.read_manifest(spark, path)
+        if man.get("engine") != f"duckdb_raquet_spark/{drs.__version__}":
+            raise ValueError
+    except Exception:
+        man = encode.encode_to_path(
+            spark, df, path, target_rows_per_block=512, shuffle="none"
+        )
+    blocks = scan.read_blocks(spark, path)
+    return scan.decode_blocks(blocks, man, ["doc_id", "text", "lang"])
+
+
+def q_rt_pinned_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip with text pinned to the zstd codec (pyarrow's bundled
+    codec — the fast-effort workhorse): decode must be bit-exact."""
+    df = _webtext(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/raquet_entry_zstd_{tag}_v{drs.__version__}"
+    try:
+        man = scan.read_manifest(spark, path)
+        if man.get("engine") != f"duckdb_raquet_spark/{drs.__version__}":
+            raise ValueError
+    except Exception:
+        man = encode.encode_to_path(
+            spark, df, path, target_rows_per_block=512,
+            codec_overrides={"text": "zstd"}, effort="fast",
+        )
+    blocks = scan.read_blocks(spark, path)
+    return scan.decode_blocks(blocks, man, ["doc_id", "text", "lang"])
+
+
 def q_rt_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, man = _encoded(spark, sf_dir)
     url = "https://src3.example.com/doc/123"
@@ -535,6 +574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rt_roundtrip": q_rt_roundtrip,
         "rt_pinned_codecs": q_rt_pinned_codecs,
+        "rt_pinned_zstd": q_rt_pinned_zstd,
+        "rt_maponly": q_rt_maponly,
         "rt_point_lookup": q_rt_point_lookup,
         "rt_range_scan": q_rt_range_scan,
         "rt_summary_stats": q_rt_summary_stats,
@@ -819,6 +860,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "rt_roundtrip": "SELECT doc_id, text, lang FROM documents",
         "rt_pinned_codecs": "SELECT doc_id, text, lang FROM documents",
+        "rt_pinned_zstd": "SELECT doc_id, text, lang FROM documents",
+        "rt_maponly": "SELECT doc_id, text, lang FROM documents",
         "rt_point_lookup": "SELECT doc_id, text FROM documents WHERE doc_id = 123",
         "rt_range_scan": f"""
             SELECT doc_id, ({EPOCH0} + doc_id * 60) AS ts_epoch FROM documents
