@@ -148,6 +148,30 @@ def q_rt_maponly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.decode_blocks(blocks, man, ["doc_id", "text", "lang"])
 
 
+def q_rt_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only ingest -> compact_blocks maintenance pass (the Iceberg
+    rewrite_data_files analog): merged blocks must decode bit-identical
+    to the source table."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    dst = f"/tmp/raquet_entry_compact_{tag}_v{drs.__version__}"
+    try:
+        man = scan.read_manifest(spark, dst)
+        if man.get("engine") != f"duckdb_raquet_spark/{drs.__version__}":
+            raise ValueError
+    except Exception:
+        df = _webtext(spark, sf_dir)
+        src = f"/tmp/raquet_entry_maponly_{tag}_v{drs.__version__}"
+        try:
+            scan.read_manifest(spark, src)
+        except Exception:
+            encode.encode_to_path(
+                spark, df, src, target_rows_per_block=512, shuffle="none"
+            )
+        man = scan.compact_to_path(spark, src, dst)
+    blocks = scan.read_blocks(spark, dst)
+    return scan.decode_blocks(blocks, man, ["doc_id", "text", "lang"])
+
+
 def q_rt_pinned_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round trip with text pinned to the zstd codec (pyarrow's bundled
     codec — the fast-effort workhorse): decode must be bit-exact."""
@@ -576,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_pinned_codecs": q_rt_pinned_codecs,
         "rt_pinned_zstd": q_rt_pinned_zstd,
         "rt_maponly": q_rt_maponly,
+        "rt_compact": q_rt_compact,
         "rt_point_lookup": q_rt_point_lookup,
         "rt_range_scan": q_rt_range_scan,
         "rt_summary_stats": q_rt_summary_stats,
@@ -862,6 +887,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_pinned_codecs": "SELECT doc_id, text, lang FROM documents",
         "rt_pinned_zstd": "SELECT doc_id, text, lang FROM documents",
         "rt_maponly": "SELECT doc_id, text, lang FROM documents",
+        "rt_compact": "SELECT doc_id, text, lang FROM documents",
         "rt_point_lookup": "SELECT doc_id, text FROM documents WHERE doc_id = 123",
         "rt_range_scan": f"""
             SELECT doc_id, ({EPOCH0} + doc_id * 60) AS ts_epoch FROM documents

@@ -114,6 +114,41 @@ def prepare_input(spark, rows: int) -> tuple[str, tuple[int, int]]:
     return path, ts_range
 
 
+def prepare_input_clustered(spark, rows: int) -> tuple[str, tuple[int, int]]:
+    """Key-clustered copy of the deterministic input (cached): rows
+    range-sorted by block key, the shape of an Iceberg webtext table
+    partitioned by crawl window — the stated use case of the map-only
+    (shuffle='none') encode path."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from duckdb_raquet_spark import blockkey as bk
+
+    src, ts_range = prepare_input(spark, rows)
+    path = os.path.join(TMP, f"input_{rows}_clustered")
+    meta = os.path.join(TMP, f"input_{rows}_clustered_meta.json")
+    if not os.path.exists(meta):
+        trpb = max(1024, rows // 256)
+        res = bk.choose_resolution(rows, trpb)
+        ts_origin, bucket = bk.ts_params(ts_range[0], ts_range[1], res)
+        df = spark.read.parquet(src)
+        (
+            df.withColumn(
+                "_k",
+                bk.key_col(F.col("url"), F.col("warc_ts"), res, bucket, ts_origin),
+            )
+            .repartitionByRange(64, "_k")
+            .sortWithinPartitions("_k")
+            .drop("_k")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        with open(meta, "w") as f:
+            _json.dump({"ts_range": list(ts_range)}, f)
+    return path, ts_range
+
+
 def force(df) -> int:
     """Execute a DataFrame fully, distributed (no driver collect)."""
     return df.agg({"*": "count"}).first()[0]
@@ -175,7 +210,7 @@ def gzip_baseline_bytes(spark, input_path: str, man: dict) -> int:
 
 def encode_run(
     spark, input_path: str, rows: int, tag: str, ts_range: tuple[int, int],
-    effort: str = "max",
+    effort: str = "max", shuffle: str = "hash",
 ) -> tuple[float, dict]:
     """One timed encode job: read input parquet -> blocks table on disk."""
     from duckdb_raquet_spark import encode
@@ -194,27 +229,30 @@ def encode_run(
         ts_range=ts_range,
         target_rows_per_block=trpb,
         effort=effort,
+        shuffle=shuffle,
     )
     return time.time() - t0, man
 
 
-def warmup(spark, input_path: str, rows: int, ts_range) -> None:
+def warmup(spark, input_path: str, rows: int, ts_range, shuffle: str = "hash") -> None:
     """Untimed full-size encode: Python worker pool, JVM C2/codegen on
     the Arrow + Parquet hot paths, page cache. The timed run then
     measures steady-state job throughput, not session cold start (cold
     first runs are 2-3x slower purely from JIT)."""
-    encode_run(spark, input_path, rows, "warmup", ts_range)
+    encode_run(spark, input_path, rows, "warmup", ts_range, shuffle=shuffle)
 
 
 def run_encode_only(
-    sf_dir: str, cpus: int, rows: int, reps: int = 3, master: str | None = None
+    sf_dir: str, cpus: int, rows: int, reps: int = 3, master: str | None = None,
+    shuffle: str = "hash", clustered: bool = False, effort: str = "max",
 ) -> dict:
     """Steady-state encode throughput: one untimed warmup run, then
     best-of-``reps`` timed runs (JVM C2 keeps improving over the first
     few executions of the Arrow/Parquet hot paths)."""
     spark = make_spark(cpus, master)
-    input_path, ts_range = prepare_input(spark, rows)
-    warmup(spark, input_path, rows, ts_range)
+    prep = prepare_input_clustered if clustered else prepare_input
+    input_path, ts_range = prep(spark, rows)
+    warmup(spark, input_path, rows, ts_range, shuffle=shuffle)
     walls = []
     man = None
     for _ in range(reps):
@@ -223,7 +261,10 @@ def run_encode_only(
         # dirs across reps and later reps measure memory pressure, not
         # the job
         spark.sparkContext._jvm.System.gc()
-        wall, man = encode_run(spark, input_path, rows, f"c{cpus}", ts_range)
+        wall, man = encode_run(
+            spark, input_path, rows, f"c{cpus}", ts_range,
+            effort=effort, shuffle=shuffle,
+        )
         walls.append(wall)
     wall = min(walls)
     out = {
@@ -248,6 +289,9 @@ def run_scaling(
     mode: str = "executors",
     exec_cores: int = 2,
     exec_mem_mb: int = 8192,
+    shuffle: str = "hash",
+    clustered: bool = False,
+    effort: str = "max",
 ) -> dict:
     """Same job, same on-disk input, two cluster sizes in separate JVMs
     -> throughput at both + scaling efficiency (BASELINE.json's N->4N
@@ -290,7 +334,13 @@ def run_scaling(
             str(rows),
             "--sf-dir",
             sf_dir,
+            "--shuffle",
+            shuffle,
+            "--effort",
+            effort,
         ]
+        if clustered:
+            cmd.append("--clustered")
         if master:
             cmd += ["--master", master]
         env = dict(os.environ)
@@ -318,12 +368,17 @@ def run_scaling(
     unit_name = "executors" if mode == "executors" else "cores"
     return {
         "metric": f"encode scaling efficiency {lo} -> {hi} {unit_name}"
-        + (f" ({exec_cores} cores each)" if mode == "executors" else ""),
+        + (f" ({exec_cores} cores each)" if mode == "executors" else "")
+        + (f", shuffle={shuffle}" if shuffle != "hash" else "")
+        + (", clustered input" if clustered else ""),
         "value": round(eff, 4),
         "unit": "efficiency",
         "sf": sf_of(sf_dir),
         "rows": rows,
         "mode": mode,
+        "shuffle": shuffle,
+        "clustered": clustered,
+        "effort": effort,
         "runs": results,
         "gbps_lo": thr_lo,
         "gbps_hi": thr_hi,
@@ -480,6 +535,13 @@ def main() -> None:
     # the bus with other executors)
     ap.add_argument("--exec-cores", type=int, default=2)
     ap.add_argument("--exec-mem-mb", type=int, default=8192)
+    ap.add_argument("--shuffle", choices=("hash", "none"), default="hash")
+    ap.add_argument(
+        "--clustered",
+        action="store_true",
+        help="use the key-clustered input copy (the map-only mode's use case)",
+    )
+    ap.add_argument("--effort", choices=("max", "fast"), default="max")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -491,7 +553,10 @@ def main() -> None:
         # raw puts the low config at ~25 s where overhead is noise.
         rows = max(rows, 1_200_000)
     if args.encode_only:
-        result = run_encode_only(args.sf_dir, args.cpus, rows, master=args.master)
+        result = run_encode_only(
+            args.sf_dir, args.cpus, rows, master=args.master,
+            shuffle=args.shuffle, clustered=args.clustered, effort=args.effort,
+        )
     elif args.scaling:
         hi = args.scaling_hi or (
             4 * args.scaling_lo if args.scaling_mode == "executors" else args.cpus
@@ -504,6 +569,9 @@ def main() -> None:
             mode=args.scaling_mode,
             exec_cores=args.exec_cores,
             exec_mem_mb=args.exec_mem_mb,
+            shuffle=args.shuffle,
+            clustered=args.clustered,
+            effort=args.effort,
         )
     else:
         result = run_headline(args.sf_dir, args.cpus, rows)

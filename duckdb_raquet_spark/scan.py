@@ -19,6 +19,7 @@ any payload byte is touched:
 from __future__ import annotations
 
 import json
+import math
 
 import numpy as np
 import pandas as pd
@@ -882,3 +883,126 @@ def read_manifest_table(spark: SparkSession, name: str) -> dict:
         .collect()
     )
     return _manifest_from_rows(rows)
+
+
+# ------------------------------------------------------------ compaction ----
+
+
+def compact_blocks(
+    blocks: DataFrame,
+    man: dict,
+    zlib_level: int = 6,
+    max_rows_per_block: int = 262144,
+) -> DataFrame:
+    """Merge every block key's rows into canonical rows — the Iceberg
+    ``rewrite_data_files`` / OPTIMIZE analog (the reference's answer is
+    re-running ``read_raster`` over the table; here compaction never
+    touches the raw source). This is the complement of the map-only
+    encode path: ingest shuffle-free (K salted sub-rows per block per
+    touching partition), then compact in the background to the layout a
+    hash-shuffle encode would have produced — bit-identical when the
+    table fits one salt, since block rows are deterministically sorted
+    before encoding.
+
+    Scale shape: only ENCODED payloads move through the groupBy shuffle
+    (~5x smaller than raw); decode+merge+re-encode is block-local.
+    Blocks already in a single row under the row cap pass through with
+    payloads untouched (no decode — the stats-passthrough discipline of
+    the mask path). Merges larger than ``max_rows_per_block`` split into
+    contiguous salted sub-rows of the block-local sort order.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    columns = man["columns"]
+    specs = [(c["name"], c["spark_type"], c["kind"]) for c in columns]
+    col_specs = [(c["name"], c["kind"], c.get("codec")) for c in columns]
+    sort_cols = sort_cols_for(columns, man["url_col"], man["ts_col"])
+    ts_col = man["ts_col"]
+    effort = man.get("effort", selector.EFFORT_MAX)
+    groups = man.get("column_groups") or None
+    schema = blocks_schema(columns, groups)
+    blob_names, payload_getter = _blob_plan(man, specs)
+    arrow_schema = to_arrow_schema(schema)
+    out_names = [f.name for f in arrow_schema]
+
+    def fn(key: tuple, tbl: "pa.Table") -> "pa.Table":
+        block = key[0]
+        block = int(block.as_py() if hasattr(block, "as_py") else block)
+        n_rows_col = tbl["n_rows"].combine_chunks()
+        total = int(pc.sum(n_rows_col).as_py() or 0)
+        if tbl.num_rows == 1 and total <= max_rows_per_block:
+            return tbl.select(out_names)  # passthrough: no decode
+        per_col: dict[str, list] = {name: [] for name, _, _ in specs}
+        for r in range(tbl.num_rows):
+            n = int(n_rows_col[r].as_py())
+            get = payload_getter(lambda b, r=r: tbl[b][r].as_py())
+            for name, _, kind in specs:
+                arr = selector.decode_column_arrow(get(name), kind, n)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                per_col[name].append(arr)
+        merged = pa.table(
+            {name: pa.concat_arrays(per_col[name]) for name, _, _ in specs}
+        )
+        # one deterministic sort up front; contiguous slices become the
+        # salted sub-rows (encode_block_arrow's own sort is then a
+        # stable no-op per slice)
+        idx = pc.sort_indices(
+            merged,
+            sort_keys=[(c, "ascending") for c in sort_cols],
+            null_placement="at_start",
+        )
+        merged = merged.take(idx)
+        n_out = math.ceil(total / max_rows_per_block) if total else 1
+        per = math.ceil(total / n_out) if total else 0
+        rows = []
+        for salt in range(n_out):
+            part = merged.slice(salt * per, per)
+            if part.num_rows == 0 and total:
+                continue
+            rows.append(
+                encode_block_arrow(
+                    part, col_specs, sort_cols, zlib_level, block, salt,
+                    ts_col, effort, groups,
+                )
+            )
+        arrays = [
+            pa.array([r.get(f.name) for r in rows], type=f.type)
+            for f in arrow_schema
+        ]
+        return pa.Table.from_arrays(arrays, schema=arrow_schema)
+
+    return blocks.groupBy(BLOCK).applyInArrow(fn, schema=schema)
+
+
+def compact_to_path(
+    spark: SparkSession, src: str, dst: str, zlib_level: int = 6,
+    max_rows_per_block: int = 262144,
+) -> dict:
+    """Compact a raquet table into a new committed table (sorted write,
+    manifest row last — same write protocol as the encode job)."""
+    from . import encode as enc
+
+    man = read_manifest(spark, src)
+    blocks = read_blocks(spark, src)
+    compacted = compact_blocks(blocks, man, zlib_level, max_rows_per_block)
+    base = {k: v for k, v in man.items() if k not in (
+        "num_blocks", "num_rows", "raw_bytes", "enc_bytes",
+        "codec_histogram", "created_unix",
+    )}
+    base.update({
+        "num_blocks": None, "num_rows": None, "raw_bytes": None,
+        "enc_bytes": None, "codec_histogram": {}, "created_unix": None,
+        "compacted_from": src, "shuffle": "hash",
+    })
+    final = enc.write_blocks(compacted, dst, base, man["columns"])
+    mf.write_chunk_lineage(
+        dst, 0,
+        {"chunk": 0, "rows": final["num_rows"], "raw_bytes": final["raw_bytes"],
+         "enc_bytes": final["enc_bytes"], "compacted_from": src},
+        spark,
+    )
+    return final

@@ -428,3 +428,60 @@ def test_shuffle_none_rejects_unknown_mode(spark):
     df = synth.synth_webtext(spark, 50, num_partitions=1)
     with pytest.raises(ValueError, match="shuffle"):
         encode.encode_table(df, est_rows=50, shuffle="range")
+
+
+# -------------------------------------------------------- compaction ----
+
+
+def test_compact_maponly_reproduces_hash_layout(spark, tmp_path):
+    """compact_blocks is the complement of map-only ingest: map-only
+    (4 partitions) -> compact must reproduce the hash-shuffle encode's
+    layout BIT-FOR-BIT (same blocks, same bytes), because block rows are
+    deterministically sorted before encoding."""
+    df = synth.synth_webtext(spark, 300, num_partitions=4)
+    p_map = str(tmp_path / "mo")
+    p_hash = str(tmp_path / "ha")
+    p_cmp = str(tmp_path / "cmp")
+    encode.encode_to_path(
+        spark, df, p_map, target_rows_per_block=64, resolution=2, shuffle="none"
+    )
+    ref = encode.encode_to_path(
+        spark, df, p_hash, target_rows_per_block=64, resolution=2
+    )
+    final = scan.compact_to_path(spark, p_map, p_cmp)
+    assert final["num_rows"] == 300
+    assert final["num_blocks"] == ref["num_blocks"]
+    assert final["enc_bytes"] == ref["enc_bytes"]
+    assert final["codec_histogram"] == ref["codec_histogram"]
+    # byte-level: every (block, salt) payload identical to the hash run
+    a = scan.read_blocks(spark, p_cmp).select("block", "salt", "text_blob")
+    b = scan.read_blocks(spark, p_hash).select("block", "salt", "text_blob")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # and the decoded content round-trips
+    man = scan.read_manifest(spark, p_cmp)
+    dec = scan.decode_blocks(scan.read_blocks(spark, p_cmp), man, ["url", "text"])
+    src = df.select("url", "text")
+    assert dec.exceptAll(src).count() == 0 and src.exceptAll(dec).count() == 0
+
+
+def test_compact_passthrough_and_split(spark, tmp_path):
+    """Already-canonical tables pass through untouched; a row cap forces
+    contiguous salted sub-rows that still decode bit-exactly."""
+    df = synth.synth_webtext(spark, 200, num_partitions=2)
+    p = str(tmp_path / "src")
+    ref = encode.encode_to_path(spark, df, p, target_rows_per_block=64, resolution=1)
+    man = scan.read_manifest(spark, p)
+    # passthrough: identical payload rows
+    out = scan.compact_blocks(scan.read_blocks(spark, p), man)
+    a = out.select("block", "salt", "text_blob")
+    b = scan.read_blocks(spark, p).select("block", "salt", "text_blob")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # forced split: cap far below block size
+    p2 = str(tmp_path / "split")
+    final = scan.compact_to_path(spark, p, p2, max_rows_per_block=16)
+    assert final["num_rows"] == 200
+    assert final["num_blocks"] > ref["num_blocks"]
+    man2 = scan.read_manifest(spark, p2)
+    dec = scan.decode_blocks(scan.read_blocks(spark, p2), man2, ["url", "text"])
+    src = df.select("url", "text")
+    assert dec.exceptAll(src).count() == 0 and src.exceptAll(dec).count() == 0
