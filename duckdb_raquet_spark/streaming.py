@@ -41,13 +41,20 @@ def encode_stream(
     url_col: str = "url",
     ts_col: str | None = "warc_ts",
     zlib_level: int = 6,
+    effort: str = "max",
+    codec_overrides: dict[str, str] | None = None,
+    shuffle: str = "hash",
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
 ):
     """Start the streaming encode; returns the StreamingQuery.
 
     ``stream_df`` is any streaming DataFrame with the webtext schema
-    (file source, Kafka + parse, rate + synth, ...)."""
+    (file source, Kafka + parse, rate + synth, ...). ``shuffle="none"``
+    pairs naturally with streaming ingest: each micro-batch partition
+    encodes locally (zero raw-byte shuffle in the hot ingest path) and
+    a background :func:`duckdb_raquet_spark.scan.compact_to_path` pass
+    merges the salted sub-rows into the canonical layout later."""
     if not stream_df.isStreaming:
         raise ValueError("encode_stream needs a streaming DataFrame")
 
@@ -66,6 +73,9 @@ def encode_stream(
             ts_range=(ts_origin, ts_origin),  # pinned geometry
             est_rows=n,
             zlib_level=zlib_level,
+            effort=effort,
+            codec_overrides=codec_overrides,
+            shuffle=shuffle,
         )
         # pin ts_origin explicitly (ts_range above fixes the origin; the
         # effective bucket stays the caller's bucket_seconds)

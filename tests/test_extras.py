@@ -136,3 +136,41 @@ def test_streaming_encode(spark, tmp_path):
     assert got == want  # byte-identical text per url through the stream
     lineage = list((tmp_path / "stream_enc" / "_lineage").glob("chunk-*.json"))
     assert len(lineage) >= 1
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_streaming_encode_maponly_then_compact(spark, tmp_path):
+    """Streaming ingest with shuffle='none' (zero raw-byte shuffle per
+    micro-batch), then a background compaction pass to the canonical
+    layout — the ingest pattern the module docstring promises."""
+    from duckdb_raquet_spark import scan, streaming, synth
+
+    src = str(tmp_path / "src2")
+    synth.synth_webtext(spark, 200, num_partitions=2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "stream_mo")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = streaming.encode_stream(
+        stream, out, resolution=2, ts_origin=1704067200,
+        bucket_seconds=7 * 86400, shuffle="none", effort="fast",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(300)
+    man = scan.read_manifest(spark, out)
+    assert man["num_rows"] == 200
+    compacted = str(tmp_path / "stream_mo_c")
+    final = scan.compact_to_path(spark, out, compacted)
+    assert final["num_rows"] == 200
+    man2 = scan.read_manifest(spark, compacted)
+    dec = scan.decode_blocks(
+        scan.read_blocks(spark, compacted), man2, ["url", "text"]
+    )
+    got = {r["url"]: r["text"] for r in dec.collect()}
+    want = {
+        r["url"]: r["text"]
+        for r in spark.read.parquet(src).select("url", "text").collect()
+    }
+    assert got == want
