@@ -351,6 +351,30 @@ def q_rt_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("block")
 
 
+def q_rt_rollup_ov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root rollup SERVED FROM a materialized overview level (the
+    reference's pre-built overview tiles, read_raster.cpp:1152-1163):
+    stats are exactly mergeable, so the overview-served answer
+    hash-matches the DuckDB oracle that recomputes the same rollup from
+    the raw encoded parquet. Dedicated small-block fixture (res >= 2)
+    so a coarser level actually exists to serve from."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/raquet_entry_ov_{tag}_v{drs.__version__}"
+    try:
+        man = scan.read_manifest(spark, path)
+        if man.get("engine") != f"duckdb_raquet_spark/{drs.__version__}":
+            raise ValueError
+    except Exception:
+        df = _webtext(spark, sf_dir)
+        man = encode.encode_to_path(spark, df, path, target_rows_per_block=32)
+    if not scan.overview_levels(spark, path):
+        scan.build_overviews(spark, path)
+    roll = scan.rollup_stats_served(spark, path, man, 0, "n_chars")
+    return roll.select(
+        "block", "n_rows", "cnt", "sum", "min", "max", F.round("mean", 4).alias("mean")
+    ).orderBy("block")
+
+
 def q_mm_img_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload -> (stubbed, content-derived)
     decode -> resize -> channel-mean features via mapInPandas. The fake
@@ -615,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_validate": q_manifest_validate,
         "rt_region_stats": q_rt_region_stats,
         "rt_rollup": q_rt_rollup,
+        "rt_rollup_ov": q_rt_rollup_ov,
         "mm_img_features": q_mm_img_features,
         "mm_binary_stats": q_mm_binary_stats,
         "enc_metrics": q_enc_metrics,
@@ -719,10 +744,14 @@ SELECT block, res, (vy >> (26 - res)) AS ts_cell, (vx >> (26 - res)) AS hash_cel
 FROM c5 ORDER BY block
 """
 
-_ROLLUP_ORACLE = f"""
+def _rollup_oracle(depth: int) -> str:
+    """DuckDB twin of rollup_stats at parent res = res - depth, computed
+    straight from the ENCODED parquet (the reference's
+    any-engine-can-read-it property, README.md:474-485)."""
+    return f"""
 WITH d AS (
   SELECT block, n_rows, num_stats['n_chars'][1] AS st,
-         greatest(((block >> 52) & 31) - 1, 0) AS pres
+         greatest(((block >> 52) & 31) - {depth}, 0) AS pres
   FROM read_parquet('{_ENC_GLOB}') WHERE block <> 0
 ),
 p AS (SELECT *, (1::BIGINT << (52 - 2*pres)) - 1 AS foot FROM d)
@@ -733,6 +762,9 @@ SELECT ((block & xor({_MORTON}::BIGINT, foot)) | ({_HEADER} | (pres << 52) | foo
 FROM p WHERE st.cnt IS NOT NULL
 GROUP BY 1 ORDER BY 1
 """
+
+
+_ROLLUP_ORACLE = _rollup_oracle(1)
 
 _ENC_METRICS_ORACLE = f"""
 WITH man AS (
@@ -919,6 +951,9 @@ def oracle_sql() -> dict[str, str]:
         "rt_catalog": "SELECT doc_id, text, lang FROM documents",
         "manifest_validate": _MANIFEST_VALIDATE_ORACLE,
         "rt_rollup": _ROLLUP_ORACLE,
+        # depth 31 forces parent res 0 (the root cell) whatever the
+        # fixture's native resolution is
+        "rt_rollup_ov": _rollup_oracle(31),
         "enc_metrics": _ENC_METRICS_ORACLE,
         "key_math": _KEY_MATH_ORACLE,
         "txt_langid": _langid_oracle(),

@@ -243,7 +243,7 @@ def warmup(spark, input_path: str, rows: int, ts_range, shuffle: str = "hash") -
 
 
 def run_encode_only(
-    sf_dir: str, cpus: int, rows: int, reps: int = 3, master: str | None = None,
+    sf_dir: str, cpus: int, rows: int, reps: int = 4, master: str | None = None,
     shuffle: str = "hash", clustered: bool = False, effort: str = "max",
 ) -> dict:
     """Steady-state encode throughput: one untimed warmup run, then
@@ -542,6 +542,7 @@ def main() -> None:
         help="use the key-clustered input copy (the map-only mode's use case)",
     )
     ap.add_argument("--effort", choices=("max", "fast"), default="max")
+    ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -554,7 +555,7 @@ def main() -> None:
         rows = max(rows, 1_200_000)
     if args.encode_only:
         result = run_encode_only(
-            args.sf_dir, args.cpus, rows, master=args.master,
+            args.sf_dir, args.cpus, rows, reps=args.reps, master=args.master,
             shuffle=args.shuffle, clustered=args.clustered, effort=args.effort,
         )
     elif args.scaling:

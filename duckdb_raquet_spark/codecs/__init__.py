@@ -4,8 +4,10 @@ Mirrors the reference's codec layer being pure inverse functions over
 byte buffers (/root/reference/src/raster/band_encoder.cpp /
 band_decoder.cpp), re-expressed for webtext columns: dictionary, RLE,
 FSST symbol tables, frame-of-reference + bit-packing, delta, zlib
-baseline, plus NULLABLE/CONST wrappers. ``decode_any(encode(x)) == x``
-bit-for-bit is the layer's contract (tests/test_codecs.py).
+baseline, bz2 (sample-gated), zstd (pyarrow's bundled codec), plus
+NULLABLE/CONST wrappers and interleaved column GROUPs.
+``decode_any(encode(x)) == x`` bit-for-bit is the layer's contract
+(tests/test_codecs.py).
 """
 
 from . import bitpack, fsst, ids, ints, registry, util  # noqa: F401

@@ -20,10 +20,11 @@ from __future__ import annotations
 
 import json
 import math
+import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import blockkey as bk
@@ -394,6 +395,18 @@ def cat_value_counts(blocks: DataFrame, col: str) -> DataFrame:
     )
 
 
+def parent_key_expr(parent_res: int) -> Column:
+    """Re-key a block to its parent cell at ``parent_res`` — pure Column
+    bit arithmetic (quadbin_to_parent, quadbin.hpp:175-203); valid for
+    any source resolution >= parent_res (the Morton prefix is shared)."""
+    foot = bk.footer(parent_res)
+    return (
+        F.col(BLOCK)
+        .bitwiseAND(F.lit(bk.MORTON_MASK ^ foot))
+        .bitwiseOR(F.lit(bk.HEADER | (parent_res << bk.RES_SHIFT) | foot))
+    )
+
+
 def rollup_stats(
     blocks: DataFrame, man: dict, parent_res: int, stat_key: str
 ) -> DataFrame:
@@ -410,12 +423,7 @@ def rollup_stats(
     res = man["key"]["resolution"]
     if not 0 <= parent_res <= res:
         raise ValueError(f"parent_res {parent_res} outside [0, {res}]")
-    foot = bk.footer(parent_res)
-    parent = (
-        F.col(BLOCK)
-        .bitwiseAND(F.lit(bk.MORTON_MASK ^ foot))
-        .bitwiseOR(F.lit(bk.HEADER | (parent_res << bk.RES_SHIFT) | foot))
-    )
+    parent = parent_key_expr(parent_res)
     s = F.col("num_stats").getItem(stat_key)
     return (
         blocks.where(s.isNotNull())
@@ -1006,3 +1014,140 @@ def compact_to_path(
         spark,
     )
     return final
+
+
+# ------------------------------------------------------------- overviews ----
+
+OVERVIEW_SIDECAR = "_raquet_overviews.json"
+
+
+def _overview_dir(path: str, res: int) -> str:
+    return os.path.join(path, "overviews", f"res={res}")
+
+
+def build_overviews(
+    spark: SparkSession,
+    path: str,
+    levels: list[int] | None = None,
+    man: dict | None = None,
+) -> list[int]:
+    """Materialize stats pyramids at coarser resolutions — the
+    reference's overview tiles (read_raster.cpp:1152-1163: coarse
+    queries touch few blocks). Webtext blocks have no "coarser pixels"
+    to resample, so an overview level here is a blocks-SHAPED stats
+    table (block, n_rows, num_stats, cat_counts — no payloads): every
+    decode-free reader (summary_stats, cat_value_counts, rollup_stats)
+    runs on it unchanged, over ~4^r rows instead of the full table.
+
+    ``levels`` defaults to res-2, res-4, ..., >= 0 (quarter-steps: each
+    level ~1/16 the cells of the previous). Derived data: levels live
+    under ``overviews/res=<r>/`` with a JSON sidecar naming them; the
+    committed data files and manifest are untouched, so overviews can
+    be (re)built at any time after ingest/compaction."""
+    import json as _json
+
+    man = man or read_manifest(spark, path)
+    res = man["key"]["resolution"]
+    if levels is None:
+        levels = [r for r in range(res - 2, -1, -2)]
+        if not levels and res > 0:
+            levels = [0]
+    bad = [r for r in levels if not 0 <= r < res]
+    if bad:
+        raise ValueError(f"overview levels {bad} outside [0, {res - 1}]")
+    blocks = read_blocks(spark, path)
+    for r in sorted(set(levels), reverse=True):
+        parent = parent_key_expr(r)
+        rows = blocks.groupBy(parent.alias(BLOCK)).agg(
+            F.sum("n_rows").alias("n_rows")
+        )
+        num = (
+            blocks.select(parent.alias(BLOCK), F.explode("num_stats").alias("k", "v"))
+            .groupBy(BLOCK, "k")
+            .agg(
+                F.min("v.min").alias("min"),
+                F.max("v.max").alias("max"),
+                F.sum("v.sum").alias("sum"),
+                F.sum("v.sum_sq").alias("sum_sq"),
+                F.sum("v.cnt").alias("cnt"),
+            )
+            .groupBy(BLOCK)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(
+                        F.struct(
+                            F.col("k"),
+                            F.struct("min", "max", "sum", "sum_sq", "cnt"),
+                        )
+                    )
+                ).alias("num_stats")
+            )
+        )
+        cat = (
+            blocks.select(parent.alias(BLOCK), F.explode("cat_counts").alias("c", "m"))
+            .select(BLOCK, "c", F.explode("m").alias("value", "n"))
+            .groupBy(BLOCK, "c", "value")
+            .agg(F.sum("n").alias("n"))
+            .groupBy(BLOCK, "c")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("value", "n"))
+                ).alias("m")
+            )
+            .groupBy(BLOCK)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("c", "m"))
+                ).alias("cat_counts")
+            )
+        )
+        out = (
+            rows.join(num, BLOCK, "left")
+            .join(cat, BLOCK, "left")
+            .repartitionByRange(1, BLOCK)
+            .sortWithinPartitions(BLOCK)
+        )
+        out.write.mode("overwrite").parquet(_overview_dir(path, r))
+    built = sorted(set(levels))
+    from . import fsio
+
+    fsio.write_bytes(
+        spark, path, OVERVIEW_SIDECAR,
+        _json.dumps({"levels": built, "resolution": res}).encode(),
+    )
+    return built
+
+
+def overview_levels(spark: SparkSession, path: str) -> list[int]:
+    import json as _json
+
+    from . import fsio
+
+    if not fsio.exists(spark, path, OVERVIEW_SIDECAR):
+        return []
+    return list(
+        _json.loads(fsio.read_bytes(spark, path, OVERVIEW_SIDECAR))["levels"]
+    )
+
+
+def read_overview(spark: SparkSession, path: str, res: int) -> DataFrame:
+    return spark.read.parquet(_overview_dir(path, res))
+
+
+def rollup_stats_served(
+    spark: SparkSession,
+    path: str,
+    man: dict,
+    parent_res: int,
+    stat_key: str,
+) -> DataFrame:
+    """rollup_stats through the smallest materialized overview level
+    that can serve ``parent_res`` (stats are exactly mergeable, so
+    serving from an overview is bit-identical to serving from blocks);
+    falls back to the blocks table when no level qualifies."""
+    usable = [r for r in overview_levels(spark, path) if r >= parent_res]
+    if usable:
+        src = read_overview(spark, path, min(usable))
+    else:
+        src = read_blocks(spark, path)
+    return rollup_stats(src, man, parent_res, stat_key)

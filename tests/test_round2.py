@@ -485,3 +485,53 @@ def test_compact_passthrough_and_split(spark, tmp_path):
     dec = scan.decode_blocks(scan.read_blocks(spark, p2), man2, ["url", "text"])
     src = df.select("url", "text")
     assert dec.exceptAll(src).count() == 0 and src.exceptAll(dec).count() == 0
+
+
+# --------------------------------------------------------- overviews ----
+
+
+def test_overviews_serve_rollups_bit_identical(spark, tmp_path):
+    """Materialized stats pyramids: rollups served from an overview
+    level must equal rollups from the blocks table exactly (the stats
+    are exactly mergeable), and the overview table must answer
+    summary-style queries with ~4^r rows."""
+    df = synth.synth_webtext(spark, 400, num_partitions=4).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    path = str(tmp_path / "ov")
+    encode.encode_to_path(spark, df, path, target_rows_per_block=32, resolution=4)
+    man = scan.read_manifest(spark, path)
+    levels = scan.build_overviews(spark, path)
+    assert levels == [0, 2]
+    assert scan.overview_levels(spark, path) == [0, 2]
+    blocks = scan.read_blocks(spark, path)
+    for p in (0, 1, 2):
+        direct = {
+            r["block"]: (r["n_rows"], r["cnt"], r["sum"], r["min"], r["max"])
+            for r in scan.rollup_stats(blocks, man, p, "n_chars").collect()
+        }
+        served = {
+            r["block"]: (r["n_rows"], r["cnt"], r["sum"], r["min"], r["max"])
+            for r in scan.rollup_stats_served(spark, path, man, p, "n_chars").collect()
+        }
+        assert served == direct
+    # overview rows: few, payload-free, and cat counts merge exactly
+    ov = scan.read_overview(spark, path, 2)
+    assert ov.count() <= 4 ** 2
+    got = {
+        r["value"]: r["cnt"] for r in scan.cat_value_counts(ov, "lang").collect()
+    }
+    want = {
+        r["lang"]: r["cnt"]
+        for r in df.where(F.col("lang").isNotNull())
+        .groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == want
+
+
+def test_overviews_reject_bad_levels(spark, tmp_path):
+    df = synth.synth_webtext(spark, 100, num_partitions=1)
+    path = str(tmp_path / "ovbad")
+    encode.encode_to_path(spark, df, path, target_rows_per_block=32, resolution=2)
+    with pytest.raises(ValueError):
+        scan.build_overviews(spark, path, levels=[2])
