@@ -535,3 +535,39 @@ def test_overviews_reject_bad_levels(spark, tmp_path):
     encode.encode_to_path(spark, df, path, target_rows_per_block=32, resolution=2)
     with pytest.raises(ValueError):
         scan.build_overviews(spark, path, levels=[2])
+
+
+# -------------------------------------------------------- edge inputs ----
+
+
+def test_encode_edge_inputs(spark, tmp_path):
+    """Empty tables, NULL urls, and all-NULL columns must round-trip:
+    empty -> valid 0-row committed table; NULL url keys hash
+    deterministically (Spark xxhash64 skips nulls -> seed-derived
+    constant) and the null values survive decode bit-exactly."""
+    df = synth.synth_webtext(spark, 50, num_partitions=1)
+
+    empty = df.where(F.lit(False))
+    man = encode.encode_to_path(spark, empty, str(tmp_path / "empty"))
+    assert man["num_rows"] == 0 and man["num_blocks"] == 0
+    assert scan.read_blocks(spark, str(tmp_path / "empty")).count() == 0
+
+    nulls = (
+        df.limit(10).withColumn("url", F.lit(None).cast("string"))
+        .unionByName(df.limit(40))
+    )
+    p = str(tmp_path / "nullurl")
+    man = encode.encode_to_path(spark, nulls, p)
+    assert man["num_rows"] == 50
+    dec = scan.decode_blocks(scan.read_blocks(spark, p), man, ["url", "text"])
+    assert dec.count() == 50
+    assert dec.where(F.col("url").isNull()).count() == 10
+    got = {r["text"] for r in dec.where(F.col("url").isNull()).collect()}
+    want = {r["text"] for r in nulls.where(F.col("url").isNull()).collect()}
+    assert got == want
+
+    an = df.withColumn("lang", F.lit(None).cast("string"))
+    p2 = str(tmp_path / "allnull")
+    man = encode.encode_to_path(spark, an, p2)
+    dec = scan.decode_blocks(scan.read_blocks(spark, p2), man, ["lang"])
+    assert dec.where(F.col("lang").isNull()).count() == 50
