@@ -473,6 +473,46 @@ def q_txt_fp_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txt_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate mining: word bigrams shared by >= 20
+    distinct documents (the detection step of boilerplate removal; the
+    synthetic corpus has no long shared phrases, so the bigram tier is
+    the one that exercises real row volume). Pure Column explode +
+    distinct + hash aggregate — no UDFs."""
+    docs = _read(spark, sf_dir, "documents")
+    return textfn.boilerplate_ngrams(docs, "doc_id", "text", n=2, min_docs=20)
+
+
+def q_txt_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (lowercase scheme+host, default ports /
+    fragments / tracking params stripped, params sorted) over synthetic
+    messy variants of the documents table's ids — pure Column regexp +
+    array ops, the normalizer applied before url-keyed dedup."""
+    docs = _read(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://Example.COM:443/Docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed&b=2&a=1#frag"),
+        ).alias("url"),
+    )
+    return messy.select(
+        "doc_id", textfn.canonical_url_col("url").alias("canon")
+    )
+
+
+def q_txt_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by source (md5-bucketed ids):
+    membership is a pure function of (id, fractions), reproducible
+    across runs and engines — the oracle selects the same rows."""
+    docs = _read(spark, sf_dir, "documents")
+    return textfn.hash_sample(
+        docs, "doc_id", {"src0": 0.5, "src1": 0.25}, "source",
+        default_fraction=0.1,
+    ).select("doc_id", "source")
+
+
 def q_txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", textfn.langid_udf()(F.col("text")).alias("pred_lang"))
@@ -649,6 +689,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_fingerprint": q_txt_fingerprint,
         "txt_tokens_bpe": q_txt_tokens_bpe,
         "txt_fp_rolling": q_txt_fp_rolling,
+        "txt_boilerplate": q_txt_boilerplate,
+        "txt_url_canon": q_txt_url_canon,
+        "txt_sample": q_txt_sample,
         "txt_langid": q_txt_langid,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
@@ -956,6 +999,29 @@ def oracle_sql() -> dict[str, str]:
         "rt_rollup_ov": _rollup_oracle(31),
         "enc_metrics": _ENC_METRICS_ORACLE,
         "key_math": _KEY_MATH_ORACLE,
+        "txt_boilerplate": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+1], ' ') AS ngram
+              FROM t, UNNEST(range(1, greatest(len(w), 1))) AS r(i)
+            )
+            SELECT ngram, count(*)::BIGINT AS doc_freq
+            FROM g GROUP BY ngram HAVING count(*) >= 20""",
+        # closed-form twin: the messy variant is constructed from doc_id,
+        # so the canonical form is analytically known per row
+        "txt_url_canon": """
+            SELECT doc_id,
+                   'https://example.com/Docs/' || doc_id::VARCHAR
+                   || '?a=1&b=2' AS canon
+            FROM documents""",
+        "txt_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                  / 1152921504606846976.0
+                  < CASE source WHEN 'src0' THEN 0.5
+                                WHEN 'src1' THEN 0.25 ELSE 0.1 END""",
         "txt_langid": _langid_oracle(),
         "mm_img_features": _IMG_FEATURES_ORACLE,
         "dedup_simhash": _SIMHASH_ORACLE,

@@ -164,3 +164,111 @@ def langid_udf():
 
 def add_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("*", *quality_columns(text_col))
+
+
+# ------------------------------------------------------ boilerplate ----
+
+
+def ngram_col(text: Column | str, n: int = 5) -> Column:
+    """Word n-grams as strings (pure Column: split -> sliding slice ->
+    concat). Same construction as dedup.shingles_col but kept as a list
+    WITH duplicates — boilerplate detection counts occurrences."""
+    toks = tokens_col(text)
+    size = F.size(toks)
+    idx = F.sequence(F.lit(1), size - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), SPACE))
+    # Spark's sequence DESCENDS when start > stop: guard short docs
+    return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate detection: word n-grams appearing in
+    >= ``min_docs`` DISTINCT documents, with document frequency. The
+    shared-phrase mining step of boilerplate removal (cookie banners,
+    navigation chrome, legal footers) over a web corpus.
+
+    Plan shape at scale: explode to (ngram, doc) pairs, distinct
+    map-side, one hash aggregate on ngram. No joins, no UDFs — the
+    explode output is ~|tokens| rows per doc but each row is a short
+    string + id, and the distinct/aggregate combine partially before
+    the shuffle."""
+    pairs = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(ngram_col(text_col, n)).alias("ngram"),
+    ).distinct()
+    return (
+        pairs.groupBy("ngram")
+        .agg(F.count("*").alias("doc_freq"))
+        .where(F.col("doc_freq") >= min_docs)
+    )
+
+
+# ---------------------------------------------------- url canonical ----
+
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)="
+
+
+def canonical_url_col(url: Column | str) -> Column:
+    """Canonical URL form: lowercase scheme+host, default ports and
+    fragments stripped, tracking query parameters (utm_*, fbclid, ...)
+    removed, remaining parameters sorted. Pure Column expressions —
+    regexp + array ops, no UDF; the dedup/blocking normalizer a crawl
+    pipeline applies before url-keyed grouping."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment
+    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substring(u, F.length(head) + F.lit(1), F.lit(1 << 30))
+    head = F.lower(head)
+    head = F.regexp_replace(head, r"^(http://[^/?#]*):80$", r"$1")
+    head = F.regexp_replace(head, r"^(https://[^/?#]*):443$", r"$1")
+    base = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.when(
+        F.length(rest) > F.length(base), F.substring(
+            rest, F.length(base) + F.lit(2), F.lit(1 << 30)
+        )
+    ).otherwise(F.lit(None))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    params = F.array_sort(params)
+    canon_q = F.when(
+        params.isNotNull() & (F.size(params) > 0),
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    return F.concat(head, base, canon_q)
+
+
+# -------------------------------------------------- stratified sample ----
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    strata_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff the md5 of its
+    id lands under the stratum's fraction of the hash space. Unlike
+    df.sample(), membership is a pure function of (id, fractions) —
+    re-running the pipeline (or running it on another engine: md5 is the
+    cross-engine-stable choice) selects the SAME rows, which is what
+    makes sampled corpus builds reproducible and joinable.
+
+    Plan: one scan, no shuffle — the predicate is a Column expression.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    space = float(1 << 60)
+    frac = F.lit(default_fraction)
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
+    return df.where((bucket.cast("double") / F.lit(space)) < frac)

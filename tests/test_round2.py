@@ -571,3 +571,53 @@ def test_encode_edge_inputs(spark, tmp_path):
     man = encode.encode_to_path(spark, an, p2)
     dec = scan.decode_blocks(scan.read_blocks(spark, p2), man, ["lang"])
     assert dec.where(F.col("lang").isNull()).count() == 50
+
+
+# -------------------------------------------- pipeline text ops (r2) ----
+
+
+def test_canonical_url_col(spark):
+    from duckdb_raquet_spark.functions import text as textfn
+
+    rows = [
+        ("HTTP://WWW.Example.COM:80/A/B?utm_source=x&z=1&a=2#frag",
+         "http://www.example.com/A/B?a=2&z=1"),
+        ("https://Host.com:443/", "https://host.com/"),
+        ("https://h.com/p?fbclid=abc", "https://h.com/p"),
+        ("https://h.com/p", "https://h.com/p"),
+        ("https://h.com:8080/p?b=2&a=1", "https://h.com:8080/p?a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    got = [r[0] for r in df.select(textfn.canonical_url_col("url")).collect()]
+    assert got == [want for _, want in rows]
+
+
+def test_boilerplate_ngrams_counts_distinct_docs(spark):
+    from duckdb_raquet_spark.functions import text as textfn
+
+    rows = [
+        (0, "accept our cookies now please"),
+        (1, "accept our cookies now thanks"),
+        (2, "accept our cookies now ok ok accept our cookies now"),
+        (3, "totally unrelated words here"),
+        (4, "ab"),  # shorter than n -> contributes nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["ngram"]: r["doc_freq"]
+        for r in textfn.boilerplate_ngrams(df, "doc_id", "text", n=4, min_docs=3).collect()
+    }
+    # repeated occurrence inside doc 2 counts ONCE (distinct docs)
+    assert got == {"accept our cookies now": 3}
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    from duckdb_raquet_spark.functions import text as textfn
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    got1 = {r["doc_id"] for r in textfn.hash_sample(df, "doc_id", {"a": 0.5}, "s").collect()}
+    got2 = {r["doc_id"] for r in textfn.hash_sample(df, "doc_id", {"a": 0.5}, "s").collect()}
+    assert got1 == got2  # pure function of (id, fractions)
+    assert all(i % 2 for i in got1)  # default_fraction 0 drops stratum b
+    assert 350 < len(got1) < 650  # ~50% of the 1000 'a' rows
