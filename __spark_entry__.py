@@ -598,6 +598,24 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("score", 4).alias("score"))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over PERSISTED inverted lists (coarse quantizer =
+    deterministic first-8 centroids, so the whole operator is
+    oracle-checkable): probe = top-3 centroid lists by query cosine,
+    exact re-rank within them."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/raquet_ivf_{tag}_v{drs.__version__}"
+    if not os.path.exists(os.path.join(path, "_ivf_index.json")):
+        similarity.build_ivf_index(emb, "vec_id", "embedding", path, n_centroids=8)
+    top = similarity.ann_ivf(
+        emb, "vec_id", "embedding", q, k=10, n_probe=3, exclude_id=0,
+        index_path=path,
+    )
+    return top.select("vec_id", F.round("score", 4).alias("score"))
+
+
 # -------------------------------------------------- relational coverage ----
 
 
@@ -700,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embed": q_dedup_embed,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "agg_events_daily": q_agg_events_daily,
         "join_top_customers": q_join_top_customers,
@@ -1085,6 +1104,36 @@ def oracle_sql() -> dict[str, str]:
                   b.embedding::DOUBLE[]) AS c
               FROM embeddings b WHERE b.vec_id <> 0
               ORDER BY c DESC, b.vec_id ASC LIMIT 10)""",
+        "ann_ivf": """
+            WITH c AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            q AS (
+              SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+            ),
+            probe AS (
+              SELECT cid FROM c, q
+              ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 3
+            ),
+            a AS (
+              SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                  row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                      DESC, c.cid
+                  ) AS rn
+                FROM embeddings e CROSS JOIN c
+              ) WHERE rn = 1
+            )
+            SELECT vec_id, round(sim, 4) AS score FROM (
+              SELECT e.vec_id,
+                list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+              FROM embeddings e JOIN a USING (vec_id), q
+              WHERE a.cid IN (SELECT cid FROM probe) AND e.vec_id <> 0
+              ORDER BY sim DESC, e.vec_id LIMIT 10
+            )""",
         "agg_lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
               (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,

@@ -621,3 +621,35 @@ def test_hash_sample_deterministic_and_stratified(spark):
     assert got1 == got2  # pure function of (id, fractions)
     assert all(i % 2 for i in got1)  # default_fraction 0 drops stratum b
     assert 350 < len(got1) < 650  # ~50% of the 1000 'a' rows
+
+
+def test_ivf_index_probe_matches_adhoc(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, 16)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+    idx = str(tmp_path / "ivf_idx")
+    similarity.build_ivf_index(emb, "vec_id", "embedding", idx, n_centroids=8)
+    a = similarity.ann_ivf(
+        emb, "vec_id", "embedding", q, k=5, n_probe=3, exclude_id=0,
+        index_path=idx,
+    ).collect()
+    b = similarity.ann_ivf(
+        emb, "vec_id", "embedding", q, k=5, n_centroids=8, n_probe=3,
+        exclude_id=0,
+    ).collect()
+    assert [(r["vec_id"], round(r["score"], 9)) for r in a] == [
+        (r["vec_id"], round(r["score"], 9)) for r in b
+    ]
+    # probe predicate pushes into the parquet scan of the sorted lists
+    plan = (
+        spark.read.parquet(idx)
+        .where(F.col("centroid_id").isin([1, 2]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "In(centroid_id" in plan.replace(" ", "")
