@@ -449,6 +449,23 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
             blocks, man, ["warc_ts"], lambda a: a["warc_ts"] * 1e-6
         ).collect(),
     )
+    # read-side codec effect: the fast-effort table (zstd-led) decodes
+    # several-x faster than the max-effort one (bz2-led) — both bit-exact
+    _, man_fast = timed(
+        timings,
+        "encode_fast",
+        lambda: encode_run(
+            spark, input_path, rows, "headfast", ts_range, effort="fast"
+        ),
+    )
+    blocks_fast = scan.read_blocks(spark, os.path.join(TMP, "enc_headfast"))
+    timed(
+        timings,
+        "decode_full_fast",
+        lambda: force(
+            scan.decode_blocks(blocks_fast, man_fast, ["url", "text", "lang"])
+        ),
+    )
 
     # pipeline queries over the driver's sf tables (shared op surface);
     # ann_lsh probes the persisted sig-sorted index — build it untimed
