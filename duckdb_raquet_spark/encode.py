@@ -115,8 +115,12 @@ def blocks_schema(
 
 
 def columns_of(df: DataFrame) -> list[dict]:
+    return columns_of_schema(df.schema)
+
+
+def columns_of_schema(schema) -> list[dict]:
     cols = []
-    for f in df.schema.fields:
+    for f in schema.fields:
         kind = selector.kind_of_spark_type(f.dataType.simpleString())
         cols.append({"name": f.name, "spark_type": f.dataType.simpleString(), "kind": kind})
     return cols

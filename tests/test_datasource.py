@@ -1,0 +1,93 @@
+"""Python Data Source surface: spark.read/write.format("raquet").
+
+The writer is the map-only encode through Spark's own commit protocol
+(manifest row + sidecar written LAST in commit()); the reader serves the
+LOGICAL schema with url/warc_ts predicates pruning files and row groups
+via parquet footer statistics on the sorted block column."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_raquet_spark import encode, scan, synth
+from duckdb_raquet_spark.datasource import RaquetDataSource, RaquetReader
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(RaquetDataSource)
+    return spark
+
+
+def test_datasource_write_read_roundtrip(registered, tmp_path):
+    spark = registered
+    df = synth.synth_webtext(spark, 200, num_partitions=2)
+    out = str(tmp_path / "ds_table")
+    (
+        df.write.format("raquet").mode("overwrite")
+        .option("resolution", 3)
+        .option("ts_origin", 1704067200)
+        .option("bucket_seconds", 604800)
+        .save(out)
+    )
+    # writer committed a readable manifest LAST (engine readers work)
+    man = scan.read_manifest(spark, out)
+    assert man["num_rows"] == 200
+    assert man["writer"] == "datasource" and man["shuffle"] == "none"
+    back = spark.read.format("raquet").load(out)
+    src = df.select(*back.columns)
+    assert back.exceptAll(src).count() == 0
+    assert src.exceptAll(back).count() == 0
+    # engine decode agrees with the DataSource read
+    dec = scan.decode_blocks(
+        scan.read_blocks(spark, out), man, list(back.columns)
+    )
+    assert dec.exceptAll(back).count() == 0
+    # column selection option prunes decoded payloads
+    two = spark.read.format("raquet").option("columns", "url,text").load(out)
+    assert two.columns == ["url", "text"] and two.count() == 200
+
+
+def test_datasource_reads_engine_tables_with_pushdown(registered, tmp_path):
+    """Interop: format('raquet') reads encode_to_path tables, and url /
+    warc_ts predicates return exactly the right rows (pruning is a
+    superset; Spark re-applies the filters)."""
+    spark = registered
+    df = synth.synth_webtext(spark, 300, num_partitions=3)
+    path = str(tmp_path / "eng_table")
+    encode.encode_to_path(spark, df, path, target_rows_per_block=32, resolution=4)
+    back = spark.read.format("raquet").load(path)
+    assert back.count() == 300
+    row = df.orderBy("url").first()
+    got = back.where(F.col("url") == row["url"]).collect()
+    assert len(got) == 1 and got[0]["text"] == row["text"]
+    lo = df.agg(F.min("warc_ts")).first()[0]
+    cutoff = F.lit(lo) + F.expr("INTERVAL 3 DAYS")
+    want = df.where(F.col("warc_ts") <= cutoff).count()
+    assert back.where(F.col("warc_ts") <= cutoff).count() == want
+
+
+def test_reader_prunes_partitions_on_sorted_layout(registered, tmp_path):
+    """On a block-sorted table (multiple range-partitioned files), a url
+    equality must prune file partitions via footer min/max."""
+    spark = registered
+    df = synth.synth_webtext(spark, 400, num_partitions=4)
+    path = str(tmp_path / "sorted_table")
+    encode.encode_to_path(
+        spark, df, path, target_rows_per_block=16, resolution=5, num_partitions=4
+    )
+    url = df.orderBy("url").first()["url"]
+    r_all = RaquetReader({"path": path}, None)
+    n_all = len(r_all.partitions())
+    r = RaquetReader({"path": path}, None)
+    from pyspark.sql.datasource import EqualTo
+
+    list(r.pushFilters([EqualTo(("url",), url)]))
+    n_pruned = len(r.partitions())
+    assert n_all >= 2
+    assert n_pruned < n_all
