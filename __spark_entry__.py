@@ -191,6 +191,23 @@ def q_rt_pinned_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.decode_blocks(blocks, man, ["doc_id", "text", "lang"])
 
 
+def q_rt_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4.1 Python Data Source surface: format('raquet') reads
+    the shared encoded fixture as its LOGICAL schema (decode inside the
+    source, filter pushdown available) — must reproduce plain SQL over
+    the raw table like every other engine path."""
+    from duckdb_raquet_spark.datasource import RaquetDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(RaquetDataSource)
+    path, _man = _encoded(spark, sf_dir)
+    return (
+        spark.read.format("raquet")
+        .option("columns", "doc_id,text,lang")
+        .load(path)
+    )
+
+
 def q_rt_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, man = _encoded(spark, sf_dir)
     url = "https://src3.example.com/doc/123"
@@ -683,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_pinned_zstd": q_rt_pinned_zstd,
         "rt_maponly": q_rt_maponly,
         "rt_compact": q_rt_compact,
+        "rt_datasource": q_rt_datasource,
         "rt_point_lookup": q_rt_point_lookup,
         "rt_range_scan": q_rt_range_scan,
         "rt_summary_stats": q_rt_summary_stats,
@@ -982,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_pinned_zstd": "SELECT doc_id, text, lang FROM documents",
         "rt_maponly": "SELECT doc_id, text, lang FROM documents",
         "rt_compact": "SELECT doc_id, text, lang FROM documents",
+        "rt_datasource": "SELECT doc_id, text, lang FROM documents",
         "rt_point_lookup": "SELECT doc_id, text FROM documents WHERE doc_id = 123",
         "rt_range_scan": f"""
             SELECT doc_id, ({EPOCH0} + doc_id * 60) AS ts_epoch FROM documents
