@@ -91,3 +91,34 @@ def test_reader_prunes_partitions_on_sorted_layout(registered, tmp_path):
     n_pruned = len(r.partitions())
     assert n_all >= 2
     assert n_pruned < n_all
+
+
+def test_datasource_and_compact_on_column_groups(registered, tmp_path):
+    """Cross-feature matrix: a column-group (interleaved blob) table
+    must read correctly through format('raquet') AND survive
+    compact_blocks (group payloads decoded via the shared blob, rows
+    re-encoded with the same group layout)."""
+    spark = registered
+    df = synth.synth_webtext(spark, 150, num_partitions=3)
+    path = str(tmp_path / "grp_table")
+    encode.encode_to_path(
+        spark, df, path, target_rows_per_block=32, resolution=3,
+        column_groups=[["text", "html"]],
+    )
+    back = spark.read.format("raquet").load(path)
+    src = df.select(*back.columns)
+    assert back.exceptAll(src).count() == 0
+    assert src.exceptAll(back).count() == 0
+
+    man = scan.read_manifest(spark, path)
+    cpath = str(tmp_path / "grp_compacted")
+    final = scan.compact_to_path(spark, path, cpath)
+    assert final["num_rows"] == 150
+    assert final.get("column_groups")
+    man2 = scan.read_manifest(spark, cpath)
+    dec = scan.decode_blocks(
+        scan.read_blocks(spark, cpath), man2, ["url", "text", "html"]
+    )
+    src2 = df.select("url", "text", "html")
+    assert dec.exceptAll(src2).count() == 0
+    assert src2.exceptAll(dec).count() == 0
