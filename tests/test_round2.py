@@ -653,3 +653,32 @@ def test_ivf_index_probe_matches_adhoc(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "In(centroid_id" in plan.replace(" ", "")
+
+
+# ------------------------------------------------------------- skew ----
+
+
+def test_salting_bounds_hot_blocks(spark, tmp_path):
+    """Hot-cell skew: at a low resolution every cell is hot, so the
+    encoder must salt (n_salt > 1) and spread each cell's rows across
+    salted sub-blocks; same-url rows stay co-located (salt is a url
+    hash, so one url's recrawls land in ONE sub-block), and the table
+    still round-trips bit-exactly."""
+    df = synth.synth_webtext(spark, 400, num_partitions=4)
+    path = str(tmp_path / "salted")
+    final = encode.encode_to_path(
+        spark, df, path, target_rows_per_block=64, max_rows_per_block=64,
+        resolution=1,
+    )
+    man = scan.read_manifest(spark, path)
+    assert man["key"]["n_salt"] > 1
+    blocks = scan.read_blocks(spark, path)
+    per_cell = blocks.groupBy("block").count().collect()
+    assert max(r["count"] for r in per_cell) > 1  # cells actually split
+    # no salted sub-block hugely above the cap (salting is hash-spread,
+    # not exact-capped; 2x headroom)
+    assert blocks.agg(F.max("n_rows")).first()[0] <= 2 * 64
+    assert final["num_rows"] == 400
+    dec = scan.decode_blocks(blocks, man, ["url", "text"])
+    src = df.select("url", "text")
+    assert dec.exceptAll(src).count() == 0 and src.exceptAll(dec).count() == 0
