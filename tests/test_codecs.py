@@ -302,3 +302,23 @@ def test_group_zstd_arm_round_trips():
     buf = encode_group(inners, effort="fast")
     assert decode_group(buf) == inners
     assert group_codec_name(buf).startswith("group[2](")
+
+
+@given(st.lists(st.binary(max_size=200), min_size=1, max_size=80))
+@settings(max_examples=40, deadline=None)
+def test_zstd_wrapper_round_trip_property(vals):
+    from duckdb_raquet_spark.codecs import encode_zstd
+
+    arr = bins(vals)
+    back = decode_any(encode_zstd(encode_str_plain(arr)))
+    assert back.cast(pa.large_binary()).equals(arr)
+
+
+@given(st.lists(st.binary(max_size=150), min_size=1, max_size=60))
+@settings(max_examples=30, deadline=None)
+def test_effort_fast_round_trip_property(vals):
+    from duckdb_raquet_spark import selector
+
+    arr = bins(vals)
+    back = decode_any(selector.encode_str_auto(arr, effort=selector.EFFORT_FAST))
+    assert back.cast(pa.large_binary()).equals(arr)
