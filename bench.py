@@ -472,10 +472,12 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
     # first (one-time cost, amortized over every query in production)
     qs = entrymod.queries()
     entrymod._ann_index_path(spark, sf_dir)
+    force(qs["ann_ivf"](spark, sf_dir))  # one-time IVF index build, untimed
     for name in (
         "dedup_minhash",
         "ann_topk",
         "ann_lsh",
+        "ann_ivf",
         "txt_quality",
         "agg_lineitem_pricing",
     ):
