@@ -208,6 +208,32 @@ def q_rt_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generality: the engine is a keyed-table encoder, not a
+    documents-only one. The EVENTS table (bigints, double values, JSON
+    props strings, timestamps) round-trips through the same block
+    pipeline — key = a derived event key, ts = the event time; the
+    double column exercises the IEEE-754 bit-pattern view codec."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/raquet_entry_events_{tag}_v{drs.__version__}"
+    try:
+        man = scan.read_manifest(spark, path)
+        if man.get("engine") != f"duckdb_raquet_spark/{drs.__version__}":
+            raise ValueError
+    except Exception:
+        ev = _read(spark, sf_dir, "events").withColumn(
+            "ekey", F.concat(F.lit("evt-"), F.col("event_id").cast("string"))
+        )
+        man = encode.encode_to_path(
+            spark, ev, path, url_col="ekey", ts_col="ts",
+            target_rows_per_block=512,
+        )
+    blocks = scan.read_blocks(spark, path)
+    return scan.decode_blocks(
+        blocks, man, ["event_id", "event_type", "value", "props"]
+    )
+
+
 def q_rt_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, man = _encoded(spark, sf_dir)
     url = "https://src3.example.com/doc/123"
@@ -701,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_maponly": q_rt_maponly,
         "rt_compact": q_rt_compact,
         "rt_datasource": q_rt_datasource,
+        "rt_events": q_rt_events,
         "rt_point_lookup": q_rt_point_lookup,
         "rt_range_scan": q_rt_range_scan,
         "rt_summary_stats": q_rt_summary_stats,
@@ -1001,6 +1028,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_maponly": "SELECT doc_id, text, lang FROM documents",
         "rt_compact": "SELECT doc_id, text, lang FROM documents",
         "rt_datasource": "SELECT doc_id, text, lang FROM documents",
+        "rt_events": "SELECT event_id, event_type, value, props FROM events",
         "rt_point_lookup": "SELECT doc_id, text FROM documents WHERE doc_id = 123",
         "rt_range_scan": f"""
             SELECT doc_id, ({EPOCH0} + doc_id * 60) AS ts_epoch FROM documents
