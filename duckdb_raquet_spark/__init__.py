@@ -15,6 +15,6 @@ as idiomatic Spark DataFrame plans plus Arrow-vectorized pandas UDF
 codec kernels (numpy/pyarrow inside, zero per-row Python).
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 FORMAT_VERSION = "1.0"
