@@ -71,6 +71,10 @@ def _sample_slices(data: bytes, k: int = 3, each: int = 1 << 15) -> bytes:
 EFFORT_MAX = "max"
 EFFORT_FAST = "fast"
 
+# fast mode: accept a zstd payload up to this fraction ABOVE zlib's
+# sampled estimate without running the zlib confirmation pass
+FAST_ZSTD_SLACK = 0.015
+
 
 def encode_str_auto(
     arr: pa.Array, zlib_level: int = 6, force: str | None = None,
@@ -149,7 +153,14 @@ def encode_str_auto(
             sample = _sample_slices(data)
             zr = len(_zlib.compress(sample, zlib_level)) / max(1, len(sample))
             zlib_est = zr * plain_size
-            if len(zs) > 0.97 * zlib_est:
+            # skip the full zlib pass (7x the zstd cost — measured 63%
+            # of the fast kernel) when the committed zstd payload is
+            # within FAST_ZSTD_SLACK of zlib's sampled estimate: a
+            # sub-percent size concession on those blobs, while the
+            # numeric/dict/const columns keep the TOTAL under the
+            # reference codec (bench measures vs_gzip_baseline_fast
+            # every run — the guarantee is enforced at table level)
+            if len(zs) > (1.0 + FAST_ZSTD_SLACK) * zlib_est:
                 cands.append(registry.encode_zlib_stream(head, data, zlib_level))
     else:
         if n and st["data_bytes"] >= BZ2_MIN_BYTES:
