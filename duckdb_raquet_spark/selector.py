@@ -72,8 +72,13 @@ EFFORT_MAX = "max"
 EFFORT_FAST = "fast"
 
 # fast mode: accept a zstd payload up to this fraction ABOVE zlib's
-# sampled estimate without running the zlib confirmation pass
+# sampled estimate without running the zlib confirmation pass — but only
+# for payloads where that pass actually costs (>= FAST_SLACK_MIN_BYTES):
+# on small blobs zstd's frame overhead and the estimate's noise erase
+# the margin (measured: sub-1.0 vs-reference flipped to 1.0009 at
+# ~100 KB blobs), and the zlib pass there is cheap anyway
 FAST_ZSTD_SLACK = 0.015
+FAST_SLACK_MIN_BYTES = 1 << 19  # 512 KB
 
 
 def encode_str_auto(
@@ -160,7 +165,12 @@ def encode_str_auto(
             # numeric/dict/const columns keep the TOTAL under the
             # reference codec (bench measures vs_gzip_baseline_fast
             # every run — the guarantee is enforced at table level)
-            if len(zs) > (1.0 + FAST_ZSTD_SLACK) * zlib_est:
+            # small blobs use a conservative -3% margin instead: zlib is
+            # skipped only when zstd clearly beats the estimate
+            slack = (
+                FAST_ZSTD_SLACK if plain_size >= FAST_SLACK_MIN_BYTES else -0.03
+            )
+            if len(zs) > (1.0 + slack) * zlib_est:
                 cands.append(registry.encode_zlib_stream(head, data, zlib_level))
     else:
         if n and st["data_bytes"] >= BZ2_MIN_BYTES:
