@@ -434,6 +434,19 @@ def q_mm_img_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (stubbed decode, real mapInPandas plumbing):
+    every 4th frame's channel-0 mean — closed-form on md5 slices, so
+    the sampled-frame rows have an exact SQL oracle."""
+    from duckdb_raquet_spark.functions import multimodal as mm
+
+    docs = _webtext(spark, sf_dir).select("doc_id", "html")
+    frames = mm.video_frame_sample(docs, "doc_id", "html", stride=4)
+    return frames.select(
+        F.col("id").alias("doc_id"), "frame_idx", "chan0", "n_frames"
+    ).orderBy("doc_id", "frame_idx")
+
+
 def q_mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-side binary profiling (no decode): exact-dup detection over
     opaque media payloads by (length, content hash)."""
@@ -744,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_rollup": q_rt_rollup,
         "rt_rollup_ov": q_rt_rollup_ov,
         "mm_img_features": q_mm_img_features,
+        "mm_video_frames": q_mm_video_frames,
         "mm_binary_stats": q_mm_binary_stats,
         "enc_metrics": q_enc_metrics,
         "key_math": q_key_math,
@@ -1090,6 +1104,17 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'src1' THEN 0.25 ELSE 0.1 END""",
         "txt_langid": _langid_oracle(),
         "mm_img_features": _IMG_FEATURES_ORACLE,
+        "mm_video_frames": """
+            WITH v AS (
+              SELECT doc_id,
+                ('0x' || substr(md5(text), 17, 8))::BIGINT % 254 AS v,
+                (4 + ('0x' || substr(md5(text), 25, 4))::BIGINT % 13) AS nf
+              FROM documents
+            )
+            SELECT doc_id, i::INT AS frame_idx,
+                   ((v + i) % 254)::INT AS chan0, nf::INT AS n_frames
+            FROM v, UNNEST(range(0, nf, 4)) AS r(i)
+            ORDER BY doc_id, frame_idx""",
         "dedup_simhash": _SIMHASH_ORACLE,
         "ann_lsh": _ann_lsh_oracle(),
         "rt_region_stats": f"""

@@ -199,3 +199,70 @@ def binary_stats_col(binary_col: str | Column) -> list[Column]:
         F.xxhash64(c).alias("content_hash"),
         F.md5(c).alias("content_md5"),
     ]
+
+
+def _decode_video_kernel(
+    payload: bytes, deterministic: bool
+) -> tuple[np.ndarray, dict]:
+    """STUB: payload -> (n_frames, H, W, C) uint8 + metadata. A real
+    implementation would demux/decode via ffmpeg/pyav (not bundled);
+    the deterministic fake extends the image stub with a time axis:
+    n_frames = 4 + hex[24:28] % 13, frame k filled with (v + k) % 254
+    (+ channel index) — closed-form on md5, so frame sampling has an
+    exact SQL oracle."""
+    if not deterministic:
+        raise NotImplementedError("video decoding requires ffmpeg/pyav (not bundled)")
+    hx = hashlib.md5(payload).hexdigest()
+    w = 8 + int(hx[0:8], 16) % 25
+    h = 8 + int(hx[8:16], 16) % 25
+    v = int(hx[16:24], 16) % 254
+    n = 4 + int(hx[24:28], 16) % 13
+    frames = np.empty((n, h, w, 3), dtype=np.uint8)
+    for k in range(n):
+        base = (v + k) % 254
+        for c in range(3):
+            frames[k, ..., c] = base + c
+    meta = {
+        "n_frames": int(n), "width": int(w), "height": int(h),
+        "channels": 3, "format": "fake", "n_bytes": len(payload),
+    }
+    return frames, meta
+
+
+def video_frame_sample(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    *,
+    stride: int = 4,
+    deterministic: bool = True,
+) -> DataFrame:
+    """Frame sampling over video payloads — the third leg of the
+    multimodal plumbing (image features / audio frames / video frame
+    sampling): decode (stubbed), keep every ``stride``-th frame, emit
+    one relational row per sampled frame with its channel-0 mean.
+    Arrow-batched mapInPandas; the per-frame loop is numpy over the
+    decoded array, never per-pixel Python."""
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+
+    def fn(batches):
+        for pdf in batches:
+            ids, idxs, chan0, nfs = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[binary_col]):
+                if p is None:
+                    continue
+                frames, meta = _decode_video_kernel(bytes(p), deterministic)
+                n = meta["n_frames"]
+                for k in range(0, n, stride):
+                    ids.append(i)
+                    idxs.append(k)
+                    chan0.append(int(frames[k, ..., 0].mean().round()))
+                    nfs.append(n)
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "chan0": chan0, "n_frames": nfs}
+            )
+
+    return df.mapInPandas(
+        fn, schema="id long, frame_idx int, chan0 int, n_frames int"
+    )
