@@ -672,6 +672,17 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("score", 4).alias("score"))
 
 
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (4x compression of the vector
+    column): quantized codes are exact integers, so the op is
+    oracle-checked code-for-code, not by tolerance."""
+    emb = _read(spark, sf_dir, "embeddings")
+    out = similarity.quantize_embeddings(emb, "vec_id", "embedding")
+    return out.select(
+        "vec_id", "q", F.round("scale", 6).alias("scale")
+    ).orderBy("vec_id")
+
+
 # -------------------------------------------------- relational coverage ----
 
 
@@ -778,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "emb_quantize": q_emb_quantize,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "agg_events_daily": q_agg_events_daily,
         "join_top_customers": q_join_top_customers,
@@ -1206,6 +1218,19 @@ def oracle_sql() -> dict[str, str]:
               WHERE a.cid IN (SELECT cid FROM probe) AND e.vec_id <> 0
               ORDER BY sim DESC, e.vec_id LIMIT 10
             )""",
+        "emb_quantize": """
+            WITH m AS (
+              SELECT vec_id, embedding,
+                list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+              FROM embeddings
+            )
+            SELECT vec_id,
+              CASE WHEN mx > 0
+                THEN list_transform(embedding::DOUBLE[],
+                                    x -> round(x * 127.0 / mx)::INT)
+                ELSE list_transform(embedding::DOUBLE[], x -> 0) END AS q,
+              round(CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END, 6) AS scale
+            FROM m ORDER BY vec_id""",
         "agg_lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
               (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,

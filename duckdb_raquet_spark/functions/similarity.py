@@ -372,3 +372,32 @@ def ann_ivf(
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------- int8 quantization ----
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the embedding-compression
+    step of a training-data pipeline (4x smaller vectors, ~1e-2 cosine
+    error). Pure Column expressions (transform/aggregate/round — JVM,
+    whole-stage codegen): q_i = round(127 * x_i / max|x|), scale
+    restores approximate floats as q_i * scale.
+
+    Deterministic and engine-reproducible (round-half-away-from-zero in
+    both Spark and DuckDB), so the quantized codes themselves are
+    oracle-checkable — not just a tolerance test."""
+    v = F.col(vec_col).cast("array<double>")
+    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(v, lambda x: F.round(x * F.lit(127.0) / m).cast("int"))
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.when(m > 0, q).otherwise(F.transform(v, lambda x: F.lit(0))).alias("q"),
+        F.when(m > 0, m / F.lit(127.0)).otherwise(F.lit(0.0)).alias("scale"),
+    )
+
+
+def dequantize_col(q_col: Column, scale_col: Column) -> Column:
+    return F.transform(q_col, lambda x: x.cast("double") * scale_col)

@@ -682,3 +682,26 @@ def test_salting_bounds_hot_blocks(spark, tmp_path):
     dec = scan.decode_blocks(blocks, man, ["url", "text"])
     src = df.select("url", "text")
     assert dec.exceptAll(src).count() == 0 and src.exceptAll(dec).count() == 0
+
+
+def test_quantize_embeddings_cosine_preserved(spark):
+    """Int8 quantization: codes in [-127, 127], dequantized cosine
+    within 1e-2 of the exact cosine, zero vectors stay zero."""
+    import numpy as np
+
+    from duckdb_raquet_spark.functions import similarity
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 32)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    rows.append((99, [0.0] * 32))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.quantize_embeddings(emb, "vec_id", "embedding").collect()
+    byid = {r["vec_id"]: r for r in out}
+    assert byid[99]["q"] == [0] * 32 and byid[99]["scale"] == 0.0
+    for i in range(50):
+        q = np.array(byid[i]["q"], dtype=np.float64) * byid[i]["scale"]
+        a = vecs[i].astype(np.float64)
+        assert np.abs(q).max() <= 127 * byid[i]["scale"] + 1e-12
+        cos = (q @ a) / (np.linalg.norm(q) * np.linalg.norm(a))
+        assert cos > 0.999
