@@ -678,8 +678,13 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked code-for-code, not by tolerance."""
     emb = _read(spark, sf_dir, "embeddings")
     out = similarity.quantize_embeddings(emb, "vec_id", "embedding")
+    # Serialize the int8 codes to JSON text: the driver's hash
+    # canonicalization sorts result cells and cannot hash an array
+    # column, so both engines emit the same "[c0,c1,...]" string.
     return out.select(
-        "vec_id", "q", F.round("scale", 6).alias("scale")
+        "vec_id",
+        F.to_json("q").alias("q"),
+        F.round("scale", 6).alias("scale"),
     ).orderBy("vec_id")
 
 
@@ -1225,10 +1230,11 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
             )
             SELECT vec_id,
-              CASE WHEN mx > 0
+              to_json(CASE WHEN mx > 0
                 THEN list_transform(embedding::DOUBLE[],
                                     x -> round(x * 127.0 / mx)::INT)
-                ELSE list_transform(embedding::DOUBLE[], x -> 0) END AS q,
+                ELSE list_transform(embedding::DOUBLE[], x -> 0) END)::VARCHAR
+                AS q,
               round(CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END, 6) AS scale
             FROM m ORDER BY vec_id""",
         "agg_lineitem_pricing": """
