@@ -503,10 +503,9 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         )
         fast_gbps = round(fast_man["raw_bytes"] / fast_wall / 1e9, 4)
         timings["encode_2p6gb_fast"] = round(fast_wall, 4)
-        _, sf_fast_man = encode_run(
-            spark, input_path, rows, "headfast", ts_range, effort="fast"
-        )
-        vs_gzip_fast = round(sf_fast_man["enc_bytes"] / gz, 4)
+        # reuse the manifest from the timed encode_fast run above —
+        # re-encoding headfast here would double that stage's wall
+        vs_gzip_fast = round(man_fast["enc_bytes"] / gz, 4)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -239,9 +239,10 @@ class RaquetReader(DataSourceReader):
             # the table is block-sorted, so this is effective
             md = pq.ParquetFile(f).metadata
             sch = md.schema.to_arrow_schema()
-            try:
-                bi = sch.get_field_index("block")
-            except KeyError:
+            # get_field_index returns -1 (not KeyError) for a missing
+            # field; a -1 would silently prune on the LAST column's stats
+            bi = sch.get_field_index("block")
+            if bi < 0:
                 keep.append(f)
                 continue
             lo, hi = None, None
@@ -274,7 +275,7 @@ class RaquetReader(DataSourceReader):
         need = ["block", "n_rows"] + blob_names
         arrow_types = {f.name: f.type for f in _to_arrow(specs)}
         for rg in range(pf.metadata.num_row_groups):
-            if self.env.ranges:
+            if self.env.ranges and bi >= 0:
                 st = pf.metadata.row_group(rg).column(bi).statistics
                 if st is not None and st.has_min_max and not self.env.may_contain(
                     int(st.min), int(st.max)
@@ -342,10 +343,19 @@ class RaquetWriter(DataSourceArrowWriter):
             self.ts_col = None
         if self.url_col not in schema.fieldNames():
             raise ValueError(f"url_col {self.url_col!r} not in {schema.fieldNames()}")
-        if overwrite:
-            import shutil
+        if not overwrite:
+            # Tasks write fixed part-{pid}.parquet names and commit()
+            # rebuilds the manifest from only this job's stats, so an
+            # append would silently clobber files and desync the
+            # manifest. Refuse rather than corrupt.
+            raise ValueError(
+                "raquet datasource only supports mode('overwrite'); "
+                "append would clobber part files and leave the manifest "
+                "inconsistent with surviving data"
+            )
+        import shutil
 
-            shutil.rmtree(os.path.join(self.path, "data"), ignore_errors=True)
+        shutil.rmtree(os.path.join(self.path, "data"), ignore_errors=True)
         os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
         # column specs from the WRITER schema (the df being saved)
         from .encode import columns_of_schema
@@ -363,8 +373,13 @@ class RaquetWriter(DataSourceArrowWriter):
 
         ctx = TaskContext.get()
         pid = int(ctx.partitionId()) if ctx is not None else 0
+        attempt = int(ctx.taskAttemptId()) if ctx is not None else 0
         batches = [b for b in iterator]
         out_file = os.path.join(self.path, "data", f"part-{pid:05d}.parquet")
+        # speculative execution: two attempts of the same partition must
+        # not interleave writes to the final path — stage to an
+        # attempt-unique temp name and atomically rename at task end
+        tmp_file = f"{out_file}.tmp-{attempt}"
         man_schema = enc.blocks_schema(self.columns)
         arrow_schema = to_arrow_schema(man_schema)
         if not batches:
@@ -372,7 +387,8 @@ class RaquetWriter(DataSourceArrowWriter):
                 [pa.array([], type=f.type) for f in arrow_schema],
                 schema=arrow_schema,
             )
-            pq.write_table(empty, out_file)
+            pq.write_table(empty, tmp_file)
+            os.replace(tmp_file, out_file)
             return _TaskStats(0, 0, 0, 0, {}, None, None)
         tbl = pa.Table.from_batches(batches).combine_chunks()
         # block keys for the partition's rows (numpy kernel — the same
@@ -416,7 +432,8 @@ class RaquetWriter(DataSourceArrowWriter):
             for f in arrow_schema
         ]
         out = pa.Table.from_arrays(arrays, schema=arrow_schema)
-        pq.write_table(out, out_file)
+        pq.write_table(out, tmp_file)
+        os.replace(tmp_file, out_file)
         hist: dict = {}
         raw = enc_b = 0
         ts_min = ts_max = None

@@ -124,9 +124,14 @@ def ngram_jaccard_pairs(
 
 
 def hashed_shingles_col(text: Column | str, n: int = 3) -> Column:
-    """Distinct shingles -> 31-bit hashes (JVM xxhash64, no Python)."""
+    """Distinct shingles -> 64-bit xxhash64 values (JVM, no Python).
+
+    Full 64 bits so hashed-set Jaccard is collision-free in practice
+    (P ~ n^2/2^64 per doc) and equals raw-shingle Jaccard; the MinHash
+    permutations fold each value to 31 bits internally, so signatures
+    are unchanged versus hashing to 31 bits up front."""
     sh = shingles_col(text, n)
-    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    return F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
 
 
 def minhash_cols_from_hashed(hashed: Column, k: int = 32) -> list[Column]:
@@ -139,8 +144,15 @@ def minhash_cols_from_hashed(hashed: Column, k: int = 32) -> list[Column]:
     are then cheap per-element arithmetic + array_min."""
     out = []
     for i, (pa, pb) in enumerate(_perm_params(k)):
+        # fold the 64-bit element to 31 bits first: keeps a*h+b under
+        # 2^62 (ANSI-overflow safe) and bit-identical to the previous
+        # hash-to-31-bits-up-front signatures
         perm = F.transform(
-            hashed, lambda h: F.pmod(h * F.lit(pa) + F.lit(pb), F.lit(_MERSENNE))
+            hashed,
+            lambda h: F.pmod(
+                F.pmod(h, F.lit(_MERSENNE)) * F.lit(pa) + F.lit(pb),
+                F.lit(_MERSENNE),
+            ),
         )
         out.append(F.array_min(perm).alias(f"mh_{i}"))
     return out
@@ -155,25 +167,34 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     n: int = 3,
-    max_bucket: int = 1000,
+    max_bucket: int | None = None,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-verified.
 
     signatures (Column exprs) -> band hashes -> explode to (band, hash)
     -> self-equi-join on the bucket (the only shuffle that matters; no
-    all-pairs product) -> distinct candidate pairs -> exact Jaccard
-    verification of the CANDIDATES ONLY. bands x rows = k; recall ~
-    1-(1-t^rows)^bands.
+    all-pairs product) -> distinct candidate pairs -> exact hashed-set
+    Jaccard verification of the CANDIDATES ONLY. bands x rows = k;
+    recall ~ 1-(1-t^rows)^bands.
 
-    Hot-bucket cap: a bucket of near-identical boilerplate (cookie
-    banners, mirrored pages) would otherwise produce |bucket|^2
-    candidates — the one quadratic hazard in the plan. Buckets larger
-    than ``max_bucket`` switch from all-pairs to consecutive-id chaining
-    (n-1 candidate pairs connecting the same near-dup cluster
-    transitively); verification stays exact, so for dedup-by-connected-
-    components the result is identical, while pathological buckets stay
-    linear. Verification joins shingle only the candidate ids (semi-join
-    first), never the whole corpus."""
+    Tokenize once: the 64-bit hashed-shingle arrays computed for the
+    signatures are persisted (MEMORY_AND_DISK, ~8 bytes/shingle vs the
+    raw text) and reused for verification as hashed-set Jaccard, which
+    equals raw-shingle Jaccard up to 64-bit collisions (P ~ n^2/2^64
+    per doc) — so candidate documents are never re-tokenized.
+
+    Hot-bucket cap (opt-in): a bucket of near-identical boilerplate
+    (cookie banners, mirrored pages) would otherwise produce |bucket|^2
+    candidates — the one quadratic hazard in the plan. With
+    ``max_bucket=N``, buckets larger than N switch from all-pairs to
+    consecutive-id chaining (n-1 candidate pairs connecting the same
+    near-dup cluster transitively); verification stays exact, so for
+    dedup-by-connected-components the result is identical, while
+    pathological buckets stay linear. The default is None (no cap, full
+    pair-level recall) because chaining silently drops non-consecutive
+    PAIRS in oversized buckets — pair-level consumers must opt in."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     rows = k // bands
@@ -181,6 +202,10 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"),
         hashed_shingles_col(text_col, n).alias("_hs"),
     )
+    if persist_shingles:
+        # reused below for verification; Spark's ContextCleaner drops the
+        # persisted blocks once the plan is unreferenced
+        hs = hs.persist(StorageLevel.MEMORY_AND_DISK)
     sig = hs.select("_id", *minhash_cols_from_hashed(F.col("_hs"), k))
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
@@ -200,52 +225,62 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("_id", "bk.band", "bk.h")
-    # one exchange on (band, h) computes both the bucket size and the
-    # next-id chain; the split below reuses it
-    w = Window.partitionBy("band", "h")
-    wo = w.orderBy("_id")
-    sized = buckets.select(
-        "_id",
-        "band",
-        "h",
-        F.count("*").over(w).alias("_n"),
-        F.lead("_id").over(wo).alias("_next"),
-    )
-    small = sized.where(F.col("_n") <= max_bucket)
-    pairs_small = (
-        small.alias("x")
-        .join(
-            small.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.h") == F.col("y.h"))
-            & (F.col("x._id") < F.col("y._id")),
+    if max_bucket is None:
+        cand = (
+            buckets.alias("x")
+            .join(
+                buckets.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.h") == F.col("y.h"))
+                & (F.col("x._id") < F.col("y._id")),
+            )
+            .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+            .distinct()
         )
-        .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
-    )
-    pairs_big = (
-        sized.where((F.col("_n") > max_bucket) & F.col("_next").isNotNull())
-        .select(F.col("_id").alias("a"), F.col("_next").alias("b"))
-    )
-    cand = pairs_small.unionByName(pairs_big).distinct()
-    # shingle only the candidate ids: the semi-join (AQE-broadcast for
-    # realistic candidate counts) runs BEFORE the shingle projection, so
-    # verification never tokenizes or shuffles non-candidate documents
+    else:
+        # one exchange on (band, h) computes both the bucket size and the
+        # next-id chain; the split below reuses it
+        w = Window.partitionBy("band", "h")
+        wo = w.orderBy("_id")
+        sized = buckets.select(
+            "_id",
+            "band",
+            "h",
+            F.count("*").over(w).alias("_n"),
+            F.lead("_id").over(wo).alias("_next"),
+        )
+        small = sized.where(F.col("_n") <= max_bucket)
+        pairs_small = (
+            small.alias("x")
+            .join(
+                small.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.h") == F.col("y.h"))
+                & (F.col("x._id") < F.col("y._id")),
+            )
+            .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+        )
+        pairs_big = (
+            sized.where((F.col("_n") > max_bucket) & F.col("_next").isNotNull())
+            .select(F.col("_id").alias("a"), F.col("_next").alias("b"))
+        )
+        cand = pairs_small.unionByName(pairs_big).distinct()
+    # verify only the candidate ids against the PERSISTED hashed-shingle
+    # arrays: the semi-join (AQE-broadcast for realistic candidate
+    # counts) prunes before the join, so non-candidate documents neither
+    # re-tokenize nor shuffle
     ids = (
         cand.select(F.col("a").alias("_id"))
         .unionByName(cand.select(F.col("b").alias("_id")))
         .distinct()
     )
-    sh_cand = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-        .join(ids, "_id", "left_semi")
-        .select("_id", shingles_col("_t", n).alias("_sh"))
-    )
+    sh_cand = hs.join(ids, "_id", "left_semi")
     verified = (
         cand.join(
-            sh_cand.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "_sha"), "a"
+            sh_cand.withColumnRenamed("_id", "a").withColumnRenamed("_hs", "_sha"), "a"
         )
         .join(
-            sh_cand.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "_shb"), "b"
+            sh_cand.withColumnRenamed("_id", "b").withColumnRenamed("_hs", "_shb"), "b"
         )
         .select(
             "a",
@@ -372,9 +407,23 @@ def cosine_pairs(
     vec_col: str,
     group_col: str,
     threshold: float,
+    *,
+    max_group: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs within a blocking group, exact
-    double-precision cosine (zip_with + aggregate, JVM expressions)."""
+    double-precision cosine (zip_with + aggregate, JVM expressions).
+
+    Hot-group cap (opt-in, mirrors ``minhash_lsh_pairs``'s
+    ``max_bucket``): the within-group all-pairs join is quadratic in the
+    largest blocking group, which at corpus scale is dominated by one
+    skewed key (e.g. ``lang='en'``). With ``max_group=N``, groups larger
+    than N switch from all-pairs to consecutive-id chaining — each
+    member compares only to its successor in the group, keeping the
+    pathological group LINEAR while still connecting a near-dup cluster
+    transitively for connected-component consumers. Pair-level consumers
+    lose non-consecutive pairs in capped groups, hence opt-in."""
+    from pyspark.sql import Window
+
     from .similarity import cosine_col
 
     v = df.select(
@@ -382,13 +431,52 @@ def cosine_pairs(
         F.col(group_col).alias("_g"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    pairs = (
-        v.alias("a")
-        .join(v.alias("b"), (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
+    if max_group is None:
+        pairs = (
+            v.alias("a")
+            .join(
+                v.alias("b"),
+                (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("a"),
+                F.col("b._id").alias("b"),
+                cosine_col(F.col("a._v"), F.col("b._v")).alias("cos"),
+            )
+        )
+        return pairs.where(F.col("cos") >= threshold)
+    # one exchange on _g computes both the group size and the next-id
+    # chain; small groups keep the exact all-pairs join
+    w = Window.partitionBy("_g")
+    wo = w.orderBy("_id")
+    sized = v.select(
+        "_id",
+        "_g",
+        "_v",
+        F.count("*").over(w).alias("_n"),
+        F.lead("_id").over(wo).alias("_next"),
+        F.lead("_v").over(wo).alias("_nextv"),
+    )
+    small = sized.where(F.col("_n") <= max_group)
+    pairs_small = (
+        small.alias("a")
+        .join(
+            small.alias("b"),
+            (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")),
+        )
         .select(
             F.col("a._id").alias("a"),
             F.col("b._id").alias("b"),
             cosine_col(F.col("a._v"), F.col("b._v")).alias("cos"),
         )
     )
-    return pairs.where(F.col("cos") >= threshold)
+    # chained pairs carry the successor's vector through the window, so
+    # no second join is needed for the hot group
+    pairs_big = sized.where(
+        (F.col("_n") > max_group) & F.col("_next").isNotNull()
+    ).select(
+        F.col("_id").alias("a"),
+        F.col("_next").alias("b"),
+        cosine_col(F.col("_v"), F.col("_nextv")).alias("cos"),
+    )
+    return pairs_small.unionByName(pairs_big).where(F.col("cos") >= threshold)
