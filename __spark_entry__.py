@@ -72,6 +72,18 @@ def _enc_path(sf_dir: str) -> str:
 _ENC_GLOB = _enc_path(DRIVER_SF_DIR) + "/data/*.parquet"
 
 
+def _ivf_tmp_path(sf_dir: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/raquet_ivf_{tag}_v{drs.__version__}"
+
+
+# the ann_ivf oracle replays the probe from the engine's TRAINED
+# centroids (written by build_ivf_index), not a re-derivation
+_IVF_CENTROIDS_PARQUET = os.path.join(
+    _ivf_tmp_path(DRIVER_SF_DIR), "_centroids.parquet"
+)
+
+
 def _encoded(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
     """Encode the webtext view once per sf_dir (cached on /tmp, keyed by
     engine version) — queries share the encoded table like the
@@ -654,17 +666,26 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("score", 4).alias("score"))
 
 
+def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, cached like _encoded) the persisted IVF inverted
+    lists for this sf_dir — trained sampled-k-means coarse quantizer."""
+    emb = _read(spark, sf_dir, "embeddings")
+    path = _ivf_tmp_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_ivf_index.json")):
+        similarity.build_ivf_index(emb, "vec_id", "embedding", path, n_centroids=8)
+    return path
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN over PERSISTED inverted lists (coarse quantizer =
-    deterministic first-8 centroids, so the whole operator is
-    oracle-checkable): probe = top-3 centroid lists by query cosine,
+    """IVF ANN over PERSISTED inverted lists. The coarse quantizer is
+    trained (deterministic sampled spherical k-means, seed 42), and the
+    chosen centroids are written into the index as _centroids.parquet so
+    the SQL twin replays the probe from the SAME centroids instead of
+    re-deriving them. Probe = top-3 centroid lists by query cosine,
     exact re-rank within them."""
     emb = _read(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = f"/tmp/raquet_ivf_{tag}_v{drs.__version__}"
-    if not os.path.exists(os.path.join(path, "_ivf_index.json")):
-        similarity.build_ivf_index(emb, "vec_id", "embedding", path, n_centroids=8)
+    path = _ivf_index_path(spark, sf_dir)
     top = similarity.ann_ivf(
         emb, "vec_id", "embedding", q, k=10, n_probe=3, exclude_id=0,
         index_path=path,
@@ -938,7 +959,7 @@ n AS (SELECT *,
   [json_extract_string(j, '$.columns[' || i || '].name') FOR i IN range(ncols)] AS names
 FROM f),
 e AS (SELECT *,
-  ((fv IS DISTINCT FROM '1.0')::INT
+  ((fv IS NULL OR fv NOT IN ('1.0','1.1'))::INT
    + (scheme IS DISTINCT FROM 'hashts-morton-v1')::INT
    + (res IS NULL OR res < 0 OR res > 26)::INT
    + (bucket IS NULL OR bucket <= 0)::INT
@@ -1040,12 +1061,12 @@ def _ensure_driver_fixture() -> None:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
-        if (
-            spark is not None
-            and os.path.isdir(DRIVER_SF_DIR)
-            and not os.path.exists(_enc_path(DRIVER_SF_DIR))
-        ):
-            _encoded(spark, DRIVER_SF_DIR)
+        if spark is not None and os.path.isdir(DRIVER_SF_DIR):
+            if not os.path.exists(_enc_path(DRIVER_SF_DIR)):
+                _encoded(spark, DRIVER_SF_DIR)
+            # the ann_ivf oracle reads the engine's trained centroids
+            if not os.path.exists(_IVF_CENTROIDS_PARQUET):
+                _ivf_index_path(spark, DRIVER_SF_DIR)
     except Exception:
         pass
 
@@ -1193,10 +1214,10 @@ def oracle_sql() -> dict[str, str]:
                   b.embedding::DOUBLE[]) AS c
               FROM embeddings b WHERE b.vec_id <> 0
               ORDER BY c DESC, b.vec_id ASC LIMIT 10)""",
-        "ann_ivf": """
+        "ann_ivf": f"""
             WITH c AS (
-              SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-              FROM embeddings ORDER BY vec_id LIMIT 8
+              SELECT cid, cv::DOUBLE[] AS cv
+              FROM read_parquet('{_IVF_CENTROIDS_PARQUET}')
             ),
             q AS (
               SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
@@ -1214,10 +1235,10 @@ def oracle_sql() -> dict[str, str]:
                       DESC, c.cid
                   ) AS rn
                 FROM embeddings e CROSS JOIN c
-              ) WHERE rn = 1
+              ) WHERE rn <= 2
             )
             SELECT vec_id, round(sim, 4) AS score FROM (
-              SELECT e.vec_id,
+              SELECT DISTINCT e.vec_id,
                 list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
               FROM embeddings e JOIN a USING (vec_id), q
               WHERE a.cid IN (SELECT cid FROM probe) AND e.vec_id <> 0

@@ -15,6 +15,10 @@ as idiomatic Spark DataFrame plans plus Arrow-vectorized pandas UDF
 codec kernels (numpy/pyarrow inside, zero per-row Python).
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
-FORMAT_VERSION = "1.0"
+# current manifest generation written by this engine; readers accept
+# every generation in SUPPORTED_FORMAT_VERSIONS (multi-generation parse,
+# mirroring /root/reference/src/include/raquet_metadata.hpp:1017-1072)
+FORMAT_VERSION = "1.1"
+SUPPORTED_FORMAT_VERSIONS = ("1.0", "1.1")

@@ -242,15 +242,88 @@ def ann_lsh(
 def ivf_centroids(
     df: DataFrame, id_col: str, vec_col: str, n_centroids: int = 8
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic centroid set: the vectors with the n smallest ids.
-    A production deployment would run k-means here; everything below
-    (assignment, inverted lists, probe) is identical either way, and a
-    data-derived deterministic choice keeps the operator
-    oracle-checkable with no RNG in the contract."""
+    """Trivial deterministic centroid set: the vectors with the n
+    smallest ids. Kept as the zero-compute fallback (``method='first'``
+    in build_ivf_index); the real coarse quantizer is
+    ``ivf_kmeans_centroids``."""
     rows = (
         df.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
     )
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def ivf_kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+    *,
+    seed: int = 42,
+    sample_size: int = 4096,
+    iters: int = 10,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic sampled spherical k-means coarse quantizer.
+
+    Sample: the ``sample_size`` vectors with the smallest
+    ``xxhash64(id)`` — a uniform pseudo-random draw that is independent
+    of partitioning and row order, so the trained centroids are
+    bit-reproducible across runs and cluster sizes (driver memory is
+    bounded at sample_size x dim doubles; at 10^12 rows this is a
+    TakeOrdered, not a collect). Training: k-means++ seeding
+    (``numpy.random.default_rng(seed)``) + ``iters`` Lloyd rounds on
+    unit-normalized vectors, cosine assignment (argmax dot); empty
+    clusters are reseeded with the farthest sample point. Returns
+    (centroid_id 0..k-1, unit-norm centroid vector)."""
+    samp = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([r["_v"] for r in samp], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0]
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    n = X.shape[0]
+    k = min(n_centroids, n)
+    rng = np.random.default_rng(seed)
+    # k-means++ on cosine distance (1 - dot of unit vectors)
+    first = int(rng.integers(n))
+    cents = [X[first]]
+    d2 = 1.0 - X @ cents[0]
+    np.maximum(d2, 0.0, out=d2)
+    for _ in range(1, k):
+        tot = float(d2.sum())
+        if tot <= 0:
+            idx = int(rng.integers(n))
+        else:
+            idx = int(np.searchsorted(np.cumsum(d2), rng.random() * tot))
+            idx = min(idx, n - 1)
+        cents.append(X[idx])
+        d2 = np.minimum(d2, np.maximum(1.0 - X @ cents[-1], 0.0))
+    C = np.stack(cents)
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = np.argmax(sims, axis=1)
+        newC = np.zeros_like(C)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members) == 0:
+                # reseed with the point farthest from its centroid
+                worst = int(np.argmin(sims[np.arange(n), assign]))
+                newC[j] = X[worst]
+            else:
+                m = members.sum(axis=0)
+                nm = np.linalg.norm(m)
+                newC[j] = m / nm if nm > 0 else C[j]
+        if np.allclose(newC, C):
+            C = newC
+            break
+        C = newC
+    return [(j, [float(x) for x in C[j]]) for j in range(k)]
 
 
 def ivf_assign_col(
@@ -271,6 +344,31 @@ def ivf_assign_col(
     return (-F.array_max(F.array(*entries)).getField("ncid")).cast("long")
 
 
+def ivf_assign_ids_col(
+    vec_col: Column,
+    centroids: list[tuple[int, list[float]]],
+    n_assign: int = 1,
+) -> Column:
+    """Top-``n_assign`` nearest-centroid ids (cosine desc; ties ->
+    lowest centroid id) as one array Column: sort the (sim, -cid)
+    structs, take the head. Redundant assignment (n_assign > 1) is the
+    IVF spill trick: each vector is indexed in its n closest lists, so
+    neighbors that sit near a Voronoi boundary are still found by a
+    probe of the query's top lists — the recall lever when the corpus
+    is weakly clustered, at n_assign-x index storage (the data stays
+    the pruned-list layout; only the index, never the corpus, grows)."""
+    v = vec_col.cast("array<double>")
+    entries = [
+        F.struct(
+            cosine_col(v, _lit_vec(c)).alias("sim"),
+            F.lit(-cid).alias("ncid"),
+        )
+        for cid, c in centroids
+    ]
+    top = F.slice(F.reverse(F.array_sort(F.array(*entries))), 1, n_assign)
+    return F.transform(top, lambda s: (-s.getField("ncid")).cast("long"))
+
+
 def build_ivf_index(
     df: DataFrame,
     id_col: str,
@@ -279,19 +377,38 @@ def build_ivf_index(
     *,
     n_centroids: int = 8,
     num_files: int | None = None,
+    method: str = "kmeans",
+    seed: int = 42,
+    n_assign: int = 2,
 ) -> dict:
     """Persist IVF inverted lists: (centroid_id, vec_id, vec) sorted by
     centroid_id — the coarse-quantizer twin of the LSH signature index
     (same layout-as-index move, /root/reference/src/raquet_extension.cpp:61-64).
-    A probe reads only the row groups of the probed centroid lists."""
+    A probe reads only the row groups of the probed centroid lists.
+
+    ``method='kmeans'`` (default) trains the coarse quantizer with
+    deterministic sampled spherical k-means; ``'first'`` keeps the
+    zero-compute smallest-id centroids. The chosen centroids are
+    written into the index dir both as JSON (engine reads) and as
+    ``_centroids.parquet`` (so an independent SQL engine can replay the
+    probe from the SAME trained centroids instead of re-deriving them)."""
     import json as _json
 
     spark = df.sparkSession
-    centroids = ivf_centroids(df, id_col, vec_col, n_centroids)
+    if method == "kmeans":
+        centroids = ivf_kmeans_centroids(
+            df, id_col, vec_col, n_centroids, seed=seed
+        )
+    elif method == "first":
+        centroids = ivf_centroids(df, id_col, vec_col, n_centroids)
+    else:
+        raise ValueError(f"unknown IVF method {method!r}")
     assigned = df.select(
-        ivf_assign_col(F.col(vec_col), centroids).alias("centroid_id"),
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
+        F.explode(
+            ivf_assign_ids_col(F.col(vec_col), centroids, n_assign)
+        ).alias("centroid_id"),
     )
     n_files = num_files or max(2, spark.sparkContext.defaultParallelism)
     (
@@ -300,12 +417,25 @@ def build_ivf_index(
         .write.mode("overwrite")
         .parquet(path)
     )
-    meta = {"centroids": centroids}
+    meta = {"centroids": centroids, "method": method, "n_assign": n_assign}
     from .. import fsio
 
     fsio.write_bytes(
         spark, path, "_ivf_index.json", _json.dumps(meta, sort_keys=True).encode()
     )
+    # parquet twin of the centroid list, for independent SQL replay
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ct = pa.table(
+        {
+            "cid": pa.array([c[0] for c in centroids], pa.int64()),
+            "cv": pa.array([c[1] for c in centroids], pa.list_(pa.float64())),
+        }
+    )
+    sink = pa.BufferOutputStream()
+    pq.write_table(ct, sink)
+    fsio.write_bytes(spark, path, "_centroids.parquet", sink.getvalue().to_pybytes())
     return meta
 
 
@@ -333,6 +463,7 @@ def ann_ivf(
     n_probe: int = 2,
     exclude_id=None,
     index_path: str | None = None,
+    method: str = "kmeans",
 ) -> DataFrame:
     """IVF approximate top-k: rank centroids against the query
     driver-side (n_centroids scalars), scan only the probed inverted
@@ -349,18 +480,31 @@ def ann_ivf(
         meta = _json.loads(fsio.read_bytes(spark, index_path, "_ivf_index.json"))
         centroids = [(int(cid), list(map(float, c))) for cid, c in meta["centroids"]]
         probe_ids = _rank_centroids(query, centroids, n_probe)
-        probe = spark.read.parquet(index_path).where(
-            F.col("centroid_id").isin(probe_ids)
+        # redundant assignment can land a vector in two probed lists —
+        # dedupe on id before scoring (rows are identical except the
+        # list id, which is dropped anyway)
+        probe = (
+            spark.read.parquet(index_path)
+            .where(F.col("centroid_id").isin(probe_ids))
+            .dropDuplicates(["vec_id"])
         )
         vec = F.col("vec")
     else:
-        centroids = ivf_centroids(df, id_col, vec_col, n_centroids)
+        centroids = (
+            ivf_kmeans_centroids(df, id_col, vec_col, n_centroids)
+            if method == "kmeans"
+            else ivf_centroids(df, id_col, vec_col, n_centroids)
+        )
         probe_ids = _rank_centroids(query, centroids, n_probe)
         probe = df.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("vec"),
-            ivf_assign_col(F.col(vec_col), centroids).alias("centroid_id"),
-        ).where(F.col("centroid_id").isin(probe_ids))
+            ivf_assign_ids_col(F.col(vec_col), centroids, n_assign=2).alias("_cids"),
+        ).where(
+            F.arrays_overlap(
+                "_cids", F.array(*[F.lit(int(p)) for p in probe_ids])
+            )
+        )
         vec = F.col("vec")
     if exclude_id is not None:
         probe = probe.where(F.col("vec_id") != exclude_id)

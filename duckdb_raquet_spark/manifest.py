@@ -18,9 +18,14 @@ import os
 import time
 from typing import Any
 
-from . import FORMAT_VERSION, __version__
+from . import FORMAT_VERSION, SUPPORTED_FORMAT_VERSIONS, __version__
 
 KEY_SCHEME = "hashts-morton-v1"
+
+# the 1.0 generation recorded the key hash as a free-text string; 1.1
+# records it structured so readers need not parse prose
+_LEGACY_HASH_STR = "xxhash64(url, seed=42) >> 38"
+_HASH_STRUCT = {"fn": "xxhash64", "seed": 42, "shift": 38}
 
 
 def build_manifest(
@@ -42,7 +47,7 @@ def build_manifest(
             "resolution": resolution,
             "bucket_seconds": bucket_seconds,
             "ts_origin": ts_origin,
-            "hash": "xxhash64(url, seed=42) >> 38",
+            "hash": dict(_HASH_STRUCT),
             "n_salt": n_salt,
         },
         "columns": columns,
@@ -84,7 +89,7 @@ def validate_manifest(m: dict) -> tuple[bool, list[str], list[str]]:
     (/root/reference/src/metadata/raquet_metadata.cpp:16-133)."""
     errors: list[str] = []
     warnings: list[str] = []
-    if m.get("format_version") != FORMAT_VERSION:
+    if m.get("format_version") not in SUPPORTED_FORMAT_VERSIONS:
         errors.append(f"unsupported format_version {m.get('format_version')!r}")
     key = m.get("key") or {}
     if key.get("scheme") != KEY_SCHEME:
@@ -114,8 +119,28 @@ def to_json(manifest: dict) -> str:
     return json.dumps(manifest, sort_keys=True, separators=(",", ":"))
 
 
+def normalize_manifest(m: dict) -> dict:
+    """Upgrade an older-generation manifest to the current in-memory
+    shape — ONE reader for every generation, the reference's
+    multi-version parse (raquet_metadata.hpp:1017-1072). The on-disk
+    bytes are untouched; only the returned dict is normalized.
+
+    1.0 -> 1.1: ``key.hash`` was a free-text string; readers now see the
+    structured form (the legacy text is preserved under ``legacy``)."""
+    v = m.get("format_version")
+    if v == "1.0":
+        out = dict(m)
+        key = dict(out.get("key") or {})
+        h = key.get("hash")
+        if isinstance(h, str):
+            key["hash"] = {**_HASH_STRUCT, "legacy": h}
+        out["key"] = key
+        return out
+    return m
+
+
 def from_json(s: str) -> dict:
-    return json.loads(s)
+    return normalize_manifest(json.loads(s))
 
 
 # ------------------------------------------------------- local sidecars ----
@@ -147,7 +172,7 @@ def read_sidecar(path: str, spark=None) -> dict | None:
     try:
         if not fsio.exists(spark, path, SIDECAR):
             return None
-        return json.loads(fsio.read_bytes(spark, path, SIDECAR))
+        return normalize_manifest(json.loads(fsio.read_bytes(spark, path, SIDECAR)))
     except Exception:
         return None
 

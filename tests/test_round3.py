@@ -3,6 +3,8 @@ append-refusal + missing-block-column pruning, minhash uncapped default."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -75,6 +77,101 @@ def test_minhash_uncapped_default_full_recall(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = dedup.minhash_lsh_pairs(df, "doc_id", "text", 0.8, k=16, bands=4).collect()
     assert len(pairs) == 30 * 29 // 2
+
+
+def test_ivf_kmeans_deterministic(spark):
+    from duckdb_raquet_spark.functions import similarity
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1 = similarity.ivf_kmeans_centroids(df, "vec_id", "embedding", 4)
+    c2 = similarity.ivf_kmeans_centroids(
+        df.repartition(7), "vec_id", "embedding", 4
+    )
+    assert c1 == c2  # bit-identical across partitionings
+
+
+def test_ivf_kmeans_recall_at_10(spark, tmp_path):
+    """Trained coarse quantizer quality gate (VERDICT r2 #3): IVF with
+    n_probe=3 of 8 centroids must recall >= 0.9 of the exact top-10 on
+    the sf0.1 embeddings."""
+    import os
+
+    from duckdb_raquet_spark.functions import similarity
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.1 testdata not present")
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    query = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    exact = {
+        r["vec_id"]
+        for r in similarity.ann_bruteforce(
+            emb, "vec_id", "embedding", query, k=10, exclude_id=0
+        ).collect()
+    }
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, "vec_id", "embedding", path, n_centroids=8)
+    approx = {
+        r["vec_id"]
+        for r in similarity.ann_ivf(
+            emb, "vec_id", "embedding", query, k=10, n_probe=3,
+            exclude_id=0, index_path=path,
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_manifest_reads_previous_generation(spark, tmp_path):
+    """One reader, every generation: a 1.0 manifest (string key.hash)
+    parses, validates, and its table still scans after the 1.1 bump."""
+    import json
+
+    from duckdb_raquet_spark import FORMAT_VERSION, encode, manifest as mf, scan, synth
+
+    v10 = {
+        "format_version": "1.0",
+        "engine": "duckdb_raquet_spark/0.3.0",
+        "key": {
+            "scheme": "hashts-morton-v1",
+            "resolution": 6,
+            "bucket_seconds": 86400,
+            "ts_origin": 0,
+            "hash": "xxhash64(url, seed=42) >> 38",
+            "n_salt": 1,
+        },
+        "columns": [{"name": "url", "kind": "string"}],
+        "url_col": "url",
+        "ts_col": None,
+        "num_blocks": 1,
+        "num_rows": 1,
+        "raw_bytes": 1,
+        "enc_bytes": 1,
+        "codec_histogram": {},
+    }
+    m = mf.from_json(json.dumps(v10))
+    ok, errors, _ = mf.validate_manifest(m)
+    assert ok, errors
+    assert m["key"]["hash"]["fn"] == "xxhash64"  # normalized to 1.1 shape
+    assert m["key"]["hash"]["legacy"].startswith("xxhash64(")
+
+    # e2e: a committed table whose manifest row is rewritten to the 1.0
+    # generation scans identically
+    df = synth.synth_webtext(spark, 120, num_partitions=2)
+    out = str(tmp_path / "tbl")
+    encode.encode_to_path(spark, df, out, target_rows_per_block=64, resolution=4)
+    side = os.path.join(out, "_raquet_manifest.json")
+    cur = json.loads(open(side).read())
+    cur["format_version"] = "1.0"
+    cur["key"]["hash"] = "xxhash64(url, seed=42) >> 38"
+    open(side, "w").write(json.dumps(cur))
+    blocks = scan.read_blocks(spark, out)
+    man = scan.read_manifest(spark, out)
+    assert man["key"]["hash"]["fn"] == "xxhash64"
+    n = scan.decode_blocks(blocks, man, ["url"]).count()
+    assert n == 120
+    assert FORMAT_VERSION == "1.1"
 
 
 def test_datasource_append_mode_refused(spark, tmp_path):
