@@ -431,19 +431,39 @@ def q_rt_rollup_ov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_img_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload -> (stubbed, content-derived)
-    decode -> resize -> channel-mean features via mapInPandas. The fake
-    decode is closed-form on md5 slices, so the whole pipeline has an
-    exact SQL oracle (chan0 recovers the channel-0 fill byte from the
-    float32 feature)."""
+    """Multimodal pipeline over REAL images: render a deterministic PNG
+    per document (executor-side, row filter y%5 so every PNG unfilter
+    path runs), decode it with the from-scratch PNG codec, resize
+    (4x4 nearest-neighbor sample) and emit channel-mean features via
+    mapInPandas. The pixel pattern is closed-form in doc_id, so the
+    DECODED statistics have an exact SQL oracle — the oracle checks
+    real pixel math, not a hash-seeded stand-in."""
     from duckdb_raquet_spark.functions import multimodal as mm
 
-    docs = _webtext(spark, sf_dir).select("doc_id", "html")
-    feats = mm.image_features(docs, "doc_id", "html")
+    docs = _webtext(spark, sf_dir).select("doc_id")
+    imgs = mm.synth_png_column(docs, "doc_id", "png")
+    feats = mm.image_features(imgs, "doc_id", "png")
     return feats.select(
         F.col("id").alias("doc_id"), "width", "height",
         F.round(F.element_at("features", 1) * 255).cast("int").alias("chan0"),
     ).orderBy("doc_id")
+
+
+def q_mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline over REAL WAV payloads: render a deterministic
+    RIFF/WAVE PCM file per document, parse it with the from-scratch WAV
+    codec, frame it (256/128) and emit per-frame RMS. Integer PCM keeps
+    the sum of squares exact, so the RMS doubles are bit-reproducible
+    in SQL — real decode, exact oracle."""
+    from duckdb_raquet_spark.functions import multimodal as mm
+
+    docs = _webtext(spark, sf_dir).select("doc_id")
+    wavs = mm.synth_wav_column(docs, "doc_id", "wav")
+    frames = mm.audio_frames(wavs, "doc_id", "wav", frame=256, hop=128)
+    return frames.select(
+        F.col("id").alias("doc_id"), "frame_idx",
+        F.round("rms", 6).alias("rms"),
+    ).orderBy("doc_id", "frame_idx")
 
 
 def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_rollup": q_rt_rollup,
         "rt_rollup_ov": q_rt_rollup_ov,
         "mm_img_features": q_mm_img_features,
+        "mm_audio_rms": q_mm_audio_rms,
         "mm_video_frames": q_mm_video_frames,
         "mm_binary_stats": q_mm_binary_stats,
         "enc_metrics": q_enc_metrics,
@@ -1002,11 +1023,25 @@ FROM g
 
 
 _IMG_FEATURES_ORACLE = """
-SELECT doc_id,
-  (8 + (('0x' || substr(md5(text), 1, 8))::BIGINT % 25))::INT AS width,
-  (8 + (('0x' || substr(md5(text), 9, 8))::BIGINT % 25))::INT AS height,
-  (('0x' || substr(md5(text), 17, 8))::BIGINT % 254)::INT AS chan0
-FROM documents ORDER BY doc_id
+WITH p AS (
+  SELECT doc_id,
+    [10,13,16][(doc_id % 3) + 1] AS w,
+    [10,13,16][((doc_id // 3) % 3) + 1] AS h
+  FROM documents
+),
+s AS (
+  -- the engine decodes the real PNG; the oracle replays the closed-form
+  -- pixel pattern (key + 3y + 5x) % 256 over the exact 4x4 linspace
+  -- sample grid (dims chosen so (n-1) % 3 = 0 -> integer grid)
+  SELECT p.doc_id, p.w, p.h,
+    sum(((p.doc_id + 3 * (yy.i * (p.h - 1) // 3)
+                   + 5 * (xx.i * (p.w - 1) // 3)) % 256)::DOUBLE) AS tot
+  FROM p, range(4) yy(i), range(4) xx(i)
+  GROUP BY p.doc_id, p.w, p.h
+)
+SELECT doc_id, w::INT AS width, h::INT AS height,
+  round(((tot / 16.0 / 255.0)::FLOAT)::DOUBLE * 255)::INT AS chan0
+FROM s ORDER BY doc_id
 """
 
 _SIMHASH_ORACLE = """
@@ -1142,6 +1177,27 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'src1' THEN 0.25 ELSE 0.1 END""",
         "txt_langid": _langid_oracle(),
         "mm_img_features": _IMG_FEATURES_ORACLE,
+        "mm_audio_rms": """
+            WITH p AS (
+              SELECT doc_id, 384 + (doc_id % 3) * 128 AS n FROM documents
+            ),
+            fr AS (
+              SELECT doc_id, n, f.i AS frame_idx FROM p, range(4) f(i)
+              WHERE f.i <= (n - 256) // 128
+            ),
+            s AS (
+              SELECT fr.doc_id, fr.frame_idx,
+                sum((
+                  (((fr.doc_id * 7919 + (fr.frame_idx * 128 + j.j) * 104729)
+                    % 65536) - 32768)
+                  * (((fr.doc_id * 7919 + (fr.frame_idx * 128 + j.j) * 104729)
+                    % 65536) - 32768))::BIGINT) AS sumsq
+              FROM fr, range(256) j(j)
+              GROUP BY fr.doc_id, fr.frame_idx
+            )
+            SELECT doc_id, frame_idx::INT AS frame_idx,
+              round(sqrt(sumsq / 256.0) / 32768.0, 6) AS rms
+            FROM s ORDER BY doc_id, frame_idx""",
         "mm_video_frames": """
             WITH v AS (
               SELECT doc_id,

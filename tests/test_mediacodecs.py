@@ -1,0 +1,172 @@
+"""From-scratch PNG/BMP/WAV codec tests: round-trips, goldens,
+rejection of unsupported shapes, and the real-decode multimodal path."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from duckdb_raquet_spark.functions import audiocodec as ac
+from duckdb_raquet_spark.functions import imagecodec as ic
+from duckdb_raquet_spark.functions import multimodal as mm
+
+
+def test_png_roundtrip_all_filters_and_channels():
+    rng = np.random.default_rng(0)
+    for ch in (1, 2, 3, 4):
+        for _ in range(3):
+            h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+            arr = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+            for filt in (0, 1, 2, 3, 4, lambda y: y % 5):
+                dec, meta = ic.decode_png(ic.encode_png(arr, filters=filt))
+                assert dec.shape == arr.shape
+                assert (dec == arr).all()
+                assert (meta["width"], meta["height"]) == (w, h)
+
+
+def test_png_palette_decode():
+    # hand-build a 2x2 palette PNG: indices [[0,1],[1,0]]
+    import zlib
+
+    plte = bytes([255, 0, 0, 0, 0, 255])  # red, blue
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([1, 0])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        ic.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    arr, meta = ic.decode_png(payload)
+    assert meta["channels"] == 3
+    assert arr[0, 0].tolist() == [255, 0, 0]
+    assert arr[0, 1].tolist() == [0, 0, 255]
+    assert arr[1, 1].tolist() == [255, 0, 0]
+
+
+def test_png_rejects_interlaced_and_16bit():
+    good = ic.encode_png(np.zeros((3, 3, 3), np.uint8))
+    # flip the interlace byte inside IHDR (offset: sig 8 + len 4 + type 4
+    # + 12 data bytes = byte 28), then fix nothing — decoder must reject
+    # before CRC matters
+    bad = bytearray(good)
+    bad[8 + 8 + 12] = 1
+    with pytest.raises(ValueError, match="interlaced"):
+        ic.decode_png(bytes(bad))
+    bad = bytearray(good)
+    bad[8 + 8 + 8] = 16  # bit depth byte
+    with pytest.raises(ValueError, match="bit depth"):
+        ic.decode_png(bytes(bad))
+
+
+def test_bmp_golden_and_header():
+    px = (
+        bytes([255, 0, 0, 0, 255, 0]) + b"\x00\x00"
+        + bytes([0, 0, 255, 255, 255, 255]) + b"\x00\x00"
+    )
+    hdr = (
+        b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(px), 0, 0, 0, 0)
+    )
+    arr, meta = ic.decode_bmp(hdr + px)
+    assert (meta["width"], meta["height"], meta["channels"]) == (2, 2, 3)
+    # bottom-up + BGR->RGB: stored row 0 is the image's bottom row
+    assert arr[1, 0].tolist() == [0, 0, 255]
+    assert arr[1, 1].tolist() == [0, 255, 0]
+    assert arr[0, 0].tolist() == [255, 0, 0]
+    assert arr[0, 1].tolist() == [255, 255, 255]
+    h = ic.parse_image_header(hdr + px)
+    assert (h["width"], h["height"], h["format"]) == (2, 2, "bmp")
+
+
+def test_jpeg_gif_header_parse():
+    # minimal JPEG: SOI + SOF0 with dims 31x17, 3 components
+    jpeg = (
+        b"\xff\xd8\xff\xc0" + struct.pack(">H", 8 + 9)
+        + bytes([8]) + struct.pack(">HH", 17, 31) + bytes([3, 0, 0, 0, 0, 0, 0, 0, 0])
+    )
+    h = ic.parse_image_header(jpeg)
+    assert (h["width"], h["height"], h["channels"], h["format"]) == (31, 17, 3, "jpeg")
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 5
+    h = ic.parse_image_header(gif)
+    assert (h["width"], h["height"], h["format"]) == (12, 34, "gif")
+    with pytest.raises(NotImplementedError):
+        ic.decode_image(jpeg)
+
+
+def test_wav_roundtrip_mono_stereo():
+    rng = np.random.default_rng(1)
+    mono = rng.integers(-32768, 32768, 500).astype(np.int16)
+    pcm, meta = ac.decode_wav(ac.encode_wav(mono, 8000))
+    assert (pcm == mono).all()
+    assert meta == {"sample_rate": 8000, "n_samples": 500, "channels": 1, "format": "wav"}
+    stereo = rng.integers(-32768, 32768, (300, 2)).astype(np.int16)
+    pcm, meta = ac.decode_wav(ac.encode_wav(stereo, 44100))
+    assert pcm.shape == (300, 2)
+    assert (pcm == stereo).all()
+    assert meta["channels"] == 2
+
+
+def test_wav_rejects_compressed():
+    b = bytearray(ac.encode_wav(np.zeros(10, np.int16)))
+    # audio_format field is the first u16 of the fmt body (offset 20)
+    struct.pack_into("<H", b, 20, 85)  # MP3
+    with pytest.raises(NotImplementedError):
+        ac.decode_wav(bytes(b))
+
+
+def test_synth_png_fixture_decodes_to_pattern():
+    for key in (0, 7, 123):
+        arr, meta = ic.decode_png(mm.synth_png_bytes(key))
+        w = (10, 13, 16)[key % 3]
+        h = (10, 13, 16)[(key // 3) % 3]
+        assert (meta["width"], meta["height"]) == (w, h)
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        expect = ((key + 3 * y + 5 * x + 77 * c) % 256).astype(np.uint8)
+        assert (arr == expect).all()
+
+
+def test_image_features_real_decode(spark):
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    imgs = mm.synth_png_column(df, "doc_id", "png")
+    rows = mm.image_features(imgs, "doc_id", "png").orderBy("id").collect()
+    assert len(rows) == 6
+    for r in rows:
+        key = r["id"]
+        assert r["width"] == (10, 13, 16)[key % 3]
+        # feature[0] = mean of sampled channel-0 pixels / 255
+        w, h = r["width"], r["height"]
+        yi = np.linspace(0, h - 1, 4).astype(int)
+        xi = np.linspace(0, w - 1, 4).astype(int)
+        vals = [(key + 3 * y + 5 * x) % 256 for y in yi for x in xi]
+        assert abs(r["features"][0] * 255 - np.mean(vals)) < 1e-3
+
+
+def test_audio_frames_exact_rms(spark):
+    df = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    wavs = mm.synth_wav_column(df, "doc_id", "wav")
+    rows = mm.audio_frames(wavs, "doc_id", "wav").collect()
+    assert rows
+    for r in rows:
+        key, fidx = r["id"], r["frame_idx"]
+        i = np.arange(fidx * 128, fidx * 128 + 256, dtype=np.int64)
+        seg = (key * 7919 + i * 104729) % 65536 - 32768
+        expect = float(np.sqrt(int(np.dot(seg, seg)) / 256.0) / 32768.0)
+        assert r["rms"] == expect  # bit-exact, not approx
+
+
+def test_image_metadata_real_headers(spark):
+    df = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    imgs = mm.synth_png_column(df, "doc_id", "png")
+    rows = mm.image_metadata(imgs, "png").orderBy("doc_id").collect()
+    assert rows[0]["img_meta"]["format"] == "png"
+    assert rows[0]["img_meta"]["width"] == (10, 13, 16)[1 % 3]
