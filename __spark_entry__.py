@@ -525,6 +525,23 @@ def q_key_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_key_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan neighborhood expansion: explode of the vectorized
+    children_col (quadbin_to_children as a Column expression, ref
+    quadbin_functions.cpp:618-708) over the encoded table's distinct
+    keys — SQL oracle replays the same bit algebra on the parquet."""
+    from duckdb_raquet_spark import blockkey as bk
+
+    blocks, man, _ = _blocks(spark, sf_dir)
+    res = man["key"]["resolution"]
+    b = F.col("block")
+    return (
+        blocks.select(b).distinct()
+        .select(b, F.explode(bk.children_col(b, res)).alias("child"))
+        .orderBy("block", "child")
+    )
+
+
 # --------------------------------------------------------- text queries ----
 
 
@@ -819,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_binary_stats": q_mm_binary_stats,
         "enc_metrics": q_enc_metrics,
         "key_math": q_key_math,
+        "key_children": q_key_children,
         "txt_tokens": q_txt_tokens,
         "txt_quality": q_txt_quality,
         "txt_fingerprint": q_txt_fingerprint,
@@ -1152,6 +1170,24 @@ def oracle_sql() -> dict[str, str]:
         "rt_rollup_ov": _rollup_oracle(31),
         "enc_metrics": _ENC_METRICS_ORACLE,
         "key_math": _KEY_MATH_ORACLE,
+        "key_children": f"""
+            WITH src AS (
+              SELECT DISTINCT block, (block >> 52) & 31 AS res
+              FROM read_parquet('{_ENC_GLOB}') WHERE block <> 0
+            ),
+            p AS (
+              SELECT block, res + 1 AS nr,
+                (1::BIGINT << (52 - 2 * (res + 1))) - 1 AS foot_new,
+                (block & {_MORTON})
+                  & xor({_MORTON}::BIGINT,
+                        (1::BIGINT << (52 - 2 * res)) - 1) AS base
+              FROM src
+            )
+            SELECT block,
+              ({_HEADER} | (nr << 52) | base | (q.q << (52 - 2 * nr))
+               | foot_new) AS child
+            FROM p, range(4) q(q)
+            ORDER BY block, child""",
         "txt_boilerplate": """
             WITH t AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents

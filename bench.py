@@ -473,6 +473,25 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
     qs = entrymod.queries()
     entrymod._ann_index_path(spark, sf_dir)
     force(qs["ann_ivf"](spark, sf_dir))  # one-time IVF index build, untimed
+    # probe-footprint evidence (the reference's 2KB-of-261MB property):
+    # fraction of index rows/bytes a probe touches, from footer min/max
+    from duckdb_raquet_spark.functions import similarity as _sim
+
+    qv = entrymod._query_vec(spark, sf_dir)
+    probe_fracs = {
+        "ann_lsh_probe_rows_frac": round(
+            _sim.lsh_probe_stats(
+                spark, entrymod._ann_index_path(spark, sf_dir), qv
+            )["frac"]["rows"],
+            4,
+        ),
+        "ann_ivf_probe_rows_frac": round(
+            _sim.ivf_probe_stats(
+                spark, entrymod._ivf_tmp_path(sf_dir), qv
+            )["frac"]["rows"],
+            4,
+        ),
+    }
     for name in (
         "dedup_minhash",
         "ann_topk",
@@ -523,6 +542,7 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "gzip_baseline_bytes": gz,
         "vs_gzip_baseline": round(enc / gz, 4),  # <1.0 = smaller than reference codec
     }
+    out.update(probe_fracs)
     if big_gbps is not None:
         out["encode_gbps_at_2p6gb"] = big_gbps
         out["encode_gbps_at_2p6gb_fast"] = fast_gbps

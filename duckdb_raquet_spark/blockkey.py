@@ -382,6 +382,63 @@ def hash_cell_col(block: Column, res: int) -> Column:
     return F.shiftrightunsigned(x, COORD_BITS - res)
 
 
+def _key_from_cells_col(xcell: Column, ycell: Column, res: int) -> Column:
+    """Key from (x, y) CELL indices at ``res`` — Column twin of
+    key_from_parts on shifted coords."""
+    shift = COORD_BITS - res
+    x = F.shiftleft(xcell, shift)
+    y = F.shiftleft(ycell, shift)
+    fm = F.shiftleft(_spread26_col(y), 1).bitwiseOR(_spread26_col(x))
+    foot = footer(res)
+    return fm.bitwiseAND(F.lit(MORTON_MASK ^ foot)).bitwiseOR(
+        F.lit(HEADER | (res << RES_SHIFT) | foot)
+    )
+
+
+def children_col(block: Column, res: int) -> Column:
+    """Array of the four child keys one resolution finer —
+    quadbin_to_children as a vectorized Column expression (the reference
+    registers it as a SQL function,
+    /root/reference/src/quadbin/quadbin_functions.cpp:618-708). ``res``
+    is the resolution of the input keys (compile-time, like the other
+    ``*_col`` helpers — engine tables are single-resolution)."""
+    if not 0 <= res < MAX_RES:
+        raise ValueError(f"no children below resolution {MAX_RES}")
+    new_r = res + 1
+    pair_shift = 52 - 2 * new_r
+    base = block.bitwiseAND(F.lit(MORTON_MASK)).bitwiseAND(
+        F.lit(MORTON_MASK ^ footer(res))
+    )
+    header_foot = HEADER | (new_r << RES_SHIFT) | footer(new_r)
+    return F.array(
+        *[
+            base.bitwiseOR(F.lit((q << pair_shift) | header_foot))
+            for q in range(4)
+        ]
+    )
+
+
+def kring_col(block: Column, res: int, k: int = 1) -> Column:
+    """Array of same-resolution keys within Chebyshev distance ``k`` in
+    (x, y) cell space, border-clamped, sorted, self included —
+    quadbin_kring as a Column expression (ref
+    quadbin_functions.cpp:711-819). Enables in-plan neighborhood
+    expansion: ``explode(kring_col(block, r))`` then join/isin, no
+    driver round-trip. (2k+1)^2 candidate exprs; out-of-range neighbors
+    become NULL and are compacted away."""
+    xr = hash_cell_col(block, res).cast("long")
+    yr = ts_bucket_col(block, res).cast("long")
+    n = 1 << res
+    entries = []
+    for dy in range(-k, k + 1):
+        for dx in range(-k, k + 1):
+            nx = xr + F.lit(dx)
+            ny = yr + F.lit(dy)
+            ok = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+            entries.append(F.when(ok, _key_from_cells_col(nx, ny, res)))
+    return F.array_sort(F.array_distinct(F.array_compact(F.array(*entries))))
+
+
 def choose_resolution(est_rows: int, target_rows_per_block: int = 65536) -> int:
     """Pick a resolution so cells hold ~target rows (2 bits per res step).
 

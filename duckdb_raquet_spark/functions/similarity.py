@@ -236,6 +236,76 @@ def ann_lsh(
     )
 
 
+def index_probe_stats(path: str, col: str, values: list[int]) -> dict:
+    """How much of a persisted index a probe of ``values`` on the sorted
+    ``col`` actually touches, from parquet footer min/max alone — the
+    reference's '2 KB of 261 MB' pruning evidence
+    (/root/reference/docs/PERFORMANCE_COMPARISON.md:150-153) computed
+    for our sig-/centroid-sorted index tables. Driver-side metadata
+    walk; no data pages are read."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    vals = sorted(int(v) for v in values)
+    tot = {"files": 0, "row_groups": 0, "rows": 0, "bytes": 0}
+    hit = {"files": 0, "row_groups": 0, "rows": 0, "bytes": 0}
+    for f in sorted(_glob.glob(_os.path.join(path, "*.parquet"))):
+        md = _pq.ParquetFile(f).metadata
+        ci = md.schema.to_arrow_schema().get_field_index(col)
+        tot["files"] += 1
+        file_hit = False
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            tot["row_groups"] += 1
+            tot["rows"] += rgm.num_rows
+            tot["bytes"] += rgm.total_byte_size
+            st = rgm.column(ci).statistics if ci >= 0 else None
+            touched = True
+            if st is not None and st.has_min_max:
+                lo, hi = int(st.min), int(st.max)
+                touched = any(lo <= v <= hi for v in vals)
+            if touched:
+                hit["row_groups"] += 1
+                hit["rows"] += rgm.num_rows
+                hit["bytes"] += rgm.total_byte_size
+                file_hit = True
+        hit["files"] += int(file_hit)
+    frac = {
+        k: (hit[k] / tot[k] if tot[k] else 0.0) for k in ("rows", "bytes", "row_groups")
+    }
+    return {"total": tot, "touched": hit, "frac": frac}
+
+
+def lsh_probe_stats(spark, path: str, query: list[float], probe_hamming: int = 2) -> dict:
+    """Probe-footprint stats for a persisted LSH index (same multi-probe
+    signature set the query plan pushes down)."""
+    import json as _json
+
+    from .. import fsio
+
+    meta = _json.loads(fsio.read_bytes(spark, path, "_ann_index.json"))
+    planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    sigs = probe_signatures(
+        query_signature(query, planes), meta["n_planes"], probe_hamming
+    )
+    return index_probe_stats(path, "sig", sigs)
+
+
+def ivf_probe_stats(spark, path: str, query: list[float], n_probe: int = 3) -> dict:
+    """Probe-footprint stats for a persisted IVF index (same top-n_probe
+    centroid lists the query plan scans)."""
+    import json as _json
+
+    from .. import fsio
+
+    meta = _json.loads(fsio.read_bytes(spark, path, "_ivf_index.json"))
+    centroids = [(int(cid), list(map(float, c))) for cid, c in meta["centroids"]]
+    probe_ids = _rank_centroids(query, centroids, n_probe)
+    return index_probe_stats(path, "centroid_id", probe_ids)
+
+
 # -------------------------------------------------------------------- IVF ----
 
 

