@@ -210,7 +210,7 @@ def gzip_baseline_bytes(spark, input_path: str, man: dict) -> int:
 
 def encode_run(
     spark, input_path: str, rows: int, tag: str, ts_range: tuple[int, int],
-    effort: str = "max", shuffle: str = "hash",
+    effort: str = "max", shuffle: str = "hash", sorted_write: bool = True,
 ) -> tuple[float, dict]:
     """One timed encode job: read input parquet -> blocks table on disk."""
     from duckdb_raquet_spark import encode
@@ -230,6 +230,7 @@ def encode_run(
         target_rows_per_block=trpb,
         effort=effort,
         shuffle=shuffle,
+        sorted_write=sorted_write,
     )
     return time.time() - t0, man
 
@@ -522,6 +523,14 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         )
         fast_gbps = round(fast_man["raw_bytes"] / fast_wall / 1e9, 4)
         timings["encode_2p6gb_fast"] = round(fast_wall, 4)
+        # memory-hardened write path (no persist, no range pass): the
+        # documented alternative when encoded blocks exceed cluster
+        # memory — timed here so the cost of the sorted layout is known
+        uw_wall, _ = encode_run(
+            spark, big_input, big_rows, "bigfastuw", big_ts,
+            effort="fast", sorted_write=False,
+        )
+        timings["encode_2p6gb_fast_unsorted"] = round(uw_wall, 4)
         # reuse the manifest from the timed encode_fast run above —
         # re-encoding headfast here would double that stage's wall
         vs_gzip_fast = round(man_fast["enc_bytes"] / gz, 4)

@@ -630,29 +630,44 @@ def write_blocks(
     columns: list[dict],
     *,
     mode: str = "overwrite",
+    sorted: bool = True,
 ) -> dict:
-    """Write blocks sorted by key (range partition + in-file sort), then
-    finalize + append the manifest row LAST — the reference's
-    metadata-row-after-all-data invariant, distributed."""
-    spark = blocks.sparkSession
-    # Range-order the ENCODED rows (not the raw input): persist makes the
-    # range sampler's extra child execution a cache read, so the expensive
-    # encode runs exactly once. Output files are globally block-ordered ->
-    # file- and row-group-level min/max pruning (the reference's ORDER BY
-    # block, README.md:259-261, distributed).
-    from pyspark import StorageLevel
+    """Write blocks, then finalize + append the manifest row LAST — the
+    reference's metadata-row-after-all-data invariant, distributed.
 
-    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        n_files = max(2, spark.sparkContext.defaultParallelism)
-        (
-            blocks.repartitionByRange(n_files, BLOCK, SALT)
-            .sortWithinPartitions(BLOCK, SALT)
-            .write.mode(mode)
-            .parquet(_data_path(path))
+    ``sorted=True`` (default) range-partitions + in-file sorts the
+    ENCODED rows so output files are globally block-ordered (file- and
+    row-group-level min/max pruning, the reference's ORDER BY block,
+    README.md:259-261). The range sampler executes the child plan a
+    second time, so the encoded blocks are persisted MEMORY_AND_DISK for
+    the duration — the job's one cluster-memory pressure point.
+
+    ``sorted=False`` is the memory-hardened alternative for encodes
+    whose blocks exceed cluster memory: each encode task streams its
+    partition straight to its own file — no persist, no second pass, no
+    exchange after the encode shuffle. Files keep only per-task locality
+    (hash-partitioned keys), so scans prune at row-group rather than
+    file granularity until :func:`scan.compact_to_path` rewrites the
+    table into the canonical sorted layout (bit-identical blocks)."""
+    spark = blocks.sparkSession
+    if sorted:
+        from pyspark import StorageLevel
+
+        blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n_files = max(2, spark.sparkContext.defaultParallelism)
+            (
+                blocks.repartitionByRange(n_files, BLOCK, SALT)
+                .sortWithinPartitions(BLOCK, SALT)
+                .write.mode(mode)
+                .parquet(_data_path(path))
+            )
+        finally:
+            blocks.unpersist()
+    else:
+        blocks.sortWithinPartitions(BLOCK, SALT).write.mode(mode).parquet(
+            _data_path(path)
         )
-    finally:
-        blocks.unpersist()
     totals, hist = _aggregate_written(spark, path)
     final = mf.finalize_manifest(man, codec_histogram=hist, **totals)
     _append_manifest_row(spark, path, final, columns)
@@ -699,13 +714,16 @@ def encode_to_path(
         if need_ts:
             kwargs["ts_range"] = (int(r[1] or 0), int(r[2] or 0))
 
+    sorted_write = kwargs.pop("sorted_write", True)
     if chunks <= 1:
         blocks, man = encode_table(
             df, url_col=url_col, ts_col=ts_col, est_rows=est_rows, **kwargs
         )
         man["lineage_chunks"] = 1
+        if not sorted_write:
+            man["sorted"] = False
         t0 = time.time()
-        final = write_blocks(blocks, path, man, columns)
+        final = write_blocks(blocks, path, man, columns, sorted=sorted_write)
         mf.write_chunk_lineage(
             path,
             0,
@@ -743,18 +761,23 @@ def encode_to_path(
             continue
         t0 = time.time()
         part_path = os.path.join(_data_path(path), f"chunk={k}")
-        from pyspark import StorageLevel
+        if sorted_write:
+            from pyspark import StorageLevel
 
-        blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            (
-                blocks.repartitionByRange(files_per_chunk, BLOCK, SALT)
-                .sortWithinPartitions(BLOCK, SALT)
-                .write.mode("overwrite")
-                .parquet(part_path)
-            )
-        finally:
-            blocks.unpersist()
+            blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                (
+                    blocks.repartitionByRange(files_per_chunk, BLOCK, SALT)
+                    .sortWithinPartitions(BLOCK, SALT)
+                    .write.mode("overwrite")
+                    .parquet(part_path)
+                )
+            finally:
+                blocks.unpersist()
+        else:
+            blocks.sortWithinPartitions(BLOCK, SALT).write.mode(
+                "overwrite"
+            ).parquet(part_path)
         agg = (
             spark.read.parquet(part_path)
             .agg(F.count("*"), F.sum("n_rows"), F.sum("stats.raw_bytes"), F.sum("stats.enc_bytes"))
@@ -774,6 +797,8 @@ def encode_to_path(
             spark,
         )
     man["lineage_chunks"] = chunks
+    if not sorted_write:
+        man["sorted"] = False
     totals, hist = _aggregate_written(spark, path)
     final = mf.finalize_manifest(man, codec_histogram=hist, **totals)
     # manifest row last, in its own chunk=-1 partition, overwrite =

@@ -75,6 +75,15 @@ def main() -> None:
         "shuffle, for inputs already clustered by url-hash/time",
     )
     ap.add_argument(
+        "--unsorted-write",
+        action="store_true",
+        help="skip the sorted (range-partitioned) final layout: each "
+        "encode task streams straight to its own file — no persist of "
+        "the encoded blocks, the memory-safe path when they exceed "
+        "cluster memory; run compact_job afterwards for the canonical "
+        "sorted table",
+    )
+    ap.add_argument(
         "--synth-rows",
         type=int,
         default=0,
@@ -113,6 +122,7 @@ def main() -> None:
         effort=args.effort,
         column_groups=[g.split(",") for g in args.group] or None,
         shuffle=args.shuffle,
+        sorted_write=not args.unsorted_write,
     )
     summary = {
         k: man[k]

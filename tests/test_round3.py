@@ -174,6 +174,41 @@ def test_manifest_reads_previous_generation(spark, tmp_path):
     assert FORMAT_VERSION == "1.1"
 
 
+def test_unsorted_write_decodes_and_compacts(spark, tmp_path):
+    """sorted_write=False (no persist, no range pass — the cluster-
+    memory-safe write) must decode identically to the sorted layout,
+    and compact_to_path must restore the canonical sorted table."""
+    from duckdb_raquet_spark import encode, scan, synth
+
+    df = synth.synth_webtext(spark, 300, num_partitions=4)
+    srt = str(tmp_path / "sorted")
+    uns = str(tmp_path / "unsorted")
+    encode.encode_to_path(spark, df, srt, target_rows_per_block=64, resolution=4)
+    encode.encode_to_path(
+        spark, df, uns, target_rows_per_block=64, resolution=4,
+        sorted_write=False,
+    )
+    man_s = scan.read_manifest(spark, srt)
+    man_u = scan.read_manifest(spark, uns)
+    assert man_u.get("sorted") is False
+    assert man_u["num_rows"] == man_s["num_rows"]
+    assert man_u["enc_bytes"] == man_s["enc_bytes"]  # same blocks, same bytes
+
+    def decoded(path, man):
+        rows = scan.decode_blocks(
+            scan.read_blocks(spark, path), man, ["url", "text", "lang"]
+        ).collect()
+        return sorted(tuple(r) for r in rows)
+
+    assert decoded(uns, man_u) == decoded(srt, man_s)
+    # compaction rewrites into the canonical sorted layout, bit-identical
+    cmp_path = str(tmp_path / "compacted")
+    scan.compact_to_path(spark, uns, cmp_path)
+    man_c = scan.read_manifest(spark, cmp_path)
+    assert man_c["enc_bytes"] == man_s["enc_bytes"]
+    assert decoded(cmp_path, man_c) == decoded(srt, man_s)
+
+
 def test_index_probe_touches_fraction(spark, tmp_path):
     """A probe of a persisted index must touch strictly less than the
     whole index (row groups AND rows), proven from parquet footers —
