@@ -545,6 +545,24 @@ def q_key_children(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------- text queries ----
 
 
+def q_txt_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021 A1.1) as pure Column
+    expressions: per-rule signals + the overall keep/drop flag."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", *textfn.gopher_quality_columns("text")).orderBy(
+        "doc_id"
+    )
+
+
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact duplication (fixed-window approximation of
+    exact-substring dedup, Lee et al. 2022): 20-token passages digested
+    and hash-aggregated; only digests move, never text."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dedup.chunk_dedup(docs, "doc_id", "text", chunk_tokens=20)
+    return out.orderBy("chunk_md5")
+
+
 def q_txt_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", textfn.token_count_col("text").alias("n_tokens"))
@@ -838,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_math": q_key_math,
         "key_children": q_key_children,
         "txt_tokens": q_txt_tokens,
+        "txt_gopher": q_txt_gopher,
+        "dedup_chunks": q_dedup_chunks,
         "txt_quality": q_txt_quality,
         "txt_fingerprint": q_txt_fingerprint,
         "txt_tokens_bpe": q_txt_tokens_bpe,
@@ -1291,6 +1311,50 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
             FROM documents GROUP BY text""",
+        "dedup_chunks": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                unnest([
+                  md5(array_to_string(w[(i * 20 + 1):(i * 20 + 20)], ' '))
+                  FOR i IN range((len(w) // 20))
+                ]) AS chunk_md5
+              FROM t
+            )
+            SELECT chunk_md5, min(doc_id)::BIGINT AS keep_id,
+                   count(*)::BIGINT AS n_copies
+            FROM c GROUP BY chunk_md5 HAVING count(*) >= 2
+            ORDER BY chunk_md5""",
+        "txt_gopher": """
+            WITH t AS (
+              SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+            ),
+            m AS (
+              SELECT doc_id, len(w) AS n,
+                list_sum(list_transform(w, x -> len(x))) AS chars,
+                len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+                len(regexp_extract_all(text, '#|\\.\\.\\.')) AS symbols,
+                len(list_distinct(list_filter(w, x -> x IN
+                  ('the','be','to','of','and','that','have','with')))) AS swd
+              FROM t
+            )
+            SELECT doc_id, n::INT AS n_tokens,
+              round(CASE WHEN n > 0 THEN chars::DOUBLE / n ELSE 0 END, 4)
+                AS mean_token_len,
+              round(CASE WHEN n > 0 THEN alpha::DOUBLE / n ELSE 0 END, 4)
+                AS alpha_frac,
+              round(CASE WHEN n > 0 THEN symbols::DOUBLE / n ELSE 0 END, 6)
+                AS symbol_ratio,
+              swd::INT AS n_gopher_stopwords,
+              (n BETWEEN 50 AND 100000
+               AND (CASE WHEN n > 0 THEN chars::DOUBLE / n ELSE 0 END)
+                   BETWEEN 3 AND 10
+               AND (CASE WHEN n > 0 THEN alpha::DOUBLE / n ELSE 0 END) > 0.8
+               AND (CASE WHEN n > 0 THEN symbols::DOUBLE / n ELSE 0 END) < 0.1
+               AND swd >= 2) AS gopher_pass
+            FROM m ORDER BY doc_id""",
         "dedup_ngram": _JACCARD_PAIRS_BLOCKED,
         "dedup_minhash": _JACCARD_PAIRS_GLOBAL,
         "dedup_embed": """

@@ -292,6 +292,47 @@ def minhash_lsh_pairs(
     return verified.select("a", "b", "jac")
 
 
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 20,
+    min_copies: int = 2,
+) -> DataFrame:
+    """Chunk-level exact duplication: split each document into
+    consecutive non-overlapping ``chunk_tokens``-token passages, digest
+    each, report digests appearing >= ``min_copies`` times corpus-wide —
+    the chunk-granular approximation of exact-substring training-data
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"; the suffix-array pass is replaced by fixed windows
+    so the whole op is two Column projections + one hash aggregate).
+
+    Plan at 10^12 docs: explode emits ~n_tokens/chunk_tokens rows per
+    doc carrying a 32-hex digest (never the passage text), partial
+    aggregation collapses repeats map-side. Returns
+    (chunk_md5, keep_id, n_copies)."""
+    toks = tokens_col(F.col(text_col))
+    n_chunks = F.floor(F.size(toks) / chunk_tokens).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(
+            F.array_join(
+                F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+            ).cast("binary")
+        ),
+    )
+    pairs = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.when(n_chunks > 0, chunks)).alias("chunk_md5"),
+    )
+    return (
+        pairs.groupBy("chunk_md5")
+        .agg(F.min("_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") >= min_copies)
+    )
+
+
 # ----------------------------------------------------------------- simhash ----
 
 

@@ -166,6 +166,64 @@ def add_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("*", *quality_columns(text_col))
 
 
+# Gopher-style document quality rules (Rae et al. 2021, "Scaling
+# Language Models", appendix A1.1 — public filtering heuristics used by
+# most webtext pipelines). Thresholds follow the paper where the rule
+# is computable from tokens alone.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_columns(
+    text: Column | str,
+    *,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+    min_stopwords: int = 2,
+) -> list[Column]:
+    """Per-rule signals + the overall pass flag, all pure Column
+    expressions (one pass over the token array, whole-stage codegen):
+
+      * token count in [min_tokens, max_tokens]
+      * mean token length in [min_mean_len, max_mean_len]
+      * fraction of tokens containing an alphabetic char > min_alpha_frac
+      * symbol-to-token ratio ('#' or '...') < max_symbol_ratio
+      * >= min_stopwords DISTINCT Gopher stop words present
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens_col(c)
+    n = F.size(toks)
+    nd = n.cast("double")
+    chars = token_chars_col(c)
+    mean_len = F.when(n > 0, chars.cast("double") / nd).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n > 0, alpha.cast("double") / nd).otherwise(F.lit(0.0))
+    symbols = F.size(F.split(c, r"#|\.\.\.")) - 1  # occurrences of # / ...
+    symbol_ratio = F.when(n > 0, symbols.cast("double") / nd).otherwise(F.lit(0.0))
+    swarr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    sw_distinct = F.size(
+        F.array_distinct(F.filter(toks, lambda t: F.array_contains(swarr, t)))
+    )
+    passes = (
+        n.between(min_tokens, max_tokens)
+        & mean_len.between(min_mean_len, max_mean_len)
+        & (alpha_frac > min_alpha_frac)
+        & (symbol_ratio < max_symbol_ratio)
+        & (sw_distinct >= min_stopwords)
+    )
+    return [
+        n.alias("n_tokens"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        sw_distinct.alias("n_gopher_stopwords"),
+        passes.alias("gopher_pass"),
+    ]
+
+
 # ------------------------------------------------------ boilerplate ----
 
 

@@ -174,6 +174,41 @@ def test_manifest_reads_previous_generation(spark, tmp_path):
     assert FORMAT_VERSION == "1.1"
 
 
+def test_chunk_dedup_boundaries(spark):
+    """Docs shorter than one chunk emit nothing; identical passages at
+    different offsets DON'T collide (fixed windows, not substrings);
+    aligned identical chunks do."""
+    a = " ".join(f"w{i}" for i in range(40))  # 2 chunks
+    rows = [(0, a), (1, a), (2, "short doc"), (3, "x " + a)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.chunk_dedup(df, "doc_id", "text", chunk_tokens=20).collect()
+    # doc 0 and 1 share both chunks; doc 3 is offset by one token so its
+    # windows differ; doc 2 has no full chunk
+    assert len(out) == 2
+    assert all(r["n_copies"] == 2 and r["keep_id"] == 0 for r in out)
+
+
+def test_gopher_quality_rules(spark):
+    from duckdb_raquet_spark.functions import text as textfn
+
+    good = " ".join(["the quick brown fox jumps over that lazy dog with style"] * 6)
+    short = "too short"
+    symbols = " ".join(["### ### ### ..."] * 20)
+    df = spark.createDataFrame(
+        [(0, good), (1, short), (2, symbols)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *textfn.gopher_quality_columns("text")
+        ).collect()
+    }
+    assert rows[0]["gopher_pass"] is True
+    assert rows[1]["gopher_pass"] is False  # under 50 tokens
+    assert rows[2]["gopher_pass"] is False  # symbol ratio + no alpha
+    assert rows[2]["symbol_ratio"] > 0.1
+
+
 def test_unsorted_write_decodes_and_compacts(spark, tmp_path):
     """sorted_write=False (no persist, no range pass — the cluster-
     memory-safe write) must decode identically to the sorted layout,
