@@ -412,8 +412,21 @@ def encode_table(
     effort: str = selector.EFFORT_MAX,
     column_groups: list[list[str]] | None = None,
     shuffle: str = "hash",
+    salt_mode: str = "avg",
 ) -> tuple[DataFrame, dict]:
     """Lazy encode plan: input rows -> one row per (block, salt).
+
+    ``salt_mode`` picks how the salt fan-out is sized. ``"avg"``
+    (default) divides the row estimate by the cell count — free, and
+    right whenever the key dimensions spread the data (url-hash always
+    does). ``"sampled"`` runs one cheap sample aggregation (<=100k
+    sampled rows, one narrow shuffle of key counts) to estimate the
+    HOTTEST cell and sizes n_salt so even that cell's encode group
+    stays under ``max_rows_per_block`` — the explicit skew lever for
+    crawl-burst time buckets, where the average is small but one cell
+    holds a large share of the corpus and would otherwise become a
+    straggler group of unbounded memory. Estimate is sampling-based
+    (±error at 100k samples is a few percent); n_salt is rounded up.
 
     ``shuffle`` picks how rows reach their encode group: ``"hash"``
     (default) is one hash repartition on (block, salt) — every block's
@@ -490,7 +503,6 @@ def encode_table(
             ts_range[0], ts_range[1], res, bucket_seconds
         )
     cells = 4**res
-    n_salt = max(1, math.ceil(est_rows / max(cells, 1) / max_rows_per_block))
 
     key = bk.key_col(
         F.col(url_col),
@@ -499,6 +511,23 @@ def encode_table(
         eff_bucket,
         ts_origin,
     )
+    if salt_mode == "sampled":
+        frac = min(1.0, 100_000 / max(est_rows, 1))
+        hot = (
+            df.sample(fraction=frac, seed=42)
+            .select(key)
+            .groupBy(BLOCK)
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+            or 0
+        )
+        est_max_cell = int(hot / frac)
+        n_salt = max(1, math.ceil(est_max_cell / max_rows_per_block))
+    elif salt_mode == "avg":
+        n_salt = max(1, math.ceil(est_rows / max(cells, 1) / max_rows_per_block))
+    else:
+        raise ValueError(f"salt_mode must be 'avg' or 'sampled', got {salt_mode!r}")
     salt = (
         F.pmod(F.xxhash64(F.col(url_col), F.lit(7)), F.lit(n_salt)).cast("int")
         if n_salt > 1

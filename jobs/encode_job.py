@@ -75,6 +75,14 @@ def main() -> None:
         "shuffle, for inputs already clustered by url-hash/time",
     )
     ap.add_argument(
+        "--salt-mode",
+        choices=("avg", "sampled"),
+        default="avg",
+        help="salt fan-out sizing: avg = rows/cells (free); sampled = "
+        "one sample aggregation sizes n_salt for the HOTTEST cell — the "
+        "skew lever for crawl-burst time buckets",
+    )
+    ap.add_argument(
         "--unsorted-write",
         action="store_true",
         help="skip the sorted (range-partitioned) final layout: each "
@@ -123,6 +131,7 @@ def main() -> None:
         column_groups=[g.split(",") for g in args.group] or None,
         shuffle=args.shuffle,
         sorted_write=not args.unsorted_write,
+        salt_mode=args.salt_mode,
     )
     summary = {
         k: man[k]

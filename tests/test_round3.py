@@ -244,6 +244,49 @@ def test_unsorted_write_decodes_and_compacts(spark, tmp_path):
     assert decoded(cmp_path, man_c) == decoded(srt, man_s)
 
 
+def test_sampled_salt_splits_hot_cell(spark, tmp_path):
+    """A crawl-burst time bucket (every row in one day) defeats the
+    average-based salt (n_salt=1 -> one straggler encode group);
+    salt_mode='sampled' detects the hot cell and splits it, and the
+    table still decodes identically."""
+    from pyspark.sql import functions as F
+
+    from duckdb_raquet_spark import encode, scan, synth
+
+    df = synth.synth_webtext(spark, 9000, num_partitions=4).withColumn(
+        "warc_ts", F.lit("2024-01-05 12:00:00").cast("timestamp")
+    )
+    avg_p = str(tmp_path / "avg")
+    smp_p = str(tmp_path / "sampled")
+    kw = dict(
+        resolution=4, target_rows_per_block=4096, max_rows_per_block=256,
+        effort="fast",
+    )
+    encode.encode_to_path(spark, df, avg_p, **kw)
+    encode.encode_to_path(spark, df, smp_p, salt_mode="sampled", **kw)
+    man_a = scan.read_manifest(spark, avg_p)
+    man_s = scan.read_manifest(spark, smp_p)
+    # avg: 3000 rows / 256 cells < 256 -> no salt; sampled: the hot
+    # cell's ~3000/16 rows per url-slice... every row shares ONE ts
+    # bucket, so the largest block holds ~3000/16 = 187? depends on
+    # hash spread; assert the lever engaged and bounded the groups
+    # avg: 9000 rows / 256 cells = 35 << 256 -> n_salt 1, but every row
+    # shares ONE ts bucket so the 16 live cells hold ~560 rows each;
+    # sampled sizes n_salt off that hottest cell
+    assert man_a["key"]["n_salt"] == 1
+    assert man_s["key"]["n_salt"] >= 2
+    mx = scan.read_blocks(spark, smp_p).agg(F.max("n_rows")).first()[0]
+    assert mx <= 2 * 256  # sampling slack, but nowhere near one group
+
+    def decoded(path, man):
+        rows = scan.decode_blocks(
+            scan.read_blocks(spark, path), man, ["url", "text"]
+        ).collect()
+        return sorted(tuple(r) for r in rows)
+
+    assert decoded(avg_p, man_a) == decoded(smp_p, man_s)
+
+
 def test_index_probe_touches_fraction(spark, tmp_path):
     """A probe of a persisted index must touch strictly less than the
     whole index (row groups AND rows), proven from parquet footers —
