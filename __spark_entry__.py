@@ -784,6 +784,26 @@ def q_agg_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation via the STREAMING operator's own
+    expression tree run in batch mode (streaming.windowed_counts skips
+    the watermark on bounded input, everything else identical) — the
+    batch-equivalence contract of the §2.9 leg, oracle-checked."""
+    from duckdb_raquet_spark import streaming
+
+    ev = _read(spark, sf_dir, "events")
+    out = streaming.windowed_counts(ev, "ts", window="6 hours")
+    return (
+        out.select(
+            F.date_format("win_start", "yyyy-MM-dd HH:mm").alias("win_start"),
+            "event_type",
+            "cnt",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
 def q_agg_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     return (
@@ -877,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": q_emb_quantize,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "agg_events_daily": q_agg_events_daily,
+        "agg_events_windowed": q_agg_events_windowed,
         "join_top_customers": q_join_top_customers,
     }
 
@@ -1421,6 +1442,16 @@ def oracle_sql() -> dict[str, str]:
               count(*)::BIGINT AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus""",
+        "agg_events_windowed": """
+            WITH b AS (
+              SELECT event_type, value,
+                make_timestamp(((epoch(ts)::BIGINT // 21600) * 21600)
+                               * 1000000) AS ws
+              FROM events
+            )
+            SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type,
+              count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value
+            FROM b GROUP BY ws, event_type ORDER BY win_start, event_type""",
         "agg_events_daily": """
             SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
               count(*)::BIGINT AS cnt,

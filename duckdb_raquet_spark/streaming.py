@@ -116,3 +116,135 @@ def encode_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------- streaming analytics ----
+
+
+def windowed_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    *,
+    key_col: str | None = "event_type",
+    value_col: str | None = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the standard late-data
+    pattern: events later than ``watermark`` behind the max seen ts are
+    dropped deterministically, state for closed windows is evicted (at
+    10^12 events the state store holds only open windows x keys). Same
+    expression tree works in batch (identical results on a bounded
+    input — tested), so the operator is verifiable without a cluster."""
+    from pyspark.sql import functions as F
+
+    df = stream_df
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    keys = [F.window(ts_col, window).alias("win")] + (
+        [F.col(key_col)] if key_col else []
+    )
+    aggs = [F.count("*").alias("cnt")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    out = df.groupBy(*keys).agg(*aggs)
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        *([key_col] if key_col else []),
+        "cnt",
+        *(["sum_value"] if value_col else []),
+    )
+
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events int, sum_value double"
+)
+_SESSION_STATE_SCHEMA = "start long, end long, n int, s double"
+
+
+def sessionize(
+    stream_df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (the engine's §2.9 'custom stateful op'
+    leg). Per user, consecutive events closer than ``gap_seconds``
+    extend the open session kept in the state store; a gap (or state
+    timeout at watermark + gap) closes it and emits one relational row
+    ``(user, start, end, n_events, sum_value)``.
+
+    Scale: state is one 4-field tuple per ACTIVE user (not per event);
+    emitted sessions leave the store immediately; the groupBy shuffles
+    events once on user_id. Batch twin below in tests verifies the
+    session algebra."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ns = gap_seconds * 1_000_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (uid,) = key
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                st, en, n, s = state.get
+                closed.append((uid, st, en, n, s))
+                state.remove()
+        else:
+            ts_all = []
+            val_by_ts = {}
+            for pdf in pdfs:
+                # normalize to epoch ns regardless of the Arrow unit
+                t = pd.to_datetime(pdf[ts_col]).astype("datetime64[ns]").astype("int64")
+                v = pdf[value_col].astype("float64")
+                ts_all.extend(t.tolist())
+                for tt, vv in zip(t.tolist(), v.tolist()):
+                    val_by_ts[tt] = val_by_ts.get(tt, 0.0) + vv
+            ts_all.sort()
+            if state.exists:
+                st, en, n, s = state.get
+            else:
+                st = en = None
+                n, s = 0, 0.0
+            for t in ts_all:
+                v = val_by_ts[t]
+                if st is None:
+                    st, en, n, s = t, t, 1, v
+                elif t - en <= gap_ns:
+                    en, n, s = max(en, t), n + 1, s + v
+                else:
+                    closed.append((uid, st, en, n, s))
+                    st, en, n, s = t, t, 1, v
+            if st is not None:
+                state.update((st, en, n, s))
+                state.setTimeoutTimestamp(en // 1_000_000 + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": pd.to_datetime(
+                        [c[1] for c in closed], unit="ns"
+                    ),
+                    "session_end": pd.to_datetime([c[2] for c in closed], unit="ns"),
+                    "n_events": [c[3] for c in closed],
+                    "sum_value": [c[4] for c in closed],
+                }
+            )
+
+    df = stream_df.withWatermark(ts_col, f"{gap_seconds} seconds")
+    return (
+        df.groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
