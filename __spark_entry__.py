@@ -554,6 +554,17 @@ def q_txt_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> dedup GROUPS: connected components (iterative
+    min-label propagation, one shuffle per round) over the blocked
+    cosine pairs; oracle = the same transitive closure as a recursive
+    CTE. comp = smallest vec_id in the component (the canonical keeper)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = dedup.cosine_pairs(emb, "vec_id", "embedding", "label", 0.4)
+    comps = dedup.connected_components(pairs, "a", "b")
+    return comps.select(F.col("id").alias("vec_id"), "comp").orderBy("vec_id")
+
+
 def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level exact duplication (fixed-window approximation of
     exact-substring dedup, Lee et al. 2022): 20-token passages digested
@@ -878,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_tokens": q_txt_tokens,
         "txt_gopher": q_txt_gopher,
         "dedup_chunks": q_dedup_chunks,
+        "dedup_components": q_dedup_components,
         "txt_quality": q_txt_quality,
         "txt_fingerprint": q_txt_fingerprint,
         "txt_tokens_bpe": q_txt_tokens_bpe,
@@ -1332,6 +1344,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
             FROM documents GROUP BY text""",
+        "dedup_components": """
+            WITH RECURSIVE p AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) >= 0.4
+            ),
+            e AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+            walk(id, comp) AS (
+              SELECT x, x FROM (SELECT DISTINCT x FROM e)
+              UNION
+              SELECT e.y, walk.comp FROM e JOIN walk ON e.x = walk.id
+            )
+            SELECT id AS vec_id, min(comp)::BIGINT AS comp
+            FROM walk GROUP BY id ORDER BY vec_id""",
         "dedup_chunks": """
             WITH t AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents

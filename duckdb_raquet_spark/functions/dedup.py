@@ -333,6 +333,63 @@ def chunk_dedup(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs -> (id, comp) with
+    comp = the smallest id in the component: the dedup GROUP assignment
+    that turns any pair op (minhash/simhash/cosine) into a keep/drop
+    decision ("keep comp, drop the rest").
+
+    Min-label propagation: every node starts as its own label; each
+    round pushes the smaller label across every edge (one shuffle:
+    join + hash aggregate), converging in O(diameter) <= O(log n)
+    rounds for near-dup clusters (cliques converge in 1). The loop is
+    driver-ORCHESTRATED but every round is a distributed plan;
+    ``localCheckpoint`` truncates lineage so round N's plan does not
+    replay rounds 1..N-1, and the convergence check rides the same
+    aggregate (count of label changes). Raises after ``max_iter``
+    rounds rather than silently returning unconverged labels."""
+    e = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    edges = e.unionByName(
+        e.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).distinct()
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("x").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.x == labels.id)
+            .select(F.col("y").alias("id"), F.col("comp"))
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    edges.unpersist()
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
 # ----------------------------------------------------------------- simhash ----
 
 

@@ -174,6 +174,22 @@ def test_manifest_reads_previous_generation(spark, tmp_path):
     assert FORMAT_VERSION == "1.1"
 
 
+def test_connected_components_chain_and_clique(spark):
+    """A 5-node chain (diameter 4, needs multiple propagation rounds),
+    a triangle, and an isolated pair all label to their minimum id."""
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(df, "a", "b").collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
 def test_chunk_dedup_boundaries(spark):
     """Docs shorter than one chunk emit nothing; identical passages at
     different offsets DON'T collide (fixed windows, not substrings);
