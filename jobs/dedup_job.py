@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""spark-submit training-data dedup pipeline over a webtext parquet table.
+
+End-to-end: exact dedup (digest groups) -> MinHash+LSH near-dup pairs ->
+connected components -> one keep/drop decision list written as parquet.
+The artifact a 100 TB pretraining pipeline actually consumes: every
+doc_id labeled with its component's canonical keeper.
+
+    spark-submit --py-files dist/duckdb_raquet_spark.zip jobs/dedup_job.py \
+        --input /root/testdata/sf0.01/documents.parquet \
+        --output /tmp/dedup_out [--threshold 0.8] [--k 32] [--bands 8] \
+        [--max-bucket 1000]
+
+Output table: (doc_id, keep_id, reason) where reason in
+('exact', 'near', 'unique'); plus one JSON summary line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--k", type=int, default=32)
+    ap.add_argument("--bands", type=int, default=8)
+    ap.add_argument(
+        "--max-bucket",
+        type=int,
+        default=1000,
+        help="LSH hot-bucket cap (consecutive-id chaining above it); "
+        "safe here because the consumer is connected components",
+    )
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("raquet-dedup").getOrCreate()
+    from duckdb_raquet_spark.functions import dedup
+
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
+    )
+
+    # 1. exact dedup on the 192-bit digest — collapses byte-identical
+    #    copies before any tokenization
+    d = docs.select(
+        "doc_id",
+        F.length("text").alias("_len"),
+        F.md5(F.col("text").cast("binary")).alias("_md5"),
+        F.xxhash64("text").alias("_xx"),
+    )
+    w_exact = d.groupBy("_len", "_md5", "_xx").agg(
+        F.min("doc_id").alias("exact_keep"), F.collect_list("doc_id").alias("_ids")
+    )
+    exact_map = w_exact.select(
+        F.explode("_ids").alias("doc_id"), "exact_keep"
+    )
+
+    # 2. near-dup pairs over the exact-unique representatives only
+    reps = docs.join(
+        exact_map.where(F.col("doc_id") == F.col("exact_keep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        reps, "doc_id", "text", args.threshold,
+        k=args.k, bands=args.bands, max_bucket=args.max_bucket,
+    )
+
+    # 3. transitive closure -> canonical keeper per near-dup cluster
+    comps = dedup.connected_components(pairs, "a", "b")
+
+    # 4. final decision list: exact keeper -> its component keeper
+    decided = (
+        exact_map.join(
+            comps.withColumnRenamed("id", "exact_keep"), "exact_keep", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("comp", "exact_keep").alias("keep_id"),
+            F.when(F.col("comp").isNotNull() & (F.col("comp") != F.col("doc_id")), "near")
+            .when(F.col("exact_keep") != F.col("doc_id"), "exact")
+            .otherwise(
+                F.when(
+                    F.col("comp").isNotNull() & (F.col("comp") == F.col("doc_id")),
+                    "unique",
+                ).otherwise("unique")
+            )
+            .alias("reason"),
+        )
+    )
+    decided.write.mode("overwrite").parquet(args.output)
+
+    out = spark.read.parquet(args.output)
+    n_total = out.count()
+    n_keep = out.where(F.col("doc_id") == F.col("keep_id")).count()
+    by_reason = {
+        r["reason"]: r["cnt"]
+        for r in out.where(F.col("doc_id") != F.col("keep_id"))
+        .groupBy("reason")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    print(
+        json.dumps(
+            {
+                "total_docs": n_total,
+                "kept": n_keep,
+                "dropped": n_total - n_keep,
+                "dropped_by_reason": by_reason,
+                "output": args.output,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
