@@ -842,3 +842,91 @@ def encode_to_path(
     )
     mf.write_sidecar(path, final, spark)
     return final
+
+
+def append_chunk(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    *,
+    zlib_level: int = 6,
+    effort: str = selector.EFFORT_MAX,
+    codec_overrides: dict[str, str] | None = None,
+    shuffle: str = "hash",
+) -> dict:
+    """Append new rows to a committed CHUNKED table as the next chunk —
+    the sanctioned append path (the datasource rejects ``mode('append')``
+    because task-level appends would desync the manifest; this one
+    re-finalizes the manifest strictly AFTER the chunk's data commit,
+    the same invariant as streaming ingest, whose per-micro-batch commit
+    is exactly one append_chunk).
+
+    Key geometry (resolution / bucket / origin) is pinned from the
+    existing manifest so old and new chunks share one block-key space;
+    the appended chunk is an idempotent overwrite of its own
+    ``chunk=<k>`` directory. Only chunked-layout tables can append
+    (a flat table's data files sit where partition discovery would put
+    the chunk dirs) — encode with ``chunks>=1``? flat tables raise."""
+    man = mf.read_sidecar(path, spark)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest at {path}")
+    done = mf.read_chunk_lineage(path, spark)
+    if not done:
+        raise ValueError(
+            "append_chunk needs a chunked-layout table (data/chunk=*/); "
+            "this table was written flat — compact or re-encode chunked"
+        )
+    k = max(done) + 1
+    key = man["key"]
+    n = df.count()
+    t0 = time.time()
+    blocks, chunk_man = encode_table(
+        df,
+        url_col=man["url_col"],
+        ts_col=man["ts_col"],
+        resolution=key["resolution"],
+        bucket_seconds=key["bucket_seconds"],
+        ts_range=(key["ts_origin"], key["ts_origin"]),  # pinned geometry
+        est_rows=n,
+        zlib_level=zlib_level,
+        effort=effort,
+        codec_overrides=codec_overrides,
+        shuffle=shuffle,
+    )
+    chunk_man["key"]["ts_origin"] = key["ts_origin"]
+    if [c["name"] for c in chunk_man["columns"]] != [
+        c["name"] for c in man["columns"]
+    ]:
+        raise ValueError(
+            "appended DataFrame columns do not match the table's: "
+            f"{[c['name'] for c in chunk_man['columns']]} vs "
+            f"{[c['name'] for c in man['columns']]}"
+        )
+    part = os.path.join(_data_path(path), f"chunk={k}")
+    blocks.sortWithinPartitions(BLOCK, SALT).write.mode("overwrite").parquet(part)
+    totals, hist = _aggregate_written(spark, path)
+    chunk_man["lineage_chunks"] = k + 1
+    final = mf.finalize_manifest(chunk_man, codec_histogram=hist, **totals)
+    _append_manifest_row(
+        spark,
+        path,
+        final,
+        man["columns"],
+        target=os.path.join(_data_path(path), "chunk=-1"),
+        mode="overwrite",
+    )
+    mf.write_sidecar(path, final, spark)
+    mf.write_chunk_lineage(
+        path,
+        k,
+        {
+            "chunk": k,
+            "rows": n,
+            "raw_bytes": final["raw_bytes"],
+            "enc_bytes": final["enc_bytes"],
+            "wall_seconds": round(time.time() - t0, 3),
+            "appended": True,
+        },
+        spark,
+    )
+    return final

@@ -105,8 +105,9 @@ def synth_webtext(
     avg_words: int = 120,
     html_bytes: int = 2048,
     num_partitions: int = 32,
+    start: int = 0,
 ) -> DataFrame:
-    base = spark.range(0, n_rows, 1, num_partitions)
+    base = spark.range(start, start + n_rows, 1, num_partitions)
 
     def gen(batches):
         for pdf in batches:

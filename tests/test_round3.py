@@ -260,6 +260,46 @@ def test_unsorted_write_decodes_and_compacts(spark, tmp_path):
     assert decoded(cmp_path, man_c) == decoded(srt, man_s)
 
 
+def test_append_chunk_extends_table(spark, tmp_path):
+    """append_chunk adds a new chunk under the existing key geometry and
+    re-finalizes the manifest; readers see old+new rows; a flat table
+    refuses; mismatched schema refuses."""
+    from duckdb_raquet_spark import encode, scan, synth
+
+    df = synth.synth_webtext(spark, 200, num_partitions=2)
+    tbl = str(tmp_path / "tbl")
+    encode.encode_to_path(
+        spark, df, tbl, chunks=2, target_rows_per_block=64, resolution=4
+    )
+    extra = synth.synth_webtext(spark, 100, num_partitions=1, start=200)
+    final = encode.append_chunk(spark, extra, tbl)
+    assert final["num_rows"] == 300
+    man = scan.read_manifest(spark, tbl)
+    dec = scan.decode_blocks(scan.read_blocks(spark, tbl), man, ["url", "text"])
+    got = {r["url"]: r["text"] for r in dec.collect()}
+    want = {
+        r["url"]: r["text"]
+        for r in df.unionByName(extra).select("url", "text").collect()
+    }
+    assert got == want
+    # lineage records the appended chunk
+    from duckdb_raquet_spark import manifest as mf
+
+    lineage = mf.read_chunk_lineage(tbl, spark)
+    assert lineage[max(lineage)]["appended"] is True
+    # schema mismatch refused
+    with pytest.raises(ValueError, match="columns"):
+        encode.append_chunk(spark, extra.drop("lang"), tbl)
+    # flat (non-chunked) table refused
+    flat = str(tmp_path / "flat")
+    encode.encode_to_path(spark, df, flat, target_rows_per_block=64, resolution=4)
+    import shutil
+
+    shutil.rmtree(f"{flat}/_lineage", ignore_errors=True)
+    with pytest.raises(ValueError, match="chunked"):
+        encode.append_chunk(spark, extra, flat)
+
+
 def test_sampled_salt_splits_hot_cell(spark, tmp_path):
     """A crawl-burst time bucket (every row in one day) defeats the
     average-based salt (n_salt=1 -> one straggler encode group);
