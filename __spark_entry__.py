@@ -759,6 +759,24 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("score", 4).alias("score"))
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine search over the INT8-QUANTIZED codes (per-vector
+    symmetric scales cancel inside cosine, so the quantized search needs
+    no dequantization): integer dot products are exact in both engines,
+    making the approximate scores themselves oracle-checkable."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qz = similarity.quantize_embeddings(emb, "vec_id", "embedding")
+    qcodes = [int(x) for x in qz.where("vec_id = 0").collect()[0]["q"]]
+    v = F.col("q").cast("array<double>")
+    scored = qz.where("vec_id <> 0").select(
+        "vec_id",
+        F.round(
+            similarity.cosine_col(v, similarity._lit_vec(qcodes)), 4
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
 def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization (4x compression of the vector
     column): quantized codes are exact integers, so the op is
@@ -907,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "emb_quantize": q_emb_quantize,
+        "ann_quantized": q_ann_quantized,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "agg_events_daily": q_agg_events_daily,
         "agg_events_windowed": q_agg_events_windowed,
@@ -1449,6 +1468,26 @@ def oracle_sql() -> dict[str, str]:
               WHERE a.cid IN (SELECT cid FROM probe) AND e.vec_id <> 0
               ORDER BY sim DESC, e.vec_id LIMIT 10
             )""",
+        "ann_quantized": """
+            WITH m AS (
+              SELECT vec_id, embedding,
+                list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+              FROM embeddings
+            ),
+            qz AS (
+              SELECT vec_id,
+                CASE WHEN mx > 0
+                  THEN list_transform(embedding::DOUBLE[],
+                                      x -> round(x * 127.0 / mx))
+                  ELSE list_transform(embedding::DOUBLE[], x -> 0.0) END AS q
+              FROM m
+            ),
+            q0 AS (SELECT q AS qq FROM qz WHERE vec_id = 0)
+            SELECT vec_id,
+              round(list_cosine_similarity(q::DOUBLE[], qq::DOUBLE[]), 4)
+                AS score
+            FROM qz, q0 WHERE vec_id <> 0
+            ORDER BY score DESC, vec_id LIMIT 10""",
         "emb_quantize": """
             WITH m AS (
               SELECT vec_id, embedding,

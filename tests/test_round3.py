@@ -123,6 +123,41 @@ def test_ivf_kmeans_recall_at_10(spark, tmp_path):
     assert len(exact & approx) / len(exact) >= 0.9
 
 
+def test_quantized_ann_recall(spark):
+    """int8 cosine search recalls >= 0.8 of the exact fp top-10 on the
+    sf0.1 embeddings — quantization composes with search usefully."""
+    from pyspark.sql import functions as F
+
+    from duckdb_raquet_spark.functions import similarity
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.1 testdata not present")
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    query = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    exact = {
+        r["vec_id"]
+        for r in similarity.ann_bruteforce(
+            emb, "vec_id", "embedding", query, k=10, exclude_id=0
+        ).collect()
+    }
+    qz = similarity.quantize_embeddings(emb, "vec_id", "embedding")
+    qcodes = [int(x) for x in qz.where("vec_id = 0").collect()[0]["q"]]
+    v = F.col("q").cast("array<double>")
+    approx = {
+        r["vec_id"]
+        for r in qz.where("vec_id <> 0")
+        .select(
+            "vec_id",
+            similarity.cosine_col(v, similarity._lit_vec(qcodes)).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.8
+
+
 def test_manifest_reads_previous_generation(spark, tmp_path):
     """One reader, every generation: a 1.0 manifest (string key.hash)
     parses, validates, and its table still scans after the 1.1 bump."""
