@@ -525,6 +525,24 @@ def q_key_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_key_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan kring expansion: explode of the vectorized kring_col
+    (quadbin_kring as a Column expression, ref
+    quadbin_functions.cpp:711-819) over the encoded table's distinct
+    keys; the SQL twin replays compact -> neighbor offsets -> clamp ->
+    SPREAD -> key assembly entirely in SQL."""
+    from duckdb_raquet_spark import blockkey as bk
+
+    blocks, man, _ = _blocks(spark, sf_dir)
+    res = man["key"]["resolution"]
+    b = F.col("block")
+    return (
+        blocks.select(b).distinct()
+        .select(b, F.explode(bk.kring_col(b, res, 1)).alias("nb"))
+        .orderBy("block", "nb")
+    )
+
+
 def q_key_children(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-plan neighborhood expansion: explode of the vectorized
     children_col (quadbin_to_children as a Column expression, ref
@@ -904,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enc_metrics": q_enc_metrics,
         "key_math": q_key_math,
         "key_children": q_key_children,
+        "key_kring": q_key_kring,
         "txt_tokens": q_txt_tokens,
         "txt_gopher": q_txt_gopher,
         "dedup_chunks": q_dedup_chunks,
@@ -1242,6 +1261,45 @@ def oracle_sql() -> dict[str, str]:
         "rt_rollup_ov": _rollup_oracle(31),
         "enc_metrics": _ENC_METRICS_ORACLE,
         "key_math": _KEY_MATH_ORACLE,
+        "key_kring": f"""
+            WITH src AS (
+              SELECT DISTINCT block, (block >> 52) & 31 AS res
+              FROM read_parquet('{_ENC_GLOB}') WHERE block <> 0
+            ),{_COMPACT_CTES},
+            n AS (
+              SELECT block, res,
+                (vx >> (26 - res)) + dx.d AS nx,
+                (vy >> (26 - res)) + dy.d AS ny
+              FROM c5, (VALUES (-1), (0), (1)) dx(d),
+                   (VALUES (-1), (0), (1)) dy(d)
+            ),
+            f AS (
+              SELECT * FROM n
+              WHERE nx >= 0 AND nx < (1::BIGINT << res)
+                AND ny >= 0 AND ny < (1::BIGINT << res)
+            ),
+            s0 AS (SELECT block, res,
+                     (nx << (26 - res)) & 67108863 AS sx,
+                     (ny << (26 - res)) & 67108863 AS sy FROM f),
+            s1 AS (SELECT * REPLACE ((sx | (sx << 16)) & 281470681808895 AS sx,
+                                     (sy | (sy << 16)) & 281470681808895 AS sy) FROM s0),
+            s2 AS (SELECT * REPLACE ((sx | (sx << 8)) & 71777214294589695 AS sx,
+                                     (sy | (sy << 8)) & 71777214294589695 AS sy) FROM s1),
+            s3 AS (SELECT * REPLACE ((sx | (sx << 4)) & 1085102592571150095 AS sx,
+                                     (sy | (sy << 4)) & 1085102592571150095 AS sy) FROM s2),
+            s4 AS (SELECT * REPLACE ((sx | (sx << 2)) & 3689348814741910323 AS sx,
+                                     (sy | (sy << 2)) & 3689348814741910323 AS sy) FROM s3),
+            s5 AS (SELECT * REPLACE ((sx | (sx << 1)) & 6148914691236517205 AS sx,
+                                     (sy | (sy << 1)) & 6148914691236517205 AS sy) FROM s4),
+            k AS (
+              SELECT block,
+                (((sy << 1) | sx)
+                 & xor(4503599627370495::BIGINT, (1::BIGINT << (52 - 2 * res)) - 1))
+                | (4611686018427387904 | (res << 52)
+                   | ((1::BIGINT << (52 - 2 * res)) - 1)) AS nb
+              FROM s5
+            )
+            SELECT DISTINCT block, nb FROM k ORDER BY block, nb""",
         "key_children": f"""
             WITH src AS (
               SELECT DISTINCT block, (block >> 52) & 31 AS res
