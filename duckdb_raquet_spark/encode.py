@@ -867,16 +867,22 @@ def append_chunk(
     ``chunk=<k>`` directory. Only chunked-layout tables can append
     (a flat table's data files sit where partition discovery would put
     the chunk dirs) — encode with ``chunks>=1``? flat tables raise."""
+    import glob as _glob
+
     man = mf.read_sidecar(path, spark)
     if man is None:
         raise FileNotFoundError(f"no committed manifest at {path}")
-    done = mf.read_chunk_lineage(path, spark)
-    if not done:
+    # layout check must look at the DATA directory, not lineage: the
+    # flat (chunks=1) encode also writes a chunk-00000.json lineage
+    # record, but its parquet files sit directly under data/ where a
+    # chunk=<k> subdirectory would break partition discovery
+    if not _glob.glob(os.path.join(_data_path(path), "chunk=*")):
         raise ValueError(
             "append_chunk needs a chunked-layout table (data/chunk=*/); "
             "this table was written flat — compact or re-encode chunked"
         )
-    k = max(done) + 1
+    done = mf.read_chunk_lineage(path, spark)
+    k = max(done, default=-1) + 1
     key = man["key"]
     n = df.count()
     t0 = time.time()

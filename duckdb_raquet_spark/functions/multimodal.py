@@ -119,18 +119,29 @@ def synth_wav_bytes(key: int) -> bytes:
 
 
 def synth_wav_column(df: DataFrame, id_col: str, out_col: str = "wav") -> DataFrame:
-    """Append a real WAV binary column rendered from the id (executor-
-    side mapInPandas) — the audio twin of synth_png_column."""
-    cols = df.columns
+    """Append a real WAV binary column rendered from the id — the audio
+    twin of synth_png_column."""
+    i = df.columns.index(id_col)
+    return _append_column(df, out_col, "binary", lambda row: synth_wav_bytes(int(row[i])))
+
+
+def _append_column(
+    df: DataFrame, out_col: str, out_type: str, cell_fn
+) -> DataFrame:
+    """Shared mapInPandas scaffolding: append ``out_col`` computed
+    per-row by ``cell_fn`` while keeping every input column (Arrow
+    batches in, bounded memory per task at any table size)."""
     out_schema = ", ".join(
-        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols]
-        + [f"`{out_col}` binary"]
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in df.columns]
+        + [f"`{out_col}` {out_type}"]
     )
 
     def fn(batches):
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = [synth_wav_bytes(int(i)) for i in pdf[id_col]]
+            pdf[out_col] = [
+                cell_fn(row) for row in pdf.itertuples(index=False, name=None)
+            ]
             yield pdf
 
     return df.mapInPandas(fn, schema=out_schema)
@@ -139,9 +150,7 @@ def synth_wav_column(df: DataFrame, id_col: str, out_col: str = "wav") -> DataFr
 def image_metadata(
     df: DataFrame, binary_col: str, *, deterministic: bool = True
 ) -> DataFrame:
-    """Attach typed image metadata to every row — mapInPandas over Arrow
-    batches; the per-row loop touches only the binary payloads of one
-    batch at a time (bounded memory per task at any table size).
+    """Attach typed image metadata to every row.
 
     Metadata comes from REAL container-header parsing for PNG/BMP/JPEG/
     GIF (no pixel decode — cheap even for large payloads); unknown
@@ -149,30 +158,29 @@ def image_metadata(
     else yield NULL."""
     from . import imagecodec as ic
 
-    cols = df.columns
-    out_schema = ", ".join(
-        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols]
-        + ["img_meta struct<" + IMAGE_META_SCHEMA.replace(", ", ",").replace(" ", ":") + ">"]
-    )
+    bi = df.columns.index(binary_col)
 
-    def meta_of(p) -> dict | None:
+    def meta_of(row) -> dict | None:
+        p = row[bi]
         if p is None:
             return None
         b = bytes(p)
-        m = ic.parse_image_header(b)
+        try:
+            m = ic.parse_image_header(b)
+        except Exception:
+            m = None
         if m is not None:
             return m
         if deterministic:
             return _decode_image_kernel(b, True)[1]
         return None
 
-    def fn(batches):
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["img_meta"] = [meta_of(p) for p in pdf[binary_col]]
-            yield pdf
-
-    return df.mapInPandas(fn, schema=out_schema)
+    return _append_column(
+        df,
+        "img_meta",
+        "struct<" + IMAGE_META_SCHEMA.replace(", ", ",").replace(" ", ":") + ">",
+        meta_of,
+    )
 
 
 # deterministic PNG fixture parameters (shared with the SQL oracle):
@@ -197,21 +205,10 @@ def synth_png_bytes(key: int) -> bytes:
 
 def synth_png_column(df: DataFrame, id_col: str, out_col: str = "png") -> DataFrame:
     """Append a real PNG binary column rendered from the id — the
-    deterministic multimodal fixture generator (mapInPandas; encode
-    happens executor-side, nothing is collected)."""
-    cols = df.columns
-    out_schema = ", ".join(
-        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols]
-        + [f"`{out_col}` binary"]
-    )
-
-    def fn(batches):
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf[out_col] = [synth_png_bytes(int(i)) for i in pdf[id_col]]
-            yield pdf
-
-    return df.mapInPandas(fn, schema=out_schema)
+    deterministic multimodal fixture generator (encode happens
+    executor-side, nothing is collected)."""
+    i = df.columns.index(id_col)
+    return _append_column(df, out_col, "binary", lambda row: synth_png_bytes(int(row[i])))
 
 
 def image_features(
@@ -221,12 +218,17 @@ def image_features(
     *,
     resize: tuple[int, int] = (4, 4),
     deterministic: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
-    """Decode -> resize -> per-channel mean feature vector.
+    """Decode (REAL for PNG/BMP) -> resize -> per-channel mean feature
+    vector. Output: (id, features array<float>, width, height).
 
-    The feature math (nearest-neighbor resize + channel means) is real
-    numpy over whatever the decode kernel yields; only the decode is
-    stubbed. Output: (id, features array<float>, width, height)."""
+    ``on_error``: ``"raise"`` fails the job on the first undecodable
+    payload (entropy-coded JPEG/GIF, truncated bytes); ``"skip"``
+    contains the error per ROW and drops that row — the web-crawl
+    setting, where a corrupt payload must not abort a 100 TB job."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
     rh, rw = resize
 
     def fn(batches):
@@ -235,7 +237,12 @@ def image_features(
             for i, p in zip(pdf[id_col], pdf[binary_col]):
                 if p is None:
                     continue
-                arr, meta = _decode_image_kernel(bytes(p), deterministic)
+                try:
+                    arr, meta = _decode_image_kernel(bytes(p), deterministic)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
                 yi = np.linspace(0, arr.shape[0] - 1, rh).astype(int)
                 xi = np.linspace(0, arr.shape[1] - 1, rw).astype(int)
                 small = arr[np.ix_(yi, xi)]
@@ -247,9 +254,11 @@ def image_features(
                 ids.append(i)
                 ws.append(meta["width"])
                 hs.append(meta["height"])
-            yield pd.DataFrame(
-                {"id": ids, "features": feats, "width": ws, "height": hs}
-            )
+            if ids:  # an all-skipped batch yields nothing (an empty
+                # float64 column would defeat the list<float> conversion)
+                yield pd.DataFrame(
+                    {"id": ids, "features": feats, "width": ws, "height": hs}
+                )
 
     return df.mapInPandas(
         fn, schema="id long, features array<float>, width int, height int"
@@ -264,10 +273,14 @@ def audio_frames(
     frame: int = 256,
     hop: int = 128,
     deterministic: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
-    """Decode audio -> framed RMS energies (the frame-sample pattern for
-    av payloads). Output: (id, frame_idx, rms) — one row per frame, so
-    downstream ops stay relational."""
+    """Decode audio (REAL for WAV PCM) -> framed RMS energies. Output:
+    (id, frame_idx, rms) — one row per frame, so downstream ops stay
+    relational. ``on_error="skip"`` contains undecodable payloads
+    per row instead of aborting the job (see image_features)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
 
     def fn(batches):
         for pdf in batches:
@@ -275,7 +288,12 @@ def audio_frames(
             for i, p in zip(pdf[id_col], pdf[binary_col]):
                 if p is None:
                     continue
-                pcm, _ = _decode_audio_kernel(bytes(p), deterministic)
+                try:
+                    pcm, _ = _decode_audio_kernel(bytes(p), deterministic)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
                 if pcm.ndim == 2:
                     pcm = pcm[:, 0]
                 exact = np.issubdtype(pcm.dtype, np.integer)

@@ -354,10 +354,14 @@ def ivf_kmeans_centroids(
         .collect()
     )
     X = np.asarray([r["_v"] for r in samp], dtype=np.float64)
-    norms = np.linalg.norm(X, axis=1)
-    X = X[norms > 0]
+    if X.size:
+        norms = np.linalg.norm(X, axis=1)
+        X = X[norms > 0]
+    n = X.shape[0] if X.size else 0
+    if n == 0:
+        # empty input / all zero-norm vectors: no trainable quantizer
+        return []
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
-    n = X.shape[0]
     k = min(n_centroids, n)
     rng = np.random.default_rng(seed)
     # k-means++ on cosine distance (1 - dot of unit vectors)
@@ -490,10 +494,9 @@ def build_ivf_index(
     meta = {"centroids": centroids, "method": method, "n_assign": n_assign}
     from .. import fsio
 
-    fsio.write_bytes(
-        spark, path, "_ivf_index.json", _json.dumps(meta, sort_keys=True).encode()
-    )
-    # parquet twin of the centroid list, for independent SQL replay
+    # parquet twin of the centroid list (independent SQL replay) goes
+    # FIRST: callers cache on _ivf_index.json's existence, so the json
+    # is the commit marker and must be the last artifact written
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -506,6 +509,9 @@ def build_ivf_index(
     sink = pa.BufferOutputStream()
     pq.write_table(ct, sink)
     fsio.write_bytes(spark, path, "_centroids.parquet", sink.getvalue().to_pybytes())
+    fsio.write_bytes(
+        spark, path, "_ivf_index.json", _json.dumps(meta, sort_keys=True).encode()
+    )
     return meta
 
 

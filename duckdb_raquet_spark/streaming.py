@@ -197,27 +197,31 @@ def sessionize(
                 closed.append((uid, st, en, n, s))
                 state.remove()
         else:
-            ts_all = []
-            val_by_ts = {}
+            events = []
             for pdf in pdfs:
                 # normalize to epoch ns regardless of the Arrow unit
                 t = pd.to_datetime(pdf[ts_col]).astype("datetime64[ns]").astype("int64")
                 v = pdf[value_col].astype("float64")
-                ts_all.extend(t.tolist())
-                for tt, vv in zip(t.tolist(), v.tolist()):
-                    val_by_ts[tt] = val_by_ts.get(tt, 0.0) + vv
-            ts_all.sort()
+                events.extend(zip(t.tolist(), v.tolist()))
+            events.sort(key=lambda tv: tv[0])
             if state.exists:
                 st, en, n, s = state.get
             else:
                 st = en = None
                 n, s = 0, 0.0
-            for t in ts_all:
-                v = val_by_ts[t]
+            for t, v in events:
                 if st is None:
                     st, en, n, s = t, t, 1, v
+                elif t < st - gap_ns:
+                    # a straggler older than the open session by more
+                    # than the gap: its session already expired — emit
+                    # it as its own closed single-event session rather
+                    # than mis-merging it forward
+                    closed.append((uid, t, t, 1, v))
                 elif t - en <= gap_ns:
-                    en, n, s = max(en, t), n + 1, s + v
+                    # merge; an out-of-order event inside the gap also
+                    # extends the session start BACKWARD
+                    st, en, n, s = min(st, t), max(en, t), n + 1, s + v
                 else:
                     closed.append((uid, st, en, n, s))
                     st, en, n, s = t, t, 1, v

@@ -88,12 +88,7 @@ def main() -> None:
             F.coalesce("comp", "exact_keep").alias("keep_id"),
             F.when(F.col("comp").isNotNull() & (F.col("comp") != F.col("doc_id")), "near")
             .when(F.col("exact_keep") != F.col("doc_id"), "exact")
-            .otherwise(
-                F.when(
-                    F.col("comp").isNotNull() & (F.col("comp") == F.col("doc_id")),
-                    "unique",
-                ).otherwise("unique")
-            )
+            .otherwise("unique")
             .alias("reason"),
         )
     )

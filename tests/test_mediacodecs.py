@@ -164,6 +164,32 @@ def test_audio_frames_exact_rms(spark):
         assert r["rms"] == expect  # bit-exact, not approx
 
 
+def test_image_features_on_error_skip(spark):
+    """A JPEG (undecodable pixels) mixed into the column aborts the job
+    under on_error='raise' and is dropped per-row under 'skip'."""
+    jpeg = (
+        b"\xff\xd8\xff\xc0" + struct.pack(">H", 8 + 9)
+        + bytes([8]) + struct.pack(">HH", 4, 4) + bytes([3] + [0] * 8)
+    )
+    rows = [(0, mm.synth_png_bytes(0)), (1, jpeg), (2, mm.synth_png_bytes(2))]
+    df = spark.createDataFrame(rows, "doc_id long, img binary")
+    got = mm.image_features(df, "doc_id", "img", on_error="skip").collect()
+    assert sorted(r["id"] for r in got) == [0, 2]
+    with pytest.raises(Exception):
+        mm.image_features(df, "doc_id", "img").collect()
+
+
+def test_ivf_kmeans_empty_input(spark):
+    from duckdb_raquet_spark.functions import similarity
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.ivf_kmeans_centroids(empty, "vec_id", "embedding", 4) == []
+    zeros = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [0.0] * 4)], "vec_id long, embedding array<double>"
+    )
+    assert similarity.ivf_kmeans_centroids(zeros, "vec_id", "embedding", 4) == []
+
+
 def test_image_metadata_real_headers(spark):
     df = spark.createDataFrame([(1,), (2,)], "doc_id long")
     imgs = mm.synth_png_column(df, "doc_id", "png")

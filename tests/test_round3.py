@@ -325,12 +325,10 @@ def test_append_chunk_extends_table(spark, tmp_path):
     # schema mismatch refused
     with pytest.raises(ValueError, match="columns"):
         encode.append_chunk(spark, extra.drop("lang"), tbl)
-    # flat (non-chunked) table refused
+    # flat (non-chunked) table refused — by DATA layout, even though the
+    # flat encode also writes a lineage record
     flat = str(tmp_path / "flat")
     encode.encode_to_path(spark, df, flat, target_rows_per_block=64, resolution=4)
-    import shutil
-
-    shutil.rmtree(f"{flat}/_lineage", ignore_errors=True)
     with pytest.raises(ValueError, match="chunked"):
         encode.append_chunk(spark, extra, flat)
 

@@ -126,8 +126,10 @@ def test_windowed_counts_drops_late_events(spark, tmp_path):
 
 def test_sessionize_gap_sessions(spark, tmp_path):
     rows = [
-        # user 1: two sessions separated by > gap
+        # user 1: two sessions separated by > gap; the first has TWO
+        # events at the same timestamp (must not double-count values)
         (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:00:00", 4.0),
         (1, "2024-01-01 10:10:00", 2.0),
         (1, "2024-01-01 13:00:00", 3.0),
         # user 2: one long session (each hop < gap)
@@ -160,5 +162,6 @@ def test_sessionize_gap_sessions(spark, tmp_path):
     )
     # within one availableNow run the final watermark closes user 1's
     # FIRST session (gap observed in-stream); open tail sessions stay in
-    # state — assert the closed one is exactly right
-    assert (1, "2024-01-01 10:00:00", 2, 3.0) in got
+    # state — assert the closed one is exactly right (3 events incl. the
+    # duplicate-timestamp pair, values summed once each)
+    assert (1, "2024-01-01 10:00:00", 3, 7.0) in got
