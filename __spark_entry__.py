@@ -572,6 +572,19 @@ def q_txt_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txt_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality: per-doc mean unigram log-probability
+    under the corpus's own distribution (two hash aggregates + one
+    equi-join, no model artifact)."""
+    docs = _read(spark, sf_dir, "documents")
+    out = textfn.unigram_logprob_scores(docs, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.round("mean_logprob", 4).alias("mean_logprob"),
+    ).orderBy("doc_id")
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS -> dedup GROUPS: connected components (iterative
     min-label propagation, one shuffle per round) over the blocked
@@ -925,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_kring": q_key_kring,
         "txt_tokens": q_txt_tokens,
         "txt_gopher": q_txt_gopher,
+        "txt_logprob": q_txt_logprob,
         "dedup_chunks": q_dedup_chunks,
         "dedup_components": q_dedup_components,
         "txt_quality": q_txt_quality,
@@ -1421,6 +1435,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
             FROM documents GROUP BY text""",
+        "txt_logprob": """
+            WITH t AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ),
+            c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+            tot AS (SELECT sum(c)::DOUBLE AS total FROM c)
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+              round(avg(ln(c / total)), 4) AS mean_logprob
+            FROM t JOIN c USING (tok), tot
+            GROUP BY doc_id ORDER BY doc_id""",
         "dedup_components": """
             WITH RECURSIVE p AS (
               SELECT a.vec_id AS a, b.vec_id AS b

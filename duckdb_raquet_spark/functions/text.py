@@ -224,6 +224,39 @@ def gopher_quality_columns(
     ]
 
 
+def unigram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Perplexity-proxy quality score: per-document mean unigram log
+    probability under the corpus's own empirical distribution — the
+    cheap stand-in for the KenLM-perplexity filter of webtext pipelines
+    (low mean logprob = rare-token soup: boilerplate noise, gibberish,
+    wrong-language shards).
+
+    Two aggregations, no model artifact: (1) explode to (doc, token)
+    and hash-aggregate global token counts (map-side partial combine
+    collapses repeats before the shuffle); (2) join tokens back to
+    their counts (plain equi-join on the token — at corpus scale the
+    vocab is Zipf-bounded and AQE broadcasts it when small) and average
+    ln(count/total) per document. Returns (id, n_tokens, mean_logprob).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens_col(text_col)).alias("_tok")
+    )
+    counts = toks.groupBy("_tok").agg(F.count("*").alias("_c"))
+    total = counts.agg(F.sum("_c").cast("double").alias("_total"))
+    return (
+        toks.join(counts, "_tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(F.log(F.col("_c") / F.col("_total"))).alias("mean_logprob"),
+        )
+        .select(F.col("_id").alias("id"), "n_tokens", "mean_logprob")
+    )
+
+
 # ------------------------------------------------------ boilerplate ----
 
 
