@@ -467,15 +467,19 @@ def q_mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling (stubbed decode, real mapInPandas plumbing):
-    every 4th frame's channel-0 mean — closed-form on md5 slices, so
-    the sampled-frame rows have an exact SQL oracle."""
+    """Video frame sampling over REAL animated GIFs: render a
+    deterministic multi-frame GIF per document, decode it with the
+    from-scratch LZW/GIF codec, keep every 4th frame and emit its exact
+    channel-0 pixel sum — the decoded pixels are closed-form in doc_id,
+    so the oracle checks real LZW decode + frame composition."""
     from duckdb_raquet_spark.functions import multimodal as mm
 
-    docs = _webtext(spark, sf_dir).select("doc_id", "html")
-    frames = mm.video_frame_sample(docs, "doc_id", "html", stride=4)
+    docs = _webtext(spark, sf_dir).select("doc_id")
+    gifs = mm.synth_gif_column(docs, "doc_id", "gif")
+    frames = mm.video_frame_sample(gifs, "doc_id", "gif", stride=4)
     return frames.select(
-        F.col("id").alias("doc_id"), "frame_idx", "chan0", "n_frames"
+        F.col("id").alias("doc_id"), "frame_idx", "chan0_sum", "n_pixels",
+        "n_frames",
     ).orderBy("doc_id", "frame_idx")
 
 
@@ -1379,16 +1383,29 @@ def oracle_sql() -> dict[str, str]:
               round(sqrt(sumsq / 256.0) / 32768.0, 6) AS rms
             FROM s ORDER BY doc_id, frame_idx""",
         "mm_video_frames": """
-            WITH v AS (
+            WITH p AS (
               SELECT doc_id,
-                ('0x' || substr(md5(text), 17, 8))::BIGINT % 254 AS v,
-                (4 + ('0x' || substr(md5(text), 25, 4))::BIGINT % 13) AS nf
+                2 + doc_id % 4 AS nf,
+                8 + doc_id % 5 AS w,
+                8 + (doc_id // 5) % 4 AS h
               FROM documents
+            ),
+            k AS (
+              SELECT p.*, r.i AS frame_idx
+              FROM p, UNNEST(range(0, nf, 4)) AS r(i)
+            ),
+            s AS (
+              -- replay the closed-form pixel pattern the engine gets
+              -- back from REAL GIF/LZW decode of the rendered frames
+              SELECT k.doc_id, k.frame_idx, k.nf, k.w, k.h,
+                sum(((k.doc_id + 7 * k.frame_idx + 3 * yy.y + 5 * xx.x)
+                     % 256)::BIGINT) AS chan0_sum
+              FROM k, UNNEST(range(k.h)) AS yy(y), UNNEST(range(k.w)) AS xx(x)
+              GROUP BY ALL
             )
-            SELECT doc_id, i::INT AS frame_idx,
-                   ((v + i) % 254)::INT AS chan0, nf::INT AS n_frames
-            FROM v, UNNEST(range(0, nf, 4)) AS r(i)
-            ORDER BY doc_id, frame_idx""",
+            SELECT doc_id, frame_idx::INT AS frame_idx, chan0_sum,
+                   (w * h)::INT AS n_pixels, nf::INT AS n_frames
+            FROM s ORDER BY doc_id, frame_idx""",
         "dedup_simhash": _SIMHASH_ORACLE,
         "ann_lsh": _ann_lsh_oracle(),
         "rt_region_stats": f"""

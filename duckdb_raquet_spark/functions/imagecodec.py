@@ -319,6 +319,210 @@ def parse_image_header(payload: bytes) -> dict | None:
     return None
 
 
+# ------------------------------------------------------------------ GIF ----
+# Full from-scratch GIF87a/89a decode (LZW and all): the one entropy-
+# coded web format whose compression stage is hand-rollable, which is
+# what makes the engine's VIDEO leg (animated GIF frame sampling) real
+# rather than stubbed. Non-interlaced only; frames compose with
+# disposal "none/do not dispose" semantics (each frame paints over the
+# previous canvas).
+
+
+def _lzw_decode(data: bytes, min_code: int) -> bytearray:
+    """GIF-variant LZW: LSB-first variable-width codes, CLEAR resets the
+    table, widths grow at table size 2^w up to 12 bits."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"corrupt GIF LZW stream (code {code})")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def _lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """GIF-variant LZW encoder (dictionary-based, table reset at 4096)."""
+    clear = 1 << min_code
+    end = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def reset():
+        return {bytes([i]): i for i in range(clear)}, end + 1, min_code + 1
+
+    table, next_code, width = reset()
+    out_bits.append((clear, width))
+    cur = b""
+    for b in indices:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        out_bits.append((table[cur], width))
+        table[nxt] = next_code
+        next_code += 1
+        # decoder grows width when ITS table reaches 2^width; its table
+        # size equals next_code - 1 here (it lags one entry)
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            out_bits.append((clear, width))
+            table, next_code, width = reset()
+        cur = bytes([b])
+    if cur:
+        out_bits.append((table[cur], width))
+    out_bits.append((end, width))
+    acc = 0
+    nbits = 0
+    data = bytearray()
+    for code, w in out_bits:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[np.ndarray, dict]:
+    """GIF -> (n_frames, H, W, 3) uint8 + metadata. Frames compose onto
+    the logical screen (do-not-dispose semantics). Interlaced images
+    raise ValueError."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, count=3 * n, offset=pos).reshape(-1, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w), dtype=np.uint8)
+    frames = []
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks, skip
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        ix, iy, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+        iflags = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(payload, np.uint8, count=3 * n, offset=pos).reshape(
+                -1, 3
+            )
+            pos += 3 * n
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(data), min_code)
+        if len(idx) < iw * ih:
+            raise ValueError("GIF frame pixel data truncated")
+        block = np.frombuffer(bytes(idx[: iw * ih]), np.uint8).reshape(ih, iw)
+        canvas[iy : iy + ih, ix : ix + iw] = block
+        frames.append(pal[canvas])
+    if not frames:
+        raise ValueError("GIF with no image data")
+    arr = np.stack(frames)
+    meta = {
+        "n_frames": len(frames),
+        "width": int(w),
+        "height": int(h),
+        "channels": 3,
+        "format": "gif",
+        "n_bytes": len(payload),
+    }
+    return arr, meta
+
+
+def encode_gif(frames: np.ndarray, palette: np.ndarray | None = None) -> bytes:
+    """(n_frames, H, W) uint8 palette INDICES -> animated GIF89a bytes.
+
+    ``palette`` is (256, 3) uint8; default = grayscale identity (index i
+    -> (i, i, i)), which makes decoded channel values equal the indices
+    — handy for closed-form oracles."""
+    f = np.asarray(frames, dtype=np.uint8)
+    if f.ndim == 2:
+        f = f[None]
+    n, h, w = f.shape
+    if palette is None:
+        g = np.arange(256, dtype=np.uint8)
+        palette = np.stack([g, g, g], axis=1)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    out += palette.astype(np.uint8).tobytes()
+    for k in range(n):
+        out += b"\x21\xf9\x04\x04\x04\x00\x00\x00"  # GCE: delay 4cs
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(8)  # LZW min code size
+        out += _sub_blocks(_lzw_encode(f[k].tobytes(), 8))
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> tuple[np.ndarray, dict]:
     """Dispatch on magic bytes -> (H, W, C) uint8 + metadata."""
     fmt = sniff_format(payload)
@@ -326,9 +530,13 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, dict]:
         return decode_png(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
-    if fmt in ("jpeg", "gif"):
+    if fmt == "gif":
+        arr, meta = decode_gif(payload)
+        meta = dict(meta, n_frames=None)
+        return arr[0], {k: v for k, v in meta.items() if k != "n_frames"}
+    if fmt == "jpeg":
         raise NotImplementedError(
-            f"{fmt} pixel decode not implemented (header parse only; "
-            "entropy-coded formats need a DCT/LZW stage)"
+            "jpeg pixel decode not implemented (header parse only; "
+            "needs a DCT entropy stage)"
         )
     raise ValueError("unknown image format (no PNG/BMP/JPEG/GIF magic)")

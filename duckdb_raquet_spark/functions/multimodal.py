@@ -6,14 +6,16 @@ never per-row Python objects in the hot loop.
 
 Decode support is REAL where the format permits a from-scratch decoder:
   * images — PNG (all five row filters, palette) and 24/32-bit BMP via
-    :mod:`imagecodec`; JPEG/GIF header metadata parses (dims/channels)
+    :mod:`imagecodec`; JPEG header metadata parses (dims/channels)
     without pixel decode;
   * audio — RIFF/WAVE integer PCM via :mod:`audiocodec`, with
-    exact-integer RMS framing.
-Entropy-coded media (JPEG pixels, MP3, video containers) is out of
-scope without a codec library; those paths raise NotImplementedError,
-and the video kernel remains an explicitly seeded fake kept only to
-exercise the frame-sampling plumbing.
+    exact-integer RMS framing;
+  * video — animated GIF via :mod:`imagecodec` (from-scratch LZW +
+    frame composition), driving real frame sampling.
+JPEG pixels / MP3 / mp4-webm containers are out of scope without a
+codec library; those paths raise NotImplementedError (or skip per row
+with ``on_error="skip"``), and payloads with no media magic keep a
+seeded fake under ``deterministic=True`` for plumbing tests.
 
 The reference's analogous layer is its per-band BLOB decode dispatch
 (/root/reference/src/raster/band_decoder.cpp:300-373: codec id ->
@@ -116,6 +118,29 @@ def synth_wav_bytes(key: int) -> bytes:
     i = np.arange(n, dtype=np.int64)
     pcm = ((key * 7919 + i * 104729) % 65536 - 32768).astype(np.int16)
     return ac.encode_wav(pcm, 16000)
+
+
+def synth_gif_bytes(key: int) -> bytes:
+    """Closed-form deterministic animated GIF: n = 2 + key % 4 frames of
+    w = 8 + key % 5 by h = 8 + (key // 5) % 4, grayscale identity
+    palette, frame k pixel (y, x) = (key + 7k + 3y + 5x) mod 256 — so
+    decoded channel values EQUAL the palette indices and every frame
+    statistic is predictable in SQL from key alone."""
+    from . import imagecodec as ic
+
+    n = 2 + key % 4
+    w = 8 + key % 5
+    h = 8 + (key // 5) % 4
+    k, y, x = np.ogrid[0:n, 0:h, 0:w]
+    frames = ((key + 7 * k + 3 * y + 5 * x) % 256).astype(np.uint8)
+    return ic.encode_gif(frames)
+
+
+def synth_gif_column(df: DataFrame, id_col: str, out_col: str = "gif") -> DataFrame:
+    """Append a real animated-GIF binary column rendered from the id —
+    the video twin of synth_png_column."""
+    i = df.columns.index(id_col)
+    return _append_column(df, out_col, "binary", lambda row: synth_gif_bytes(int(row[i])))
 
 
 def synth_wav_column(df: DataFrame, id_col: str, out_col: str = "wav") -> DataFrame:
@@ -338,14 +363,20 @@ def binary_stats_col(binary_col: str | Column) -> list[Column]:
 def _decode_video_kernel(
     payload: bytes, deterministic: bool
 ) -> tuple[np.ndarray, dict]:
-    """STUB: payload -> (n_frames, H, W, C) uint8 + metadata. A real
-    implementation would demux/decode via ffmpeg/pyav (not bundled);
-    the deterministic fake extends the image stub with a time axis:
-    n_frames = 4 + hex[24:28] % 13, frame k filled with (v + k) % 254
-    (+ channel index) — closed-form on md5, so frame sampling has an
-    exact SQL oracle."""
+    """payload -> (n_frames, H, W, C) uint8 + metadata.
+
+    REAL decode for animated GIF via :mod:`imagecodec` (from-scratch
+    LZW + frame composition) — the one entropy-coded moving-picture web
+    format that is hand-rollable, so the video leg is no longer a stub.
+    Container formats needing ffmpeg/pyav (mp4/webm) are out of scope;
+    payloads without GIF magic keep the legacy seeded fake under
+    ``deterministic=True``, else raise."""
+    from . import imagecodec as ic
+
+    if ic.sniff_format(payload) == "gif":
+        return ic.decode_gif(payload)
     if not deterministic:
-        raise NotImplementedError("video decoding requires ffmpeg/pyav (not bundled)")
+        raise NotImplementedError("payload has no GIF magic (mp4/webm need ffmpeg)")
     hx = hashlib.md5(payload).hexdigest()
     w = 8 + int(hx[0:8], 16) % 25
     h = 8 + int(hx[8:16], 16) % 25
@@ -370,33 +401,52 @@ def video_frame_sample(
     *,
     stride: int = 4,
     deterministic: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Frame sampling over video payloads — the third leg of the
-    multimodal plumbing (image features / audio frames / video frame
-    sampling): decode (stubbed), keep every ``stride``-th frame, emit
-    one relational row per sampled frame with its channel-0 mean.
-    Arrow-batched mapInPandas; the per-frame loop is numpy over the
-    decoded array, never per-pixel Python."""
+    multimodal set (image features / audio frames / video frame
+    sampling): decode (REAL for animated GIF), keep every
+    ``stride``-th frame, emit one relational row per sampled frame with
+    its exact channel-0 pixel SUM (an int64 sum is bit-reproducible in
+    any engine, unlike a rounded mean whose half-way ties differ
+    between numpy's half-even and SQL's half-away). Arrow-batched
+    mapInPandas; the per-frame math is numpy, never per-pixel Python.
+    ``on_error="skip"`` contains undecodable payloads per row."""
     if stride < 1:
         raise ValueError("stride must be >= 1")
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
 
     def fn(batches):
         for pdf in batches:
-            ids, idxs, chan0, nfs = [], [], [], []
+            ids, idxs, sums, npx, nfs = [], [], [], [], []
             for i, p in zip(pdf[id_col], pdf[binary_col]):
                 if p is None:
                     continue
-                frames, meta = _decode_video_kernel(bytes(p), deterministic)
+                try:
+                    frames, meta = _decode_video_kernel(bytes(p), deterministic)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
                 n = meta["n_frames"]
                 for k in range(0, n, stride):
                     ids.append(i)
                     idxs.append(k)
-                    chan0.append(int(frames[k, ..., 0].mean().round()))
+                    sums.append(int(frames[k, ..., 0].astype(np.int64).sum()))
+                    npx.append(int(frames.shape[1] * frames.shape[2]))
                     nfs.append(n)
             yield pd.DataFrame(
-                {"id": ids, "frame_idx": idxs, "chan0": chan0, "n_frames": nfs}
+                {
+                    "id": ids,
+                    "frame_idx": idxs,
+                    "chan0_sum": sums,
+                    "n_pixels": npx,
+                    "n_frames": nfs,
+                }
             )
 
     return df.mapInPandas(
-        fn, schema="id long, frame_idx int, chan0 int, n_frames int"
+        fn,
+        schema="id long, frame_idx int, chan0_sum long, n_pixels int, n_frames int",
     )

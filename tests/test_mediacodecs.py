@@ -103,6 +103,51 @@ def test_jpeg_gif_header_parse():
         ic.decode_image(jpeg)
 
 
+def test_gif_lzw_roundtrip():
+    rng = np.random.default_rng(2)
+    for _ in range(10):
+        data = rng.integers(0, 256, int(rng.integers(1, 4000))).astype(np.uint8).tobytes()
+        assert bytes(ic._lzw_decode(ic._lzw_encode(data, 8), 8)) == data
+    # low-entropy stream exercises width growth + the 4096 table reset
+    data = b"abcd" * 5000
+    assert bytes(ic._lzw_decode(ic._lzw_encode(data, 8), 8)) == data
+
+
+def test_gif_animated_roundtrip_and_header():
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (3, 11, 7)).astype(np.uint8)
+    gif = ic.encode_gif(frames)
+    arr, meta = ic.decode_gif(gif)
+    assert arr.shape == (3, 11, 7, 3)
+    assert (arr[..., 0] == frames).all()  # grayscale palette: value == index
+    assert meta["n_frames"] == 3 and (meta["width"], meta["height"]) == (7, 11)
+    h = ic.parse_image_header(gif)
+    assert (h["width"], h["height"], h["format"]) == (7, 11, "gif")
+
+
+def test_synth_gif_fixture_decodes_to_pattern():
+    for key in (0, 9, 123):
+        arr, meta = ic.decode_gif(mm.synth_gif_bytes(key))
+        n, w, h = 2 + key % 4, 8 + key % 5, 8 + (key // 5) % 4
+        assert meta["n_frames"] == n and (meta["width"], meta["height"]) == (w, h)
+        k, y, x = np.ogrid[0:n, 0:h, 0:w]
+        expect = ((key + 7 * k + 3 * y + 5 * x) % 256).astype(np.uint8)
+        assert (arr[..., 0] == expect).all()
+
+
+def test_video_frame_sample_real_gif(spark):
+    df = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    gifs = mm.synth_gif_column(df, "doc_id", "gif")
+    rows = mm.video_frame_sample(gifs, "doc_id", "gif", stride=2).collect()
+    assert rows
+    for r in rows:
+        key, fidx = r["id"], r["frame_idx"]
+        w, h = 8 + key % 5, 8 + (key // 5) % 4
+        y, x = np.ogrid[0:h, 0:w]
+        expect = int(((key + 7 * fidx + 3 * y + 5 * x) % 256).sum())
+        assert r["chan0_sum"] == expect and r["n_pixels"] == w * h
+
+
 def test_wav_roundtrip_mono_stereo():
     rng = np.random.default_rng(1)
     mono = rng.integers(-32768, 32768, 500).astype(np.int16)
