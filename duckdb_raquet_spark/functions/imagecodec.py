@@ -532,11 +532,9 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, dict]:
         return decode_bmp(payload)
     if fmt == "gif":
         arr, meta = decode_gif(payload)
-        meta = dict(meta, n_frames=None)
         return arr[0], {k: v for k, v in meta.items() if k != "n_frames"}
     if fmt == "jpeg":
-        raise NotImplementedError(
-            "jpeg pixel decode not implemented (header parse only; "
-            "needs a DCT entropy stage)"
-        )
+        from . import jpegcodec as jc
+
+        return jc.decode_jpeg(payload)
     raise ValueError("unknown image format (no PNG/BMP/JPEG/GIF magic)")

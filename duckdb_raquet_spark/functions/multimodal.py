@@ -47,22 +47,23 @@ def _decode_image_kernel(
 ) -> tuple[np.ndarray, dict]:
     """payload -> (H, W, C) uint8 array + metadata.
 
-    REAL decode for PNG and BMP via the from-scratch codec in
-    :mod:`imagecodec` (all five PNG row filters, palette expansion,
-    24/32-bit BMP). JPEG/GIF are entropy-coded — header metadata parses
-    but pixel decode raises NotImplementedError. For payloads with NO
-    image magic (e.g. piping an html column through the image path),
-    `deterministic=True` keeps the legacy md5-seeded fake so plumbing
-    tests hold; `deterministic=False` raises."""
+    REAL decode for every major web image format via the from-scratch
+    codecs in :mod:`imagecodec` / :mod:`jpegcodec`: PNG (all five row
+    filters, palette), 24/32-bit BMP, GIF (hand-rolled LZW; first
+    frame), baseline JPEG (DCT/Huffman, 4:4:4 + 4:2:0). Progressive
+    JPEG and corrupt payloads raise (contain with on_error='skip').
+    For payloads with NO image magic (e.g. piping an html column
+    through the image path), `deterministic=True` keeps the legacy
+    md5-seeded fake so plumbing tests hold; `deterministic=False`
+    raises."""
     from . import imagecodec as ic
 
     fmt = ic.sniff_format(payload)
-    if fmt in ("png", "bmp"):
+    if fmt in ("png", "bmp", "gif", "jpeg"):
+        # all four major web image formats decode for real (baseline
+        # JPEG via the from-scratch DCT/Huffman codec; progressive JPEG
+        # still raises — contain with on_error='skip')
         return ic.decode_image(payload)
-    if fmt in ("jpeg", "gif"):
-        raise NotImplementedError(
-            f"{fmt} pixel decode not implemented (header parse only)"
-        )
     if not deterministic:
         raise NotImplementedError("payload has no known image magic")
     hx = hashlib.md5(payload).hexdigest()

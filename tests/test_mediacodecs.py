@@ -99,7 +99,8 @@ def test_jpeg_gif_header_parse():
     gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 5
     h = ic.parse_image_header(gif)
     assert (h["width"], h["height"], h["format"]) == (12, 34, "gif")
-    with pytest.raises(NotImplementedError):
+    # a header-only JPEG (no SOS/scan data) is truncated, not decodable
+    with pytest.raises(ValueError):
         ic.decode_image(jpeg)
 
 
@@ -209,13 +210,59 @@ def test_audio_frames_exact_rms(spark):
         assert r["rms"] == expect  # bit-exact, not approx
 
 
+def test_jpeg_roundtrip_psnr():
+    from duckdb_raquet_spark.functions import jpegcodec as jc
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+    y, x = np.ogrid[0:40, 0:56]
+    gray = ((np.sin(x / 8.0) + np.cos(y / 9.0)) * 60 + 128).astype(np.uint8)
+    dec, meta = jc.decode_jpeg(jc.encode_jpeg(gray, quality=90))
+    assert (meta["width"], meta["height"], meta["channels"]) == (56, 40, 1)
+    assert psnr(gray, dec[..., 0]) > 35
+    rgb = np.stack(
+        [((np.sin(x / 7.0 + c) + np.cos(y / 11.0)) * 50 + 128) for c in range(3)],
+        axis=-1,
+    ).astype(np.uint8)
+    for subsample in (False, True):
+        dec, meta = jc.decode_jpeg(jc.encode_jpeg(rgb, quality=90, subsample=subsample))
+        assert dec.shape == (40, 56, 3)
+        assert psnr(rgb, dec) > 30
+    # odd dims survive MCU padding/cropping
+    odd = rgb[:37, :51]
+    dec, _ = jc.decode_jpeg(jc.encode_jpeg(odd, quality=85, subsample=True))
+    assert dec.shape == (37, 51, 3)
+    # progressive marker rejected honestly
+    bad = bytearray(jc.encode_jpeg(gray))
+    # flip SOF0 (0xC0) to SOF2 (0xC2)
+    i = bytes(bad).find(b"\xff\xc0")
+    bad[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        jc.decode_jpeg(bytes(bad))
+
+
+def test_image_features_decodes_jpeg(spark):
+    """Baseline JPEG now decodes for real in the image pipeline."""
+    from duckdb_raquet_spark.functions import jpegcodec as jc
+
+    fill = np.full((16, 16, 3), 200, np.uint8)
+    df = spark.createDataFrame([(0, jc.encode_jpeg(fill, quality=95))],
+                               "doc_id long, img binary")
+    rows = mm.image_features(df, "doc_id", "img").collect()
+    assert len(rows) == 1 and rows[0]["width"] == 16
+    # a flat 200-gray image decodes to features ~200/255 in every channel
+    assert all(abs(f - 200 / 255) < 0.03 for f in rows[0]["features"])
+
+
 def test_image_features_on_error_skip(spark):
-    """A JPEG (undecodable pixels) mixed into the column aborts the job
-    under on_error='raise' and is dropped per-row under 'skip'."""
+    """A TRUNCATED payload mixed into the column aborts the job under
+    on_error='raise' and is dropped per-row under 'skip'."""
     jpeg = (
         b"\xff\xd8\xff\xc0" + struct.pack(">H", 8 + 9)
         + bytes([8]) + struct.pack(">HH", 4, 4) + bytes([3] + [0] * 8)
-    )
+    )  # header only, no scan data -> ValueError in decode
     rows = [(0, mm.synth_png_bytes(0)), (1, jpeg), (2, mm.synth_png_bytes(2))]
     df = spark.createDataFrame(rows, "doc_id long, img binary")
     got = mm.image_features(df, "doc_id", "img", on_error="skip").collect()
