@@ -577,15 +577,16 @@ def q_txt_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_txt_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perplexity-proxy quality: per-doc mean unigram log-probability
-    under the corpus's own distribution (two hash aggregates + one
-    equi-join, no model artifact)."""
+    """Perplexity-proxy quality: per-doc mean unigram rarity in whole
+    bits (floor -log2 p) under the corpus's own distribution — integer
+    math end to end, so the aggregate is exact cross-engine (two hash
+    aggregates + one equi-join, no model artifact)."""
     docs = _read(spark, sf_dir, "documents")
     out = textfn.unigram_logprob_scores(docs, "doc_id", "text")
     return out.select(
         F.col("id").alias("doc_id"),
         "n_tokens",
-        F.round("mean_logprob", 4).alias("mean_logprob"),
+        F.round("mean_rarity_bits", 4).alias("mean_rarity_bits"),
     ).orderBy("doc_id")
 
 
@@ -1458,9 +1459,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
-            tot AS (SELECT sum(c)::DOUBLE AS total FROM c)
+            tot AS (SELECT sum(c)::BIGINT AS total FROM c)
             SELECT doc_id, count(*)::BIGINT AS n_tokens,
-              round(avg(ln(c / total)), 4) AS mean_logprob
+              round(sum(length(bin(total // c)) - 1)::DOUBLE
+                    / count(*), 4) AS mean_rarity_bits
             FROM t JOIN c USING (tok), tot
             GROUP BY doc_id ORDER BY doc_id""",
         "dedup_components": """

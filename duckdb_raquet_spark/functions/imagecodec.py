@@ -426,28 +426,49 @@ def _sub_blocks(data: bytes) -> bytes:
     return bytes(out)
 
 
-def decode_gif(payload: bytes) -> tuple[np.ndarray, dict]:
-    """GIF -> (n_frames, H, W, 3) uint8 + metadata. Frames compose onto
-    the logical screen (do-not-dispose semantics). Interlaced images
-    raise ValueError."""
+def decode_gif(
+    payload: bytes, max_frames: int | None = None
+) -> tuple[np.ndarray, dict]:
+    """GIF -> (n_frames, H, W, 3) uint8 + metadata.
+
+    Frames compose in RGB space onto the logical screen, so per-frame
+    LOCAL color tables cannot recolor pixels painted by earlier frames.
+    Graphic Control Extensions are honored: transparent pixels preserve
+    the underlying canvas, disposal 2 restores the frame's region to
+    the background color, disposal 3 restores the previous canvas.
+    Interlaced images raise ValueError. ``max_frames`` stops after N
+    composed frames (the single-image fast path skips the remaining
+    LZW work)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w, h = struct.unpack_from("<HH", payload, 6)
     flags = payload[10]
+    bg_idx = payload[11]
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
         gct = np.frombuffer(payload, np.uint8, count=3 * n, offset=pos).reshape(-1, 3)
         pos += 3 * n
-    canvas = np.zeros((h, w), dtype=np.uint8)
+    bg_rgb = (
+        gct[bg_idx] if gct is not None and bg_idx < len(gct) else np.zeros(3, np.uint8)
+    )
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
     frames = []
+    transparent = None  # transparent index for the NEXT image
+    disposal = 0
     while pos < len(payload):
         b = payload[pos]
         if b == 0x3B:  # trailer
             break
-        if b == 0x21:  # extension: label + sub-blocks, skip
+        if b == 0x21:  # extension
+            label = payload[pos + 1]
             pos += 2
+            if label == 0xF9 and payload[pos] >= 4:  # Graphic Control
+                gflags = payload[pos + 1]
+                disposal = (gflags >> 2) & 0x07
+                transparent = payload[pos + 4] if gflags & 0x01 else None
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
             pos += 1
@@ -480,8 +501,25 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, dict]:
         if len(idx) < iw * ih:
             raise ValueError("GIF frame pixel data truncated")
         block = np.frombuffer(bytes(idx[: iw * ih]), np.uint8).reshape(ih, iw)
-        canvas[iy : iy + ih, ix : ix + iw] = block
-        frames.append(pal[canvas])
+        if int(block.max()) >= len(pal):
+            raise ValueError("GIF index outside color table")
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[iy : iy + ih, ix : ix + iw]
+        painted = pal[block]
+        if transparent is not None:
+            mask = block != transparent
+            region[mask] = painted[mask]
+        else:
+            region[:] = painted
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[iy : iy + ih, ix : ix + iw] = bg_rgb
+        elif disposal == 3 and before is not None:
+            canvas = before
+        transparent = None
+        disposal = 0
+        if max_frames is not None and len(frames) >= max_frames:
+            break
     if not frames:
         raise ValueError("GIF with no image data")
     arr = np.stack(frames)
@@ -531,7 +569,7 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, dict]:
     if fmt == "bmp":
         return decode_bmp(payload)
     if fmt == "gif":
-        arr, meta = decode_gif(payload)
+        arr, meta = decode_gif(payload, max_frames=1)
         return arr[0], {k: v for k, v in meta.items() if k != "n_frames"}
     if fmt == "jpeg":
         from . import jpegcodec as jc

@@ -144,6 +144,9 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker sync")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while payload[pos + 1] == 0xFF and pos + 4 <= len(payload):
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
@@ -189,6 +192,10 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
         pos += 2 + seglen
     if comps is None or scan_comp is None:
         raise ValueError("truncated JPEG (no SOF/SOS)")
+    if len(scan_comp) != len(comps):
+        raise NotImplementedError(
+            "non-interleaved (multi-scan) baseline JPEG not supported"
+        )
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -301,9 +308,7 @@ def _fixed_huff(symbols: set[int]) -> tuple[list[int], bytes, dict[int, tuple[in
     2^L >= n+1. Returns (BITS, HUFFVAL, {sym: (code, length)})."""
     vals = sorted(symbols)
     n = len(vals)
-    L = max(1, (n + 1 - 1).bit_length())  # 2^L >= n+1
-    while (1 << L) < n + 1:
-        L += 1
+    L = max(1, n.bit_length())  # 2^L >= n+1, so the all-ones code is free
     bits = [0] * 16
     bits[L - 1] = n
     codes = {v: (i << 0, L) for i, v in enumerate(vals)}

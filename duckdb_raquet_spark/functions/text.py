@@ -227,33 +227,51 @@ def gopher_quality_columns(
 def unigram_logprob_scores(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """Perplexity-proxy quality score: per-document mean unigram log
-    probability under the corpus's own empirical distribution — the
-    cheap stand-in for the KenLM-perplexity filter of webtext pipelines
-    (low mean logprob = rare-token soup: boilerplate noise, gibberish,
+    """Perplexity-proxy quality score: per-document mean unigram
+    -log2-probability under the corpus's own empirical distribution,
+    QUANTIZED to whole bits — the cheap stand-in for the KenLM
+    perplexity filter (high mean rarity = rare-token soup: gibberish,
     wrong-language shards).
+
+    Token rarity = floor(log2(total / count)) computed as
+    bit_length(total // count) - 1 — INTEGER math end to end, so the
+    per-doc sum is exact and cross-engine reproducible regardless of
+    aggregation order (a float avg-of-ln aggregate is last-ulp
+    order-dependent and flaky under a driver value-hash). The final
+    mean divides two exact integers, one double op in both engines.
 
     Two aggregations, no model artifact: (1) explode to (doc, token)
     and hash-aggregate global token counts (map-side partial combine
     collapses repeats before the shuffle); (2) join tokens back to
-    their counts (plain equi-join on the token — at corpus scale the
-    vocab is Zipf-bounded and AQE broadcasts it when small) and average
-    ln(count/total) per document. Returns (id, n_tokens, mean_logprob).
-    """
+    their counts (equi-join; at corpus scale the vocab is Zipf-bounded
+    and AQE broadcasts it when small) and aggregate per doc. Returns
+    (id, n_tokens, mean_rarity_bits)."""
     toks = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens_col(text_col)).alias("_tok")
     )
     counts = toks.groupBy("_tok").agg(F.count("*").alias("_c"))
-    total = counts.agg(F.sum("_c").cast("double").alias("_total"))
+    total = counts.agg(F.sum("_c").alias("_total"))
+    # floor(log2(ratio)) via base-2 string length: integer `div` plus
+    # conv() are exact on BIGINT — no float division or log anywhere
+    # (a double quotient could round across an integer boundary at
+    # corpus-scale totals)
+    ratio = F.expr("_total div _c")
+    rarity = F.length(F.conv(ratio.cast("string"), 10, 2)) - 1
     return (
         toks.join(counts, "_tok")
         .crossJoin(F.broadcast(total))
         .groupBy("_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.avg(F.log(F.col("_c") / F.col("_total"))).alias("mean_logprob"),
+            F.sum(rarity).alias("_sum_rarity"),
         )
-        .select(F.col("_id").alias("id"), "n_tokens", "mean_logprob")
+        .select(
+            F.col("_id").alias("id"),
+            "n_tokens",
+            (F.col("_sum_rarity").cast("double") / F.col("n_tokens")).alias(
+                "mean_rarity_bits"
+            ),
+        )
     )
 
 

@@ -126,6 +126,69 @@ def test_gif_animated_roundtrip_and_header():
     assert (h["width"], h["height"], h["format"]) == (7, 11, "gif")
 
 
+def _gif_head(gct):
+    return (
+        b"GIF89a" + struct.pack("<HH", 2, 2)
+        + bytes([0x80 | 0x01, 0, 0]) + gct.astype(np.uint8).tobytes()
+    )
+
+
+def test_gif_local_palette_does_not_recolor_canvas():
+    """A later frame's LOCAL color table must not repaint pixels laid
+    down by earlier frames (RGB-space composition)."""
+    gct = np.zeros((4, 3), np.uint8)
+    gct[1] = [255, 0, 0]
+    out = bytearray(_gif_head(gct))
+    f1 = np.full((2, 2), 1, np.uint8)
+    out += (
+        b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00" + bytes([2])
+        + ic._sub_blocks(ic._lzw_encode(f1.tobytes(), 2))
+    )
+    lct = np.zeros((2, 3), np.uint8)
+    lct[0] = [0, 0, 255]
+    out += (
+        b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + bytes([0x80]) + lct.tobytes()
+        + bytes([2]) + ic._sub_blocks(ic._lzw_encode(b"\x00", 2))
+    )
+    out += b"\x3b"
+    arr, meta = ic.decode_gif(bytes(out))
+    assert meta["n_frames"] == 2
+    assert arr[1, 0, 0].tolist() == [0, 0, 255]  # painted pixel
+    assert arr[1, 1, 1].tolist() == [255, 0, 0]  # untouched pixel keeps color
+
+
+def test_gif_transparency_preserves_canvas():
+    gct = np.zeros((4, 3), np.uint8)
+    gct[1] = [255, 0, 0]
+    out = bytearray(_gif_head(gct))
+    f1 = np.full((2, 2), 1, np.uint8)
+    out += (
+        b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00" + bytes([2])
+        + ic._sub_blocks(ic._lzw_encode(f1.tobytes(), 2))
+    )
+    out += b"\x21\xf9\x04" + bytes([0x01, 0, 0, 3]) + b"\x00"  # GCE: transp idx 3
+    f2 = np.full((2, 2), 3, np.uint8)
+    out += (
+        b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00" + bytes([2])
+        + ic._sub_blocks(ic._lzw_encode(f2.tobytes(), 2))
+    )
+    out += b"\x3b"
+    arr, _ = ic.decode_gif(bytes(out))
+    assert arr[1, 0, 0].tolist() == [255, 0, 0]  # fully-transparent frame
+
+
+def test_jpeg_fill_bytes_before_marker():
+    from duckdb_raquet_spark.functions import jpegcodec as jc
+
+    img = np.full((8, 8), 90, np.uint8)
+    enc = jc.encode_jpeg(img, quality=90)
+    # inject a 0xFF fill byte before the DQT marker (T.81 B.1.1.2)
+    i = enc.find(b"\xff\xdb")
+    padded = enc[:i] + b"\xff" + enc[i:]
+    dec, meta = jc.decode_jpeg(padded)
+    assert meta["width"] == 8 and abs(int(dec[0, 0, 0]) - 90) <= 2
+
+
 def test_synth_gif_fixture_decodes_to_pattern():
     for key in (0, 9, 123):
         arr, meta = ic.decode_gif(mm.synth_gif_bytes(key))
