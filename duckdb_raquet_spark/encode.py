@@ -922,14 +922,26 @@ def append_chunk(
         mode="overwrite",
     )
     mf.write_sidecar(path, final, spark)
+    # lineage records THIS chunk's bytes (aggregate the chunk=<k>
+    # partition alone, as the chunked encode loop does) — the finalized
+    # manifest's raw/enc_bytes are whole-table totals and would
+    # over-report the appended chunk
+    crow = (
+        spark.read.parquet(part)
+        .agg(
+            F.sum("stats.raw_bytes").alias("raw"),
+            F.sum("stats.enc_bytes").alias("enc"),
+        )
+        .collect()[0]
+    )
     mf.write_chunk_lineage(
         path,
         k,
         {
             "chunk": k,
             "rows": n,
-            "raw_bytes": final["raw_bytes"],
-            "enc_bytes": final["enc_bytes"],
+            "raw_bytes": int(crow["raw"] or 0),
+            "enc_bytes": int(crow["enc"] or 0),
             "wall_seconds": round(time.time() - t0, 3),
             "appended": True,
         },

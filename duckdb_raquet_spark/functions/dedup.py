@@ -345,15 +345,23 @@ def connected_components(
     that turns any pair op (minhash/simhash/cosine) into a keep/drop
     decision ("keep comp, drop the rest").
 
-    Min-label propagation: every node starts as its own label; each
-    round pushes the smaller label across every edge (one shuffle:
-    join + hash aggregate), converging in O(diameter) <= O(log n)
-    rounds for near-dup clusters (cliques converge in 1). The loop is
-    driver-ORCHESTRATED but every round is a distributed plan;
+    Min-label propagation WITH pointer jumping: every node starts as
+    its own label; each round (1) pushes the smaller label across
+    every edge (join + hash aggregate) and (2) shortcuts each label to
+    its label's label (``comp <- comp(comp)``, one self-join) — the
+    label-doubling step that makes a length-L chain converge in
+    O(log L) rounds instead of O(L). This matters because the
+    hot-bucket caps upstream (``minhash_lsh_pairs``'s ``max_bucket``,
+    ``cosine_pairs``'s ``max_group``) deliberately emit successor
+    CHAINS for oversized buckets, whose diameter equals the bucket
+    size — plain propagation would deterministically exhaust
+    ``max_iter`` on any verified near-dup cluster longer than ~25
+    links, exactly the boilerplate-cluster case the caps target. With
+    jumping, ``max_iter=25`` covers chains up to ~2^25 links. The loop
+    is driver-ORCHESTRATED but every round is a distributed plan;
     ``localCheckpoint`` truncates lineage so round N's plan does not
-    replay rounds 1..N-1, and the convergence check rides the same
-    aggregate (count of label changes). Raises after ``max_iter``
-    rounds rather than silently returning unconverged labels."""
+    replay rounds 1..N-1. Raises after ``max_iter`` rounds rather
+    than silently returning unconverged labels."""
     e = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
     edges = e.unionByName(
         e.select(F.col("y").alias("x"), F.col("x").alias("y"))
@@ -370,10 +378,20 @@ def connected_components(
             edges.join(labels, edges.x == labels.id)
             .select(F.col("y").alias("id"), F.col("comp"))
         )
-        new_labels = (
+        merged = (
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp <- comp(comp). Labels are node ids and
+        # only ever decrease, so comp(comp) <= comp and the left join
+        # always finds a row (every label is itself a labeled node).
+        hop = merged.select(
+            F.col("id").alias("_cid"), F.col("comp").alias("_cc")
+        )
+        new_labels = (
+            merged.join(hop, merged.comp == hop._cid, "left")
+            .select("id", F.coalesce("_cc", "comp").alias("comp"))
             .localCheckpoint()
         )
         changed = (
@@ -506,20 +524,22 @@ def cosine_pairs(
     group_col: str,
     threshold: float,
     *,
-    max_group: int | None = None,
+    max_group: int | None = 1000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs within a blocking group, exact
     double-precision cosine (zip_with + aggregate, JVM expressions).
 
-    Hot-group cap (opt-in, mirrors ``minhash_lsh_pairs``'s
-    ``max_bucket``): the within-group all-pairs join is quadratic in the
-    largest blocking group, which at corpus scale is dominated by one
-    skewed key (e.g. ``lang='en'``). With ``max_group=N``, groups larger
-    than N switch from all-pairs to consecutive-id chaining — each
-    member compares only to its successor in the group, keeping the
-    pathological group LINEAR while still connecting a near-dup cluster
-    transitively for connected-component consumers. Pair-level consumers
-    lose non-consecutive pairs in capped groups, hence opt-in."""
+    Hot-group cap (ON by default — ``max_group=1000``): the
+    within-group all-pairs join is quadratic in the largest blocking
+    group, which at corpus scale is dominated by one skewed key (e.g.
+    ``lang='en'``) — a scale-killer if left naive. Groups larger than
+    ``max_group`` switch from all-pairs to consecutive-id chaining —
+    each member compares only to its successor in the group, keeping
+    the pathological group LINEAR while still connecting a near-dup
+    cluster transitively for connected-component consumers. Pair-level
+    consumers that truly need every pair of an oversized group must
+    opt OUT explicitly with ``max_group=None`` (accepting the O(n²)
+    cost); the naive call is the safe one."""
     from pyspark.sql import Window
 
     from .similarity import cosine_col

@@ -290,6 +290,15 @@ def parse_image_header(payload: bytes) -> dict | None:
             if payload[pos] != 0xFF:
                 pos += 1
                 continue
+            # skip 0xFF fill bytes before the marker code (spec allows
+            # any number of pad FFs) — without this, padded streams
+            # read marker=0xFF and take seg_len from garbage, skipping
+            # past SOF; decode_jpeg already handles fills, the
+            # header-only path must too
+            while pos + 1 < n and payload[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 4 > n:
+                break
             marker = payload[pos + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2

@@ -252,8 +252,16 @@ def index_probe_stats(path: str, col: str, values: list[int]) -> dict:
     tot = {"files": 0, "row_groups": 0, "rows": 0, "bytes": 0}
     hit = {"files": 0, "row_groups": 0, "rows": 0, "bytes": 0}
     for f in sorted(_glob.glob(_os.path.join(path, "*.parquet"))):
+        # skip sidecars like _centroids.parquet: Spark ignores
+        # underscore-prefixed files too, and counting a file that lacks
+        # the probed column would always register as "touched" and skew
+        # the reported probe-footprint fractions
+        if _os.path.basename(f).startswith("_"):
+            continue
         md = _pq.ParquetFile(f).metadata
         ci = md.schema.to_arrow_schema().get_field_index(col)
+        if ci < 0:
+            continue
         tot["files"] += 1
         file_hit = False
         for rg in range(md.num_row_groups):

@@ -240,16 +240,25 @@ def unigram_logprob_scores(
     order-dependent and flaky under a driver value-hash). The final
     mean divides two exact integers, one double op in both engines.
 
-    Two aggregations, no model artifact: (1) explode to (doc, token)
-    and hash-aggregate global token counts (map-side partial combine
-    collapses repeats before the shuffle); (2) join tokens back to
-    their counts (equi-join; at corpus scale the vocab is Zipf-bounded
-    and AQE broadcasts it when small) and aggregate per doc. Returns
-    (id, n_tokens, mean_rarity_bits)."""
-    toks = df.select(
-        F.col(id_col).alias("_id"), F.explode(tokens_col(text_col)).alias("_tok")
+    Three aggregations, no model artifact: (1) explode to (doc, token)
+    and pre-aggregate to (doc, token, cnt) — this collapses the
+    Zipf-hot tokens PER DOCUMENT before any join, so even if the vocab
+    outgrows the broadcast threshold (multilingual corpus, ~10^8
+    types) and Spark falls back to sort-merge, the join key "the"
+    carries one row per document, not one row per occurrence; (2)
+    hash-aggregate global token counts from the per-doc counts
+    (map-side partial combine); (3) join per-doc counts to vocab
+    counts (equi-join; AQE broadcasts the vocab when small) and
+    aggregate per doc. Returns (id, n_tokens, mean_rarity_bits)."""
+    doc_tok = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens_col(text_col)).alias("_tok"),
+        )
+        .groupBy("_id", "_tok")
+        .agg(F.count("*").alias("_n"))
     )
-    counts = toks.groupBy("_tok").agg(F.count("*").alias("_c"))
+    counts = doc_tok.groupBy("_tok").agg(F.sum("_n").alias("_c"))
     total = counts.agg(F.sum("_c").alias("_total"))
     # floor(log2(ratio)) via base-2 string length: integer `div` plus
     # conv() are exact on BIGINT — no float division or log anywhere
@@ -258,12 +267,12 @@ def unigram_logprob_scores(
     ratio = F.expr("_total div _c")
     rarity = F.length(F.conv(ratio.cast("string"), 10, 2)) - 1
     return (
-        toks.join(counts, "_tok")
+        doc_tok.join(counts, "_tok")
         .crossJoin(F.broadcast(total))
         .groupBy("_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum(rarity).alias("_sum_rarity"),
+            F.sum("_n").alias("n_tokens"),
+            F.sum(rarity * F.col("_n")).alias("_sum_rarity"),
         )
         .select(
             F.col("_id").alias("id"),

@@ -252,3 +252,61 @@ def sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def sessionize_batch(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str | None = None,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch twin of :func:`sessionize`: gap-based sessions via the
+    classic gaps-and-islands plan — ``lag`` marks session starts, a
+    running sum numbers islands, one groupBy collapses them. Pure
+    Column expressions end-to-end (no Python in the plan), one shuffle
+    on ``user_col`` reused by both window functions and the final
+    aggregate, so the plan survives 10^12 events: per-user partitions
+    stream through the window operator without materializing state
+    beyond one row of lag.
+
+    Ties on ``ts`` are broken by ``order_col`` (when given) so the
+    island numbering — and therefore the output — is deterministic.
+    Mirrors the reference's batch-only analytics posture
+    (duckdb-raquet has no streaming; see SURVEY §2.9) while sharing
+    session semantics with the streaming operator above.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # microsecond-exact gap test (unix_micros, not a seconds cast):
+    # integer math keeps the island numbering bit-identical to any
+    # other engine computing the same sessions (a seconds cast would
+    # truncate here but round in DuckDB's epoch()::BIGINT)
+    # (cast handles TIMESTAMP_NTZ inputs — unix_micros wants TIMESTAMP;
+    # the session tz is irrelevant to a difference)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    new_s = F.when(
+        prev.isNull()
+        | (us(F.col(ts_col)) - us(prev) > gap_seconds * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    g = df.withColumn("_sid", F.sum(new_s).over(run))
+    return (
+        g.groupBy(user_col, "_sid")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .drop("_sid")
+    )

@@ -58,7 +58,9 @@ def test_cosine_pairs_uncapped_matches_small_groups(spark):
     df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
     uncapped = {
         (r["a"], r["b"], round(r["cos"], 9))
-        for r in dedup.cosine_pairs(df, "vec_id", "embedding", "label", 0.9).collect()
+        for r in dedup.cosine_pairs(
+            df, "vec_id", "embedding", "label", 0.9, max_group=None
+        ).collect()
     }
     capped = {
         (r["a"], r["b"], round(r["cos"], 9))
@@ -67,6 +69,20 @@ def test_cosine_pairs_uncapped_matches_small_groups(spark):
         ).collect()
     }
     assert uncapped == capped and len(uncapped) > 0
+
+
+def test_cosine_pairs_default_is_safe(spark):
+    """Round 4: the DEFAULT call caps hot groups — an all-one-group
+    fixture larger than the default max_group (1000) completes with a
+    linear pair count instead of ~561k all-pairs rows."""
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=8)
+    rows = [(i, "g", _vec(rng, base, jitter=0.005)) for i in range(1060)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    n = dedup.cosine_pairs(df, "vec_id", "embedding", "label", 0.9).count()
+    assert 0 < n < 3000  # chained (~1059), nowhere near 561k
 
 
 def test_minhash_uncapped_default_full_recall(spark):

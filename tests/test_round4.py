@@ -1,0 +1,113 @@
+"""Round-4 additions: pointer-jumping connected components, batch
+sessionization twin, logprob pre-aggregation, cosine safe default."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_raquet_spark import streaming
+from duckdb_raquet_spark.functions import dedup, text
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 300-link successor chain (what the hot-bucket caps emit for an
+    oversized near-dup bucket) must converge well inside max_iter=25 —
+    pointer jumping makes rounds O(log L), not O(L)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "a long, b long"
+    )
+    comp = dedup.connected_components(pairs).collect()
+    assert len(comp) == 301
+    assert {r["comp"] for r in comp} == {0}
+
+
+def test_connected_components_multiple_chains_and_clique(spark):
+    rows = [(i, i + 1) for i in range(100, 140)]  # chain comp=100
+    rows += [(a, b) for a in range(5) for b in range(a + 1, 5)]  # clique 0
+    rows += [(1000, 2000)]  # pair comp=1000
+    pairs = spark.createDataFrame(rows, "a long, b long")
+    comp = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert all(comp[i] == 100 for i in range(100, 141))
+    assert all(comp[i] == 0 for i in range(5))
+    assert comp[1000] == comp[2000] == 1000
+
+
+def test_sessionize_batch_matches_hand_sessions(spark):
+    """Gaps-and-islands twin: known event layout -> known sessions."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: events at 0, 10min, 20min (one session), then +2h (new)
+    for k, mins in enumerate((0, 10, 20, 140)):
+        rows.append((k, 1, t0 + dt.timedelta(minutes=mins), 1.0))
+    # user 2: single event
+    rows.append((10, 2, t0, 5.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = streaming.sessionize_batch(
+        df, order_col="event_id", gap_seconds=1800
+    ).collect()
+    sess = {(r["user_id"], r["n_events"], r["sum_value"]) for r in out}
+    assert sess == {(1, 3, 3.0), (1, 1, 1.0), (2, 1, 5.0)}
+    assert len(out) == 3
+
+
+def test_sessionize_batch_agrees_with_streaming_semantics(spark):
+    """The batch twin and the stateful streaming operator implement the
+    same session algebra: same (user, n_events) multiset on a bounded
+    input replayed through the batch path of the stream op's tests."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for u in range(4):
+        for burst in range(3):
+            base = t0 + dt.timedelta(hours=burst * 3, minutes=u)
+            for j in range(u + 1):
+                rows.append((eid, u, base + dt.timedelta(minutes=j * 5), 1.0))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = streaming.sessionize_batch(
+        df, order_col="event_id", gap_seconds=3600
+    ).collect()
+    # each burst is one session: 3 sessions per user, sized u+1
+    got = sorted((r["user_id"], r["n_events"]) for r in out)
+    want = sorted((u, u + 1) for u in range(4) for _ in range(3))
+    assert got == want
+
+
+def test_logprob_preagg_unchanged_scores(spark):
+    """The (doc, token, cnt) pre-aggregation must not change results —
+    exact integer rarity survives the regrouping."""
+    rows = [
+        (0, "the the the cat"),
+        (1, "the dog"),
+        (2, "aardvark zyzzyva"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: (r["n_tokens"], r["mean_rarity_bits"])
+        for r in text.unigram_logprob_scores(df, "id", "text").collect()
+    }
+    # corpus: the=4, cat=1, dog=1, aardvark=1, zyzzyva=1 -> total 8
+    # rarity: the -> floor(log2(8//4))=1; singletons -> floor(log2(8))=3
+    assert out[0] == (4, (3 * 1 + 3) / 4)
+    assert out[1] == (2, (1 + 3) / 2)
+    assert out[2] == (2, 3.0)
+
+
+def test_logprob_plan_has_preagg(spark):
+    """The plan must aggregate (doc, token) BEFORE the vocab join so a
+    Zipf-hot token carries one row per doc through the join."""
+    rows = [(i, "the quick brown fox") for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    plan = text.unigram_logprob_scores(df, "id", "text")._jdf.queryExecution().optimizedPlan().toString()
+    join_pos = plan.find("Join")
+    assert join_pos > 0
+    # an Aggregate on [_id, _tok] must appear below (after, textually)
+    # the join in the optimized plan tree
+    assert "Aggregate [_id" in plan[join_pos:]
