@@ -46,6 +46,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -325,6 +327,10 @@ def parse_image_header(payload: bytes) -> dict | None:
             "format": "gif",
             "n_bytes": len(payload),
         }
+    if fmt == "webp":
+        from . import webpcodec as wc
+
+        return wc.parse_webp_header(payload)
     return None
 
 
@@ -584,4 +590,8 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, dict]:
         from . import jpegcodec as jc
 
         return jc.decode_jpeg(payload)
-    raise ValueError("unknown image format (no PNG/BMP/JPEG/GIF magic)")
+    if fmt == "webp":
+        from . import webpcodec as wc
+
+        return wc.decode_webp(payload)
+    raise ValueError("unknown image format (no PNG/BMP/JPEG/GIF/WEBP magic)")

@@ -59,10 +59,11 @@ def _decode_image_kernel(
     from . import imagecodec as ic
 
     fmt = ic.sniff_format(payload)
-    if fmt in ("png", "bmp", "gif", "jpeg"):
-        # all four major web image formats decode for real (baseline
-        # JPEG via the from-scratch DCT/Huffman codec; progressive JPEG
-        # still raises — contain with on_error='skip')
+    if fmt in ("png", "bmp", "gif", "jpeg", "webp"):
+        # all five major web image formats decode for real (baseline +
+        # progressive JPEG via the from-scratch DCT/Huffman codec,
+        # lossless WebP via the from-scratch VP8L codec; lossy-VP8 webp
+        # raises — contain with on_error='skip'/'mark')
         return ic.decode_image(payload)
     if not deterministic:
         raise NotImplementedError("payload has no known image magic")
@@ -237,6 +238,32 @@ def synth_png_column(df: DataFrame, id_col: str, out_col: str = "png") -> DataFr
     return _append_column(df, out_col, "binary", lambda row: synth_png_bytes(int(row[i])))
 
 
+def synth_webp_bytes(key: int) -> bytes:
+    """Closed-form deterministic lossless WebP (VP8L): same pixel
+    pattern as :func:`synth_png_bytes` — (key + 3y + 5x + 77c) mod 256
+    — so the two formats share one SQL oracle; keys divisible by 3
+    take the palette path, the rest the literal + subtract-green path,
+    exercising both encoder modes through the fixture."""
+    from . import webpcodec as wc
+
+    w = _SYNTH_DIMS[key % 3]
+    h = _SYNTH_DIMS[(key // 3) % 3]
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    arr = ((key + 3 * y + 5 * x + 77 * c) % 256).astype(np.uint8)
+    # the pattern has <= 256 distinct colors (one per base residue), so
+    # palette mode is always legal; alternate modes by key
+    return wc.encode_webp(arr, mode="palette" if key % 3 == 0 else "literal")
+
+
+def synth_webp_column(df: DataFrame, id_col: str, out_col: str = "webp") -> DataFrame:
+    """Append a real lossless-WebP binary column rendered from the id —
+    the webp twin of synth_png_column."""
+    i = df.columns.index(id_col)
+    return _append_column(
+        df, out_col, "binary", lambda row: synth_webp_bytes(int(row[i]))
+    )
+
+
 def image_features(
     df: DataFrame,
     id_col: str,
@@ -250,11 +277,15 @@ def image_features(
     vector. Output: (id, features array<float>, width, height).
 
     ``on_error``: ``"raise"`` fails the job on the first undecodable
-    payload (entropy-coded JPEG/GIF, truncated bytes); ``"skip"``
-    contains the error per ROW and drops that row — the web-crawl
-    setting, where a corrupt payload must not abort a 100 TB job."""
-    if on_error not in ("raise", "skip"):
-        raise ValueError("on_error must be 'raise' or 'skip'")
+    payload (lossy-VP8 webp, truncated bytes); ``"skip"`` contains the
+    error per ROW and drops that row — the web-crawl setting, where a
+    corrupt payload must not abort a 100 TB job; ``"mark"`` emits the
+    row with NULL features/width/height instead of dropping it, so the
+    skip count is OBSERVABLE in-plan (``count(features IS NULL)``)
+    rather than silently vanishing — use it to monitor what fraction
+    of a crawl the decoders actually cover."""
+    if on_error not in ("raise", "skip", "mark"):
+        raise ValueError("on_error must be 'raise', 'skip' or 'mark'")
     rh, rw = resize
 
     def fn(batches):
@@ -268,6 +299,11 @@ def image_features(
                 except Exception:
                     if on_error == "raise":
                         raise
+                    if on_error == "mark":
+                        ids.append(i)
+                        feats.append(None)
+                        ws.append(None)
+                        hs.append(None)
                     continue
                 yi = np.linspace(0, arr.shape[0] - 1, rh).astype(int)
                 xi = np.linspace(0, arr.shape[1] - 1, rw).astype(int)

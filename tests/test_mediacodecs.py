@@ -334,6 +334,60 @@ def test_image_features_on_error_skip(spark):
         mm.image_features(df, "doc_id", "img").collect()
 
 
+def test_synth_webp_fixture_decodes_to_pattern():
+    """The webp fixture replays the PNG fixture's closed-form pattern
+    through the from-scratch VP8L codec (palette mode for key%3==0,
+    literal otherwise)."""
+    from duckdb_raquet_spark.functions import webpcodec as wc
+
+    for key in (0, 7, 123):
+        arr, meta = wc.decode_webp(mm.synth_webp_bytes(key))
+        w = (10, 13, 16)[key % 3]
+        h = (10, 13, 16)[(key // 3) % 3]
+        assert (meta["width"], meta["height"]) == (w, h)
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        expect = ((key + 3 * y + 5 * x + 77 * c) % 256).astype(np.uint8)
+        assert (arr[..., :3] == expect).all()
+
+
+def test_image_features_decodes_webp(spark):
+    """image_features over a mixed PNG + WebP column: both formats
+    decode for real and agree on the shared pixel pattern."""
+    rows = [(i, mm.synth_webp_bytes(i)) for i in range(3)]
+    rows += [(10 + i, mm.synth_png_bytes(10 + i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, img binary")
+    got = mm.image_features(df, "doc_id", "img").orderBy("id").collect()
+    assert len(got) == 6
+    for r in got:
+        key = r["id"]
+        w, h = r["width"], r["height"]
+        assert w == (10, 13, 16)[key % 3]
+        yi = np.linspace(0, h - 1, 4).astype(int)
+        xi = np.linspace(0, w - 1, 4).astype(int)
+        vals = [(key + 3 * y + 5 * x) % 256 for y in yi for x in xi]
+        assert abs(r["features"][0] * 255 - np.mean(vals)) < 1e-3
+
+
+def test_image_features_on_error_mark(spark):
+    """'mark' keeps undecodable rows with NULL features, making the
+    skip count observable in-plan instead of silently dropping rows."""
+    import struct as _struct
+
+    jpeg = (
+        b"\xff\xd8\xff\xc0" + _struct.pack(">H", 8 + 9)
+        + bytes([8]) + _struct.pack(">HH", 4, 4) + bytes([3] + [0] * 8)
+    )
+    rows = [(0, mm.synth_png_bytes(0)), (1, jpeg), (2, mm.synth_webp_bytes(2))]
+    df = spark.createDataFrame(rows, "doc_id long, img binary")
+    out = mm.image_features(df, "doc_id", "img", on_error="mark")
+    got = {r["id"]: r for r in out.collect()}
+    assert sorted(got) == [0, 1, 2]
+    assert got[1]["features"] is None and got[1]["width"] is None
+    assert got[0]["features"] is not None and got[2]["features"] is not None
+    n_skipped = out.where("features IS NULL").count()
+    assert n_skipped == 1
+
+
 def test_ivf_kmeans_empty_input(spark):
     from duckdb_raquet_spark.functions import similarity
 

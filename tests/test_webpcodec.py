@@ -1,0 +1,322 @@
+"""From-scratch VP8L (lossless WebP) codec tests.
+
+Round-trips cover the encoder's modes (literal, subtract-green, color
+cache, LZ77 runs, palette with and without pixel bundling); the
+decode-only spec paths the encoder doesn't emit (predictor transform's
+14 modes, the color transform, meta prefix codes, 2-D neighborhood
+distance codes) are exercised through hand-built bitstreams."""
+
+import numpy as np
+import pytest
+
+from duckdb_raquet_spark.functions import imagecodec as ic
+from duckdb_raquet_spark.functions import webpcodec as wc
+
+
+def _rt(img, **kw):
+    data = wc.encode_webp(img, **kw)
+    arr, meta = wc.decode_webp(data)
+    return data, arr, meta
+
+
+# ------------------------------------------------------- round trips ----
+
+
+def test_literal_rgb_roundtrip():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
+    data, arr, meta = _rt(img)
+    assert np.array_equal(arr[..., :3], img)
+    assert np.all(arr[..., 3] == 255)
+    assert (meta["width"], meta["height"]) == (31, 23)
+
+
+def test_literal_rgba_and_gray():
+    rng = np.random.default_rng(2)
+    img4 = rng.integers(0, 256, (9, 17, 4), dtype=np.uint8)
+    _, arr, _ = _rt(img4)
+    assert np.array_equal(arr, img4)
+    g = rng.integers(0, 256, (5, 5), dtype=np.uint8)
+    _, arr, _ = _rt(g)
+    assert np.array_equal(arr[..., 0], g) and np.array_equal(arr[..., 1], g)
+
+
+def test_no_subtract_green_and_color_cache():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 8, (16, 16, 3), dtype=np.uint8) * 30
+    for kw in (
+        {"subtract_green": False},
+        {"cache_bits": 6},
+        {"subtract_green": False, "cache_bits": 4, "mode": "literal"},
+    ):
+        _, arr, _ = _rt(img, **kw)
+        assert np.array_equal(arr[..., :3], img), kw
+
+
+def test_lz77_runs_compress_and_roundtrip():
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    img[:16] = 200
+    data, arr, _ = _rt(img, mode="literal")
+    assert np.array_equal(arr[..., :3], img)
+    assert len(data) < 200  # runs collapse to backward references
+
+
+@pytest.mark.parametrize("ncolors,", [(2,), (4,), (13,), (200,)])
+def test_palette_roundtrip(ncolors):
+    (n,) = ncolors
+    rng = np.random.default_rng(n)
+    vals = rng.choice(256, n, replace=False).astype(np.uint8)
+    img = vals[rng.integers(0, n, (20, 13))]
+    data, arr, _ = _rt(img, mode="palette")
+    assert np.array_equal(arr[..., 0], img)
+
+
+def test_tiny_and_single_column():
+    rng = np.random.default_rng(5)
+    _, arr, _ = _rt(np.array([[123]], dtype=np.uint8))
+    assert arr[0, 0, 0] == 123
+    col = rng.integers(0, 256, (40, 1, 3), dtype=np.uint8)
+    _, arr, _ = _rt(col, mode="literal")
+    assert np.array_equal(arr[..., :3], col)
+
+
+# ------------------------------------- hand-built decode-only streams ----
+
+
+def _wrap(bw):
+    import struct
+
+    body = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _sub_px(a, b):
+    out = 0
+    for sh in (24, 16, 8, 0):
+        out |= (((a >> sh) - (b >> sh)) & 0xFF) << sh
+    return out
+
+
+def _forward_predict(orig, w, h, bits, mode):
+    res = [0] * (w * h)
+    for pos in range(w * h):
+        x, y = pos % w, pos // w
+        if pos == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = orig[pos - 1]
+        elif x == 0:
+            pred = orig[pos - w]
+        else:
+            pred = wc._predict(mode, orig, pos, w)
+        res[pos] = _sub_px(orig[pos], pred)
+    return np.array(res, dtype=np.uint32)
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_predictor_transform_all_modes(mode):
+    """Forward-predict with a constant mode, emit a stream carrying the
+    predictor transform, and check the decoder reconstructs the exact
+    original — covers every predictor incl. the rightmost-column TR
+    addressing exception."""
+    rng = np.random.default_rng(100 + mode)
+    w, h, bits = 11, 7, 2
+    orig = [
+        (0xFF << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
+        for r, g, b in rng.integers(0, 256, (w * h, 3))
+    ]
+    bw = wc._BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)
+    bw.write(0, 2)  # predictor transform
+    bw.write(bits - 2, 3)
+    sw, sh = wc._div_round_up(w, bits), wc._div_round_up(h, bits)
+    sub = np.full(sw * sh, (0xFF << 24) | (mode << 8), dtype=np.uint32)
+    wc._sub_image_stream(bw, sub)
+    bw.write(0, 1)  # no more transforms
+    res = _forward_predict(orig, w, h, bits, mode)
+    wc._write_image_stream(bw, res, cache_bits=0, use_lz77=False, level0=True)
+    arr, meta = wc.decode_webp(_wrap(bw))
+    got = [
+        (int(a) << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
+        for r, g, b, a in arr.reshape(-1, 4)
+    ]
+    assert got == orig
+
+
+def test_color_transform_roundtrip_via_stream():
+    rng = np.random.default_rng(42)
+    w, h, bits = 9, 6, 2
+    r2b, g2b, g2r = 0x40, 0xE8, 0x15  # mixed-sign 3.5 fixed-point
+    orig = [
+        (0xFF << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
+        for r, g, b in rng.integers(0, 256, (w * h, 3))
+    ]
+    fwd = []
+    for px in orig:
+        green = (px >> 8) & 0xFF
+        red = (px >> 16) & 0xFF
+        blue = px & 0xFF
+        nr = (red - wc._ct_delta(g2r, green)) & 0xFF
+        nb = (blue - wc._ct_delta(g2b, green) - wc._ct_delta(r2b, red)) & 0xFF
+        fwd.append((px & 0xFF00FF00) | (nr << 16) | nb)
+    bw = wc._BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)
+    bw.write(1, 2)  # color transform
+    bw.write(bits - 2, 3)
+    sw, sh = wc._div_round_up(w, bits), wc._div_round_up(h, bits)
+    cte = (0xFF << 24) | (r2b << 16) | (g2b << 8) | g2r
+    wc._sub_image_stream(bw, np.full(sw * sh, cte, dtype=np.uint32))
+    bw.write(0, 1)
+    wc._write_image_stream(
+        bw, np.array(fwd, dtype=np.uint32), cache_bits=0, use_lz77=False, level0=True
+    )
+    arr, _ = wc.decode_webp(_wrap(bw))
+    got = [
+        (int(a) << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
+        for r, g, b, a in arr.reshape(-1, 4)
+    ]
+    assert got == orig
+
+
+def test_meta_prefix_codes_two_groups():
+    """Entropy image splits an 8x2 canvas into two 4-pixel-wide tiles,
+    each with its own (single-symbol) code set -> left half red-ish,
+    right half blue-ish, all from zero pixel bits."""
+    w, h, mbits = 8, 2, 2
+    bw = wc._BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta prefix codes present
+    bw.write(mbits - 2, 3)
+    # entropy image: 2x1, meta index in (red<<8 | green)
+    wc._sub_image_stream(
+        bw, np.array([(0xFF << 24) | (0 << 8), (0xFF << 24) | (1 << 8)], dtype=np.uint32)
+    )
+    for g, r, b in ((10, 200, 1), (30, 2, 220)):  # group 0, group 1
+        wc._write_prefix_code(bw, {g: 1}, 280)
+        wc._write_prefix_code(bw, {r: 1}, 256)
+        wc._write_prefix_code(bw, {b: 1}, 256)
+        wc._write_prefix_code(bw, {255: 1}, 256)  # alpha
+        wc._write_prefix_code(bw, {0: 1}, 40)  # distance (unused)
+    arr, _ = wc.decode_webp(_wrap(bw))
+    assert arr.shape == (2, 8, 4)
+    assert np.all(arr[:, :4, 0] == 200) and np.all(arr[:, :4, 2] == 1)
+    assert np.all(arr[:, 4:, 0] == 2) and np.all(arr[:, 4:, 2] == 220)
+
+
+def test_2d_distance_code_copies_previous_row():
+    """Distance code 1 maps to (dx=0, dy=1) = one full row back; a copy
+    of length w duplicates row 0 into row 1."""
+    w, h = 6, 2
+    rng = np.random.default_rng(7)
+    row = rng.integers(0, 256, (w, 3))
+    bw = wc._BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    lcode, lextra, lbits = wc._lz_prefix_encode(w)
+    dcode, dextra, dbits = wc._lz_prefix_encode(1)  # plane code 1 = (0,1)
+    fg = {int(g): 1 for g in row[:, 1]}
+    fg[256 + lcode] = 1
+    gc = wc._write_prefix_code(bw, fg, 280)
+    rc = wc._write_prefix_code(bw, {int(r): 1 for r in row[:, 0]}, 256)
+    bc = wc._write_prefix_code(bw, {int(b): 1 for b in row[:, 2]}, 256)
+    ac = wc._write_prefix_code(bw, {255: 1}, 256)
+    dc = wc._write_prefix_code(bw, {dcode: 1}, 40)
+    for r, g, b in row:
+        bw.write_code(*gc[int(g)])
+        bw.write_code(*rc[int(r)])
+        bw.write_code(*bc[int(b)])
+        bw.write_code(*ac[255])
+    bw.write_code(*gc[256 + lcode])
+    if lbits:
+        bw.write(lextra, lbits)
+    bw.write_code(*dc[dcode])
+    if dbits:
+        bw.write(dextra, dbits)
+    arr, _ = wc.decode_webp(_wrap(bw))
+    assert np.array_equal(arr[0, :, :3], row.astype(np.uint8))
+    assert np.array_equal(arr[1], arr[0])
+
+
+def test_distance_table_spot_values():
+    """Pin the first entries of the generated neighborhood table against
+    the spec's published list."""
+    assert wc._DIST[:14] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2),
+        (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0),
+    ]
+    assert len(wc._DIST) == 120
+    assert wc._plane_dist(121, 10) == 1
+    assert wc._plane_dist(1, 10) == 10  # (0,1) one row up
+    assert wc._plane_dist(2, 10) == 1  # (1,0) previous pixel
+
+
+# ------------------------------------------------ container / headers ----
+
+
+def test_header_parse_vp8l_vp8_vp8x():
+    img = np.zeros((33, 77), dtype=np.uint8)
+    hdr = wc.parse_webp_header(wc.encode_webp(img))
+    assert (hdr["width"], hdr["height"], hdr["format"]) == (77, 33, "webp")
+    # minimal lossy VP8 header (frame tag + start code + dims)
+    import struct
+
+    vp8 = (
+        b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 160, 120)
+    )
+    lossy = b"RIFF" + struct.pack("<I", 12 + len(vp8)) + b"WEBP"
+    lossy += b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+    hdr = wc.parse_webp_header(lossy)
+    assert (hdr["width"], hdr["height"]) == (160, 120)
+    with pytest.raises(ValueError, match="lossy"):
+        wc.decode_webp(lossy)
+    vp8x = b"\x00\x00\x00\x00" + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    ext = b"RIFF" + struct.pack("<I", 12 + len(vp8x)) + b"WEBP"
+    ext += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    hdr = wc.parse_webp_header(ext)
+    assert (hdr["width"], hdr["height"]) == (640, 480)
+
+
+def test_imagecodec_dispatch():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+    data = wc.encode_webp(img)
+    assert ic.sniff_format(data) == "webp"
+    arr, meta = ic.decode_image(data)
+    assert meta["format"] == "webp" and np.array_equal(arr[..., :3], img)
+    hdr = ic.parse_image_header(data)
+    assert (hdr["width"], hdr["height"]) == (12, 10)
+
+
+def test_duplicate_transform_rejected():
+    bw = wc._BitWriter()
+    bw.write(0, 14)
+    bw.write(0, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)
+    bw.write(2, 2)  # subtract green
+    bw.write(1, 1)
+    bw.write(2, 2)  # again
+    with pytest.raises(ValueError, match="duplicate"):
+        wc.decode_webp(_wrap(bw))
