@@ -1,18 +1,27 @@
-"""From-scratch baseline JPEG (ITU T.81 sequential DCT) codec.
+"""From-scratch JPEG (ITU T.81) codec: sequential AND progressive DCT.
 
-Decoder: baseline SOF0, 8-bit, 1 or 3 components, sampling factors 1-2
-(covers grayscale, 4:4:4 and 4:2:0), canonical Huffman tables from DHT
-(BITS/HUFFVAL), byte-stuffing, DRI/RSTn restart intervals, dequantize ->
-de-zigzag -> exact matrix IDCT (numpy) -> chroma upsample -> JFIF
-YCbCr->RGB. Progressive (SOF2), arithmetic coding, and 12-bit raise
+Decoder: one multi-scan engine over per-component zigzag coefficient
+buffers handles baseline SOF0/1 (interleaved or multi-scan) and
+progressive SOF2 with spectral selection + successive approximation
+(DC/AC first and refinement scans, EOB runs — T.81 §F/G); 8-bit, 1 or
+3 components, sampling factors 1-2 (grayscale, 4:4:4, 4:2:0),
+canonical Huffman tables from DHT (BITS/HUFFVAL), byte-stuffing,
+DRI/RSTn restart intervals, dequantize -> de-zigzag -> exact matrix
+IDCT (numpy, vectorized over blocks) -> chroma upsample -> JFIF
+YCbCr->RGB. Arithmetic coding, lossless JPEG and 12-bit raise
 NotImplementedError.
 
-Encoder: the verification twin — level shift -> FDCT -> quantize
+Encoders: the verification twins — level shift -> FDCT -> quantize
 (ramp quantization table emitted in DQT, scaled by ``quality``) ->
 zigzag -> run/size symbols entropy-coded with a per-image CANONICAL
 single-length Huffman table (valid JPEG: the table ships in DHT, so no
 spec-table recall is involved; fixed-length codes trade a few percent
-of size for simplicity). Grayscale and 4:4:4 / 4:2:0 color.
+of size for simplicity). Grayscale and 4:4:4 / 4:2:0 color baseline,
+plus ``encode_jpeg_progressive`` (SOF2, 4:4:4) emitting the standard
+DC-first/DC-refine/AC-band-first/AC-band-refine scan chain — its
+output must decode bit-identically to the baseline twin (same
+coefficients either way), which is how the progressive decode paths
+are verified without a golden library.
 
 Lossy by nature, so tests verify round-trip PSNR, not bit identity —
 the engine's COLUMN codecs stay lossless; this codec serves the
@@ -130,25 +139,192 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+def _ac_first(r, zz, ac_t, ss, se, al, eobrun):
+    """AC coefficients, first scan (Ah == 0) — also the baseline AC
+    path (ss=1, se=63, al=0, where EOB is just an EOB-run of 1)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, ac_t)
+        run, size = rs >> 4, rs & 15
+        if size == 0:
+            if run == 15:
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += r.bits(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("AC run past band end")
+        zz[k] = _extend(r.bits(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(r, zz, ac_t, ss, se, al, eobrun):
+    """AC successive-approximation refinement (T.81 G.1.2.3): each
+    history-nonzero coefficient in the band receives a correction bit;
+    run/size symbols place newly-significant +-1<<Al coefficients
+    between them, with runs counting only zero-history positions."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(r, ac_t)
+            run, size = rs >> 4, rs & 15
+            val = 0
+            if size == 0:
+                if run != 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.bits(run)
+                    break
+                # ZRL: skip 16 zero-history positions below
+            else:
+                if size != 1:
+                    raise ValueError("AC refinement size must be 1")
+                val = p1 if r.bit() else -p1
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if r.bit() and (c & p1) == 0:
+                        zz[k] = c + (p1 if c > 0 else -p1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(zz[k])
+            if c != 0:
+                if r.bit() and (c & p1) == 0:
+                    zz[k] = c + (p1 if c > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Byte position of the next real marker at/after pos (skips
+    entropy data, stuffed FF00 and RSTn)."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = payload[pos + 1]
+        if nxt == 0x00 or nxt == 0xFF or 0xD0 <= nxt <= 0xD7:
+            pos += 2 if nxt != 0xFF else 1
+            continue
+        return pos
+    return n
+
+
+def _decode_scan(
+    payload, pos, scan_comp, ss, se, ah, al, comps, coef, huff, qt, restart, dims
+):
+    """Decode one scan's entropy data into the per-component zigzag
+    coefficient buffers; returns the byte position after the scan."""
+    w, h, hmax, vmax, mcux, mcuy = dims
+    r = _BitReader(payload, pos)
+    pred = {cid: 0 for cid, *_ in scan_comp}
+    eobrun = 0
+    by_cid = {c[0]: c for c in comps}
+
+    def one_block(cid, byy, bxx, dc_t, ac_t):
+        nonlocal eobrun
+        zz = coef[cid][byy, bxx]
+        if ss == 0:
+            if ah == 0:
+                t = _huff_decode(r, dc_t)
+                diff = _extend(r.bits(t), t) if t else 0
+                pred[cid] += diff
+                zz[0] = pred[cid] << al
+            elif r.bit():
+                zz[0] = int(zz[0]) | (1 << al)
+        if se > 0:
+            first_ac = 1 if ss == 0 else ss
+            if ah == 0:
+                eobrun = _ac_first(r, zz, ac_t, first_ac, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(r, zz, ac_t, first_ac, se, al, eobrun)
+
+    def tables(tabs_dc, tabs_ac):
+        dc_t = huff.get((0, tabs_dc)) if ss == 0 and ah == 0 else None
+        ac_t = huff.get((1, tabs_ac)) if se > 0 else None
+        return dc_t, ac_t
+
+    count = 0
+    if len(scan_comp) > 1:  # interleaved: global MCU grid
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and count and count % restart == 0:
+                    r.align_restart()
+                    pred = {cid: 0 for cid in pred}
+                    eobrun = 0
+                for cid, tdc, tac in scan_comp:
+                    _, hs, vs, _q = by_cid[cid]
+                    dc_t, ac_t = tables(tdc, tac)
+                    for by in range(vs):
+                        for bx in range(hs):
+                            one_block(cid, my * vs + by, mx * hs + bx, dc_t, ac_t)
+                count += 1
+    else:  # non-interleaved: the component's own block grid
+        cid, tdc, tac = scan_comp[0]
+        _, hs, vs, _q = by_cid[cid]
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        nbx, nby = (cw + 7) // 8, (ch + 7) // 8
+        dc_t, ac_t = tables(tdc, tac)
+        for byy in range(nby):
+            for bxx in range(nbx):
+                if restart and count and count % restart == 0:
+                    r.align_restart()
+                    pred = {cid: 0 for cid in pred}
+                    eobrun = 0
+                one_block(cid, byy, bxx, dc_t, ac_t)
+                count += 1
+    return _next_marker(payload, r.pos)
+
+
 def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
-    """Baseline JPEG -> (H, W, 3) RGB (or (H, W, 1) grayscale) uint8."""
+    """JPEG -> (H, W, 3) RGB (or (H, W, 1) grayscale) uint8.
+
+    Handles baseline (SOF0/1, interleaved or multi-scan) AND
+    progressive (SOF2) with spectral selection + successive
+    approximation, via one multi-scan decoder over per-component
+    zigzag coefficient buffers (the reference gets this from libjpeg
+    through GDAL; here it is from-scratch per ITU T.81 §F/G)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> map
     comps = None  # list of (cid, hsamp, vsamp, qid)
+    qid_of: dict[int, int] = {}
     w = h = 0
     restart = 0
-    scan_comp = None
-    while pos + 4 <= len(payload):
+    coef: dict[int, np.ndarray] = {}
+    dims = None
+    progressive = False
+    n_scans = 0
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker sync")
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
-        while payload[pos + 1] == 0xFF and pos + 4 <= len(payload):
+        while payload[pos + 1] == 0xFF and pos + 2 <= len(payload):
             pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:
+            break
+        if pos + 4 > len(payload):
             break
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         seg = payload[pos + 4 : pos + 2 + seglen]
@@ -168,82 +344,73 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
                 n = sum(bits)
                 huff[(tc, th)] = _huff_map(bits, seg[sp + 17 : sp + 17 + n])
                 sp += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit JPEG")
+            progressive = marker == 0xC2
             h, w = struct.unpack_from(">HH", seg, 1)
             nc = seg[5]
             comps = []
             for i in range(nc):
                 cid, samp, q = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 15, q))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("progressive/extended JPEG not supported")
+                qid_of[cid] = q
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            dims = (w, h, hmax, vmax, mcux, mcuy)
+            for cid, hs, vs, _q in comps:
+                coef[cid] = np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("lossless/arithmetic JPEG not supported")
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
+            if comps is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan_comp = []
             for i in range(ns):
                 cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_comp.append((cid, tabs >> 4, tabs & 15))
-            pos = pos + 2 + seglen
-            break
+            ss_, se_, a_ = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah_, al_ = a_ >> 4, a_ & 15
+            if not progressive:
+                ss_, se_, ah_, al_ = 0, 63, 0, 0
+            pos = _decode_scan(
+                payload,
+                pos + 2 + seglen,
+                scan_comp,
+                ss_,
+                se_,
+                ah_,
+                al_,
+                comps,
+                coef,
+                huff,
+                qt,
+                restart,
+                dims,
+            )
+            n_scans += 1
+            continue
         pos += 2 + seglen
-    if comps is None or scan_comp is None:
+    if comps is None or n_scans == 0:
         raise ValueError("truncated JPEG (no SOF/SOS)")
-    if len(scan_comp) != len(comps):
-        raise NotImplementedError(
-            "non-interleaved (multi-scan) baseline JPEG not supported"
-        )
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    w, h, hmax, vmax, mcux, mcuy = dims
+    # dequantize -> de-zigzag -> IDCT every block (vectorized over blocks)
     planes = {}
-    for cid, hs, vs, _q in comps:
-        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
-    r = _BitReader(payload, pos)
-    pred = {cid: 0 for cid, *_ in comps}
-    tab_of = {cid: (dc, ac) for cid, dc, ac in scan_comp}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcu_count and mcu_count % restart == 0:
-                r.align_restart()
-                pred = {cid: 0 for cid, *_ in comps}
-            for cid, hs, vs, qid in comps:
-                dc_t = huff[(0, tab_of[cid][0])]
-                ac_t = huff[(1, tab_of[cid][1])]
-                q = qt[qid]
-                for by in range(vs):
-                    for bx in range(hs):
-                        zz = np.zeros(64, dtype=np.int32)
-                        t = _huff_decode(r, dc_t)
-                        diff = _extend(r.bits(t), t) if t else 0
-                        pred[cid] += diff
-                        zz[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(r, ac_t)
-                            run, size = rs >> 4, rs & 15
-                            if size == 0:
-                                if run == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(r.bits(size), size)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[ZIGZAG] = zz * q
-                        px = _idct(coef.reshape(8, 8)) + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
-            mcu_count += 1
+    for cid, hs, vs, qid in comps:
+        q = qt[qid]
+        zz = coef[cid].astype(np.float64) * q[None, None, :]
+        nby, nbx = zz.shape[:2]
+        blocks = np.zeros((nby, nbx, 64), dtype=np.float64)
+        blocks[:, :, ZIGZAG] = zz
+        blocks = blocks.reshape(nby, nbx, 8, 8)
+        px = np.einsum("ij,abjk,lk->abil", _M.T, blocks, _M.T) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        planes[cid] = plane
     # upsample each component to full resolution and crop
     full = []
     for cid, hs, vs, _q in comps:
@@ -453,5 +620,261 @@ def encode_jpeg(
                         bw.write(av, an)
     bw.flush()
     out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encoder ----
+
+
+def _zz_blocks(plane: np.ndarray, q: np.ndarray) -> list[np.ndarray]:
+    """Plane (already MCU-padded) -> per-block zigzag coefficient rows."""
+    qf = q.astype(np.float64).reshape(8, 8)
+    nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+    out = []
+    for by in range(nby):
+        for bx in range(nbx):
+            b = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = _fdct(b - 128.0)
+            out.append(np.round(coef / qf).astype(np.int32).reshape(64)[ZIGZAG])
+    return out
+
+
+class _ScanTokens:
+    """Symbol/bit token buffer for one scan; symbols get a per-scan
+    canonical Huffman table at write time."""
+
+    def __init__(self):
+        self.tokens: list[tuple] = []  # ('sym', s) | ('bits', val, n)
+        self.syms: set[int] = set()
+
+    def sym(self, s: int):
+        self.tokens.append(("sym", s))
+        self.syms.add(s)
+
+    def bits(self, v: int, n: int):
+        if n:
+            self.tokens.append(("bits", v, n))
+
+    def write(self, bw: _BitWriter, codes: dict[int, tuple[int, int]]):
+        for t in self.tokens:
+            if t[0] == "sym":
+                code, ln = codes[t[1]]
+                bw.write(code, ln)
+            else:
+                bw.write(t[1], t[2])
+
+
+def _ac_first_scan(blocks, ss, se, al) -> _ScanTokens:
+    tk = _ScanTokens()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            tk.sym(r << 4)
+            tk.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for zz in blocks:
+        vals = [
+            (1 if int(v) > 0 else -1) * (abs(int(v)) >> al)
+            for v in zz[ss : se + 1]
+        ]
+        if not any(vals):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        last_nz = max(i for i, v in enumerate(vals) if v)
+        run = 0
+        for v in vals[: last_nz + 1]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                tk.sym(0xF0)  # ZRL
+                run -= 16
+            s = _category(v)
+            tk.sym((run << 4) | s)
+            tk.bits(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < len(vals) - 1:
+            eobrun += 1
+    flush_eob()
+    return tk
+
+
+def _ac_refine_scan(blocks, ss, se, al) -> _ScanTokens:
+    """T.81 G.1.2.3 encoder side (mirrors the decoder's correction-bit
+    interleaving): newly-significant coefficients emit run/1 symbols
+    and sign bits; history-nonzero coefficients emit buffered
+    correction bits after the next symbol or EOB-run flush."""
+    tk = _ScanTokens()
+    eobrun = 0
+    br: list[int] = []  # current block's pending correction bits
+    be: list[int] = []  # correction bits riding with the pending EOB run
+
+    def flush_eob():
+        # EOBn symbol + its run bits, then the bits buffered from the
+        # blocks folded into the run — the order the decoder's EOB-run
+        # tail loop reads them
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            tk.sym(r << 4)
+            tk.bits(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in be:
+            tk.bits(b, 1)
+        be.clear()
+
+    def flush_br():
+        # current block's correction bits go AFTER the symbol just
+        # emitted (the decoder reads them while advancing past
+        # zero-run/history-nonzero positions)
+        for b in br:
+            tk.bits(b, 1)
+        br.clear()
+
+    for zz in blocks:
+        band = [int(v) for v in zz[ss : se + 1]]
+        absv = [abs(v) >> al for v in band]
+        eob = -1
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i
+        run = 0
+        for i, a in enumerate(absv):
+            if a == 0:
+                run += 1
+                continue
+            if a > 1:
+                br.append(a & 1)
+                continue
+            # newly significant at this level
+            while run > 15 and i <= eob:
+                flush_eob()
+                tk.sym(0xF0)
+                run -= 16
+                flush_br()
+            flush_eob()
+            tk.sym((run << 4) | 1)
+            tk.bits(1 if band[i] > 0 else 0, 1)
+            flush_br()
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            br.clear()
+            if eobrun == 0x7FFF or len(be) > 900:
+                flush_eob()
+    flush_eob()
+    return tk
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    *,
+    quality: int = 85,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    al: int = 1,
+) -> bytes:
+    """uint8 grayscale/RGB -> progressive JPEG (SOF2, 4:4:4).
+
+    Scan script (the standard two-level successive-approximation
+    chain): DC first at Al=``al`` interleaved, DC refinement down to 0,
+    then per component per spectral band an AC first scan at Al and an
+    AC refinement to 0. Exercises every progressive decode path:
+    spectral selection, EOB runs, DC/AC refinement."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[..., 0]
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    q = _quant_table(quality)
+    if gray:
+        planes = [(1, a.astype(np.float64))]
+    else:
+        r, g, b = (a[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            (1, 0.299 * r + 0.587 * g + 0.114 * b),
+            (2, -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0),
+            (3, 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0),
+        ]
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    comp_zz = []
+    for _cid, p in planes:
+        pp = np.pad(
+            p, ((0, nby * 8 - p.shape[0]), (0, nbx * 8 - p.shape[1])), mode="edge"
+        )
+        comp_zz.append(_zz_blocks(pp, q))
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes):
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    seg(0xDB, bytes([0]) + bytes(q.reshape(64)[ZIGZAG]))
+    nc = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for cid, _p in planes:
+        sof += bytes([cid, 0x11, 0])
+    seg(0xC2, sof)
+
+    def emit_scan(scan_comps, ss, se, ah, al_, tk, tclass):
+        if tk is not None and tk.syms:
+            bits_spec, vals, codes = _fixed_huff(tk.syms)
+            seg(0xC4, bytes([tclass << 4]) + bytes(bits_spec) + vals)
+        else:
+            codes = {}
+        sos = bytes([len(scan_comps)])
+        for cid in scan_comps:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al_])
+        seg(0xDA, sos)
+        bw = _BitWriter()
+        if tk is not None:
+            tk.write(bw, codes)
+        return bw
+
+    # --- DC first scan (interleaved, 4:4:4 -> MCU order = block order)
+    tk = _ScanTokens()
+    preds = [0] * nc
+    for bi in range(nbx * nby):
+        for ci in range(nc):
+            d = int(comp_zz[ci][bi][0]) >> al
+            diff = d - preds[ci]
+            preds[ci] = d
+            t = _category(diff)
+            tk.sym(t)
+            tk.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    bw = emit_scan([cid for cid, _ in planes], 0, 0, 0, al, tk, 0)
+    bw.flush()
+    out.extend(bw.out)
+    # --- DC refinement scans al-1 .. 0 (raw bits, no table)
+    for a_ in range(al - 1, -1, -1):
+        bw = emit_scan([cid for cid, _ in planes], 0, 0, a_ + 1, a_, None, 0)
+        for bi in range(nbx * nby):
+            for ci in range(nc):
+                bw.write((int(comp_zz[ci][bi][0]) >> a_) & 1, 1)
+        bw.flush()
+        out.extend(bw.out)
+    # --- AC scans: first at Al, then refinements, per component/band
+    for ci, (cid, _p) in enumerate(planes):
+        for ss, se in bands:
+            tk = _ac_first_scan(comp_zz[ci], ss, se, al)
+            bw = emit_scan([cid], ss, se, 0, al, tk, 1)
+            bw.flush()
+            out.extend(bw.out)
+    for ci, (cid, _p) in enumerate(planes):
+        for ss, se in bands:
+            for a_ in range(al - 1, -1, -1):
+                tk = _ac_refine_scan(comp_zz[ci], ss, se, a_)
+                bw = emit_scan([cid], ss, se, a_ + 1, a_, tk, 1)
+                bw.flush()
+                out.extend(bw.out)
     out.extend(b"\xff\xd9")
     return bytes(out)

@@ -297,11 +297,17 @@ def test_jpeg_roundtrip_psnr():
     odd = rgb[:37, :51]
     dec, _ = jc.decode_jpeg(jc.encode_jpeg(odd, quality=85, subsample=True))
     assert dec.shape == (37, 51, 3)
-    # progressive marker rejected honestly
-    bad = bytearray(jc.encode_jpeg(gray))
-    # flip SOF0 (0xC0) to SOF2 (0xC2)
-    i = bytes(bad).find(b"\xff\xc0")
-    bad[i + 1] = 0xC2
+    # round 4: SOF2 no longer rejects — a (degenerate, full-band) scan
+    # under the progressive marker decodes identically to baseline
+    base = jc.encode_jpeg(gray)
+    ref, _ = jc.decode_jpeg(base)
+    bad = bytearray(base)
+    i = base.find(b"\xff\xc0")
+    bad[i + 1] = 0xC2  # flip SOF0 -> SOF2
+    dec2, _ = jc.decode_jpeg(bytes(bad))
+    assert np.array_equal(dec2, ref)
+    # arithmetic-coded JPEG still rejected honestly
+    bad[i + 1] = 0xC9
     with pytest.raises(NotImplementedError):
         jc.decode_jpeg(bytes(bad))
 
