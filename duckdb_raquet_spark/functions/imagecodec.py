@@ -11,10 +11,10 @@ Scope (enough for real web-crawl thumbnails/logos, honest errors
 otherwise):
   * PNG decode: bit depth 8; color types 0 (gray), 2 (RGB), 3
     (palette), 4 (gray+alpha), 6 (RGBA); all five row filters;
-    non-interlaced. Interlaced/16-bit raise ValueError.
+    non-interlaced AND Adam7 interlaced. 16-bit raises ValueError.
   * PNG encode: uint8 (H, W) / (H, W, C) arrays, per-row filter
     selection (default 0; pass a callable for e.g. y % 5 to exercise
-    every unfilter path in tests).
+    every unfilter path in tests); optional Adam7 interlacing.
   * BMP decode: uncompressed 24/32-bit BITMAPINFOHEADER, bottom-up or
     top-down.
   * Header-only parse (no pixel decode): PNG, BMP, JPEG (SOFn scan),
@@ -35,6 +35,12 @@ import numpy as np
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def sniff_format(payload: bytes) -> str | None:
@@ -127,17 +133,36 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, dict]:
     w, h, depth, ctype_id, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if depth != 8:
         raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
     if ctype_id not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG color type {ctype_id}")
     ch = _PNG_CHANNELS[ctype_id]
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (1 + w * ch):
-        raise ValueError("PNG pixel data length mismatch")
-    arr = _unfilter(raw, h, w, ch)
+    if interlace == 0:
+        if len(raw) != h * (1 + w * ch):
+            raise ValueError("PNG pixel data length mismatch")
+        arr = _unfilter(raw, h, w, ch)
+    else:
+        # Adam7: seven independently-filtered sub-images scattered on
+        # an 8x8 grid (PNG spec 8.2); empty passes carry no bytes
+        arr = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (1 + pw * ch)
+            if pos + need > len(raw):
+                raise ValueError("PNG interlaced pixel data length mismatch")
+            sub = _unfilter(raw[pos : pos + need], ph, pw, ch)
+            pos += need
+            arr[y0::dy, x0::dx] = sub
+        if pos != len(raw):
+            raise ValueError("PNG interlaced pixel data length mismatch")
     fmt = "png"
     if ctype_id == 3:
         if plte is None:
@@ -183,12 +208,16 @@ def _filter_row(
     return bytes([ftype]) + (out % 256).astype(np.uint8).tobytes()
 
 
-def encode_png(arr: np.ndarray, *, filters=0, level: int = 6) -> bytes:
+def encode_png(
+    arr: np.ndarray, *, filters=0, level: int = 6, interlace: bool = False
+) -> bytes:
     """uint8 (H, W) or (H, W, C in {1,2,3,4}) -> PNG bytes.
 
     ``filters`` is an int applied to every row, or a callable
     ``y -> int`` for per-row choice (tests use ``y % 5`` to cover every
-    unfilter path)."""
+    unfilter path). ``interlace=True`` writes Adam7 (each of the seven
+    sub-images filtered independently) — the fixture twin for the
+    interlaced decode path."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[..., None]
@@ -196,12 +225,27 @@ def encode_png(arr: np.ndarray, *, filters=0, level: int = 6) -> bytes:
     ctype_id = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     pick = filters if callable(filters) else (lambda y: filters)
     rows = []
-    flat = a.reshape(h, w * ch)
-    zero = np.zeros(w * ch, dtype=np.uint8)
-    for y in range(h):
-        rows.append(
-            _filter_row(flat[y], flat[y - 1] if y > 0 else zero, int(pick(y)), ch)
-        )
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            flat = sub.reshape(ph, pw * ch)
+            zero = np.zeros(pw * ch, dtype=np.uint8)
+            for y in range(ph):
+                rows.append(
+                    _filter_row(
+                        flat[y], flat[y - 1] if y > 0 else zero, int(pick(y)), ch
+                    )
+                )
+    else:
+        flat = a.reshape(h, w * ch)
+        zero = np.zeros(w * ch, dtype=np.uint8)
+        for y in range(h):
+            rows.append(
+                _filter_row(flat[y], flat[y - 1] if y > 0 else zero, int(pick(y)), ch)
+            )
     raw = zlib.compress(b"".join(rows), level)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
@@ -212,7 +256,7 @@ def encode_png(arr: np.ndarray, *, filters=0, level: int = 6) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_id, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_id, 0, 0, int(interlace))
     return (
         PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
     )
@@ -338,7 +382,7 @@ def parse_image_header(payload: bytes) -> dict | None:
 # Full from-scratch GIF87a/89a decode (LZW and all): the one entropy-
 # coded web format whose compression stage is hand-rollable, which is
 # what makes the engine's VIDEO leg (animated GIF frame sampling) real
-# rather than stubbed. Non-interlaced only; frames compose with
+# rather than stubbed. Interlaced row order supported; frames compose with
 # disposal "none/do not dispose" semantics (each frame paints over the
 # previous canvas).
 
@@ -500,8 +544,7 @@ def decode_gif(
                 -1, 3
             )
             pos += 3 * n
-        if iflags & 0x40:
-            raise ValueError("interlaced GIF not supported")
+        interlaced = bool(iflags & 0x40)
         if pal is None:
             raise ValueError("GIF image with no color table")
         min_code = payload[pos]
@@ -516,6 +559,17 @@ def decode_gif(
         if len(idx) < iw * ih:
             raise ValueError("GIF frame pixel data truncated")
         block = np.frombuffer(bytes(idx[: iw * ih]), np.uint8).reshape(ih, iw)
+        if interlaced:
+            # GIF89a appendix E: rows stored in four passes
+            # (every 8th from 0, every 8th from 4, every 4th from 2,
+            # every 2nd from 1) — scatter back to display order
+            out = np.empty_like(block)
+            sp = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                n = len(range(start, ih, step))
+                out[start::step] = block[sp : sp + n]
+                sp += n
+            block = out
         if int(block.max()) >= len(pal):
             raise ValueError("GIF index outside color table")
         before = canvas.copy() if disposal == 3 else None
@@ -549,12 +603,19 @@ def decode_gif(
     return arr, meta
 
 
-def encode_gif(frames: np.ndarray, palette: np.ndarray | None = None) -> bytes:
+def encode_gif(
+    frames: np.ndarray,
+    palette: np.ndarray | None = None,
+    *,
+    interlace: bool = False,
+) -> bytes:
     """(n_frames, H, W) uint8 palette INDICES -> animated GIF89a bytes.
 
     ``palette`` is (256, 3) uint8; default = grayscale identity (index i
     -> (i, i, i)), which makes decoded channel values equal the indices
-    — handy for closed-form oracles."""
+    — handy for closed-form oracles. ``interlace=True`` stores each
+    frame's rows in the GIF89a four-pass order (fixture twin for the
+    interlaced decode path)."""
     f = np.asarray(frames, dtype=np.uint8)
     if f.ndim == 2:
         f = f[None]
@@ -569,9 +630,15 @@ def encode_gif(frames: np.ndarray, palette: np.ndarray | None = None) -> bytes:
     out += palette.astype(np.uint8).tobytes()
     for k in range(n):
         out += b"\x21\xf9\x04\x04\x04\x00\x00\x00"  # GCE: delay 4cs
-        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        out.append(0x40 if interlace else 0x00)
+        frame = f[k]
+        if interlace:
+            frame = np.concatenate(
+                [frame[s::st] for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))]
+            )
         out.append(8)  # LZW min code size
-        out += _sub_blocks(_lzw_encode(f[k].tobytes(), 8))
+        out += _sub_blocks(_lzw_encode(frame.tobytes(), 8))
     out += b"\x3b"
     return bytes(out)
 

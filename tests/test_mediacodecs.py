@@ -53,14 +53,18 @@ def test_png_palette_decode():
     assert arr[1, 1].tolist() == [255, 0, 0]
 
 
-def test_png_rejects_interlaced_and_16bit():
+def test_png_rejects_mislabeled_interlace_and_16bit():
     good = ic.encode_png(np.zeros((3, 3, 3), np.uint8))
-    # flip the interlace byte inside IHDR (offset: sig 8 + len 4 + type 4
-    # + 12 data bytes = byte 28), then fix nothing — decoder must reject
-    # before CRC matters
+    # round 4: interlace is SUPPORTED now — but flipping the IHDR
+    # interlace byte on sequential data must fail the Adam7 length
+    # check, not decode garbage
     bad = bytearray(good)
     bad[8 + 8 + 12] = 1
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError, match="interlaced pixel data"):
+        ic.decode_png(bytes(bad))
+    bad = bytearray(good)
+    bad[8 + 8 + 12] = 2  # unknown interlace method
+    with pytest.raises(ValueError, match="interlace method"):
         ic.decode_png(bytes(bad))
     bad = bytearray(good)
     bad[8 + 8 + 8] = 16  # bit depth byte
@@ -411,3 +415,31 @@ def test_image_metadata_real_headers(spark):
     rows = mm.image_metadata(imgs, "png").orderBy("doc_id").collect()
     assert rows[0]["img_meta"]["format"] == "png"
     assert rows[0]["img_meta"]["width"] == (10, 13, 16)[1 % 3]
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7: every sub-image filtered independently; odd dims leave
+    some passes empty; gray/RGB/RGBA all scatter back exactly."""
+    rng = np.random.default_rng(21)
+    for shape in ((16, 16, 3), (13, 11), (9, 7, 4), (1, 1), (2, 3, 3)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        data = ic.encode_png(img, filters=lambda y: y % 5, interlace=True)
+        arr, meta = ic.decode_png(data)
+        want = img if img.ndim == 3 else img[..., None]
+        assert np.array_equal(arr, want), shape
+        # header says interlaced; non-interlaced twin decodes equal too
+        plain, _ = ic.decode_png(ic.encode_png(img))
+        assert np.array_equal(arr, plain)
+
+
+def test_gif_interlaced_rows_restored():
+    rng = np.random.default_rng(22)
+    frames = rng.integers(0, 256, (3, 13, 9), dtype=np.uint8)
+    inter = ic.encode_gif(frames, interlace=True)
+    plain = ic.encode_gif(frames)
+    ai, mi = ic.decode_gif(inter)
+    ap, _ = ic.decode_gif(plain)
+    assert np.array_equal(ai, ap)
+    assert mi["n_frames"] == 3
+    # identity palette -> channel 0 equals the original indices
+    assert np.array_equal(ai[:, :, :, 0], frames)
