@@ -111,3 +111,66 @@ def test_logprob_plan_has_preagg(spark):
     # an Aggregate on [_id, _tok] must appear below (after, textually)
     # the join in the optimized plan tree
     assert "Aggregate [_id" in plan[join_pos:]
+
+
+FIXTURE_V10 = "tests/fixtures/raquet_v10_table"
+
+
+def test_v10_generation_fixture_reads_and_decodes(spark):
+    """Cross-version guarantee: a COMMITTED 1.0-generation table (hash
+    recorded as free text, pre-1.1 sidecar) must keep reading and fully
+    decoding through the multi-generation reader — a format bump can't
+    silently orphan old tables."""
+    import os
+
+    from duckdb_raquet_spark import scan
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), FIXTURE_V10)
+    man = scan.read_manifest(spark, path)
+    # on-disk says 1.0; the one reader upgrades to the structured form
+    assert man["format_version"] == "1.0"
+    assert man["key"]["hash"]["fn"] == "xxhash64"
+    assert man["key"]["hash"]["legacy"].startswith("xxhash64(")
+    # full decode: every row, every column, values intact
+    df = scan.decode_blocks(scan.read_blocks(spark, path), man)
+    rows = df.orderBy("url").collect()
+    assert len(rows) == 40
+    langs = {r["lang"] for r in rows}
+    assert langs == {"en", "de", "fr"}
+    r0 = next(r for r in rows if r["url"] == "https://site0.example/p0")
+    assert r0["text"].startswith("text body 0 ")
+    assert bytes(r0["html"]) == bytes([0]) * 20
+    # point lookup goes through key math derived from the legacy hash
+    one = scan.point_lookup(spark, path, "https://site1.example/p11")
+    assert one.count() == 1
+
+
+def test_ivf_recall_at_10_pinned(spark):
+    """CI pin for the trained IVF quality claim: recall@10 vs exact
+    brute force must stay >= 0.9 on the sf0.01 embeddings, averaged
+    over several query vectors — centroid/k-means regressions fail
+    loudly instead of silently degrading ANN results."""
+    from duckdb_raquet_spark.functions import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where("vec_id in (0, 17, 99)").collect()
+    ]
+    assert len(queries) == 3
+    recalls = []
+    for qi, q in enumerate(queries):
+        exact = {
+            r["vec_id"]
+            for r in similarity.ann_bruteforce(
+                emb, "vec_id", "embedding", q, k=10
+            ).collect()
+        }
+        approx = {
+            r["vec_id"]
+            for r in similarity.ann_ivf(
+                emb, "vec_id", "embedding", q, k=10, n_probe=3
+            ).collect()
+        }
+        recalls.append(len(exact & approx) / 10.0)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
