@@ -431,18 +431,19 @@ def q_rt_rollup_ov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_img_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline over REAL images: render a deterministic PNG
-    per document (executor-side, row filter y%5 so every PNG unfilter
-    path runs), decode it with the from-scratch PNG codec, resize
-    (4x4 nearest-neighbor sample) and emit channel-mean features via
-    mapInPandas. The pixel pattern is closed-form in doc_id, so the
-    DECODED statistics have an exact SQL oracle — the oracle checks
-    real pixel math, not a hash-seeded stand-in."""
+    """Multimodal pipeline over REAL images in TWO formats: even docs
+    render PNG (row filter y%5 so every unfilter path runs), odd docs
+    lossless WebP (VP8L, palette/literal modes alternating) — both
+    decoded by the from-scratch codecs, resized (4x4 nearest-neighbor
+    sample) into channel-mean features via mapInPandas. The pixel
+    pattern is closed-form in doc_id and IDENTICAL across formats, so
+    one exact SQL oracle checks real pixel math through both
+    decoders."""
     from duckdb_raquet_spark.functions import multimodal as mm
 
     docs = _webtext(spark, sf_dir).select("doc_id")
-    imgs = mm.synth_png_column(docs, "doc_id", "png")
-    feats = mm.image_features(imgs, "doc_id", "png")
+    imgs = mm.synth_mixed_image_column(docs, "doc_id", "img")
+    feats = mm.image_features(imgs, "doc_id", "img")
     return feats.select(
         F.col("id").alias("doc_id"), "width", "height",
         F.round(F.element_at("features", 1) * 255).cast("int").alias("chan0"),

@@ -255,6 +255,22 @@ def synth_webp_bytes(key: int) -> bytes:
     return wc.encode_webp(arr, mode="palette" if key % 3 == 0 else "literal")
 
 
+def synth_mixed_image_column(
+    df: DataFrame, id_col: str, out_col: str = "img"
+) -> DataFrame:
+    """Append a mixed-format image column — even ids render PNG, odd
+    ids lossless WebP, SAME closed-form pixel pattern either way — so
+    one SQL oracle verifies BOTH from-scratch decoders through the
+    image pipeline."""
+    i = df.columns.index(id_col)
+
+    def cell(row):
+        k = int(row[i])
+        return synth_png_bytes(k) if k % 2 == 0 else synth_webp_bytes(k)
+
+    return _append_column(df, out_col, "binary", cell)
+
+
 def synth_webp_column(df: DataFrame, id_col: str, out_col: str = "webp") -> DataFrame:
     """Append a real lossless-WebP binary column rendered from the id —
     the webp twin of synth_png_column."""
