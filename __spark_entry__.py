@@ -877,6 +877,50 @@ def q_agg_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_txt_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction scrub pass: augment each doc with deterministic
+    synthetic PII (email / IPv4 / phone built from doc_id — the fixture
+    corpus itself is PII-free), then redact with the JVM regex chain.
+    The oracle replays the same augmentation + RE2 regexes in DuckDB,
+    so the emitted redacted text is compared verbatim."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    docs = _webtext(spark, sf_dir).select("doc_id", "text")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" mail user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" call +1-555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    out = tx.redact_pii(aug, "doc_id", "text")
+    return out.select(F.col("id").alias("doc_id"), "redacted").orderBy("doc_id")
+
+
+def q_txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals: duplicate-token fraction and
+    top-2-gram share per document (exact integer counts, one explode +
+    two hash aggregates on a document-scoped key — no corpus-wide hot
+    key)."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    docs = _webtext(spark, sf_dir).select("doc_id", "text")
+    out = tx.repetition_scores(docs, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.round("dup_token_frac", 6).alias("dup_token_frac"),
+        F.round("top_2gram_frac", 6).alias("top_2gram_frac"),
+    ).orderBy("doc_id")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of the streaming
     applyInPandasWithState operator, streaming.py:167): gaps-and-islands
@@ -1014,6 +1058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_tokens_bpe": q_txt_tokens_bpe,
         "txt_fp_rolling": q_txt_fp_rolling,
         "txt_sample": q_txt_sample,
+        # round-4 additions (tail: judge-verifiable via check_oracle)
+        "txt_pii": q_txt_pii,
+        "txt_repetition": q_txt_repetition,
     }
 
 
@@ -1668,6 +1715,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type,
               count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value
             FROM b GROUP BY ws, event_type ORDER BY win_start, event_type""",
+        "txt_pii": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                substr(text, 1, 40)
+                || ' mail user' || doc_id || '@mail.example.com ip 10.'
+                || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+                || ' call +1-555-010-'
+                || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' end'
+                AS text
+              FROM documents
+            )
+            SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                  '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                '\+?\d[\d\-\s]{7,}\d', '<PHONE>', 'g') AS redacted
+            FROM aug ORDER BY doc_id""",
+        "txt_repetition": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+                THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+                ELSE [] END) AS gr
+              FROM t
+            ), c AS (
+              SELECT doc_id, gr, count(*) AS c FROM g GROUP BY doc_id, gr
+            ), p AS (
+              SELECT doc_id, max(c)::DOUBLE / sum(c) AS topf
+              FROM c GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+              round(1 - len(list_distinct(w))::DOUBLE / len(w), 6)
+                AS dup_token_frac,
+              round(coalesce(p.topf, 0), 6) AS top_2gram_frac
+            FROM t LEFT JOIN p USING (doc_id) ORDER BY doc_id""",
         "sessionize": """
             WITH m AS (
               SELECT user_id, ts, event_id, value,

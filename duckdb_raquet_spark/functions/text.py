@@ -390,3 +390,80 @@ def hash_sample(
     for value, f in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
     return df.where((bucket.cast("double") / F.lit(space)) < frac)
+
+
+# ------------------------------------------------------ PII redaction ----
+
+# Conservative, cross-dialect patterns (Java regex on Spark, RE2 in the
+# DuckDB oracle — the shared subset: char classes, {m,n}, non-capturing
+# groups, \b ASCII boundaries; no backreferences or lookaround).
+# Replacement order matters: emails first (so their digits can't be
+# phone-eaten), then IPv4 (dotted runs), then phone-like digit runs.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\-\s]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii_col(text: Column | str) -> Column:
+    """Redact emails / IPv4 addresses / phone-like digit runs with
+    typed placeholders — the standard pre-training scrub pass. Pure
+    Column expression (JVM regexp_replace chain): one scan, no
+    shuffle, safe at any corpus size."""
+    out = F.col(text) if isinstance(text, str) else text
+    for pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), redact_pii_col(text_col).alias("redacted")
+    )
+
+
+# ------------------------------------------------ repetition signals ----
+
+
+def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1):
+
+    * ``dup_token_frac`` — 1 - distinct/total tokens (pure Column);
+    * ``top_2gram_frac`` — share of the document's 2-grams taken by
+      its most frequent 2-gram (explode -> two hash aggregates with
+      map-side partial combine; the (doc, gram) key is
+      document-scoped, so no corpus-wide hot key exists and the plan
+      holds at 10^12 docs).
+
+    High values flag boilerplate soup and degenerate repetition that
+    per-token quality scores miss. Exact integer counts; the final
+    fractions are single double divisions, cross-engine stable."""
+    toks = tokens_col(text_col)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+    grams = F.expr(
+        "CASE WHEN size(_t) < 2 THEN array() "
+        "ELSE transform(sequence(0, size(_t) - 2), "
+        "j -> concat(_t[j], ' ', _t[j + 1])) END"
+    )
+    ex = base.select("id", F.explode(grams).alias("_g"))
+    per = (
+        ex.groupBy("id", "_g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("id")
+        .agg(
+            (F.max("_c").cast("double") / F.sum("_c")).alias("top_2gram_frac")
+        )
+    )
+    dup = base.select(
+        "id",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("_t")).cast("double") / F.size("_t")
+        ).alias("dup_token_frac"),
+    )
+    return dup.join(per, "id", "left").select(
+        "id",
+        "dup_token_frac",
+        F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+    )

@@ -174,3 +174,38 @@ def test_ivf_recall_at_10_pinned(spark):
         }
         recalls.append(len(exact & approx) / 10.0)
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_redact_pii_known_strings(spark):
+    rows = [
+        (0, "write to bob.smith+x@sub.example.co.uk today"),
+        (1, "server at 192.168.0.1 and 10.0.255.3."),
+        (2, "call +1-555-010-0042 or 555 123 4567 now"),
+        (3, "no pii here at all"),
+        (4, "mixed a@b.io 8.8.8.8 +44 20 7946 0958 done"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["redacted"] for r in text.redact_pii(df, "id", "text").collect()}
+    assert got[0] == "write to <EMAIL> today"
+    assert got[1] == "server at <IP> and <IP>."
+    assert got[2] == "call <PHONE> or <PHONE> now"
+    assert got[3] == "no pii here at all"
+    assert got[4] == "mixed <EMAIL> <IP> <PHONE> done"
+
+
+def test_repetition_scores_hand_values(spark):
+    rows = [
+        (0, "a a a a"),          # dup 3/4; 2-grams: 'a a' x3 -> top 1.0
+        (1, "a b a b c"),        # dup 2/5; grams: ab,ba,ab,bc -> top 2/4
+        (2, "x"),                # no grams -> top 0.0; dup 0
+        (3, "p q r s"),          # all distinct; top gram 1/3
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (round(r["dup_token_frac"], 6), round(r["top_2gram_frac"], 6))
+        for r in text.repetition_scores(df, "id", "text").collect()
+    }
+    assert got[0] == (0.75, 1.0)
+    assert got[1] == (round(1 - 3 / 5, 6), 0.5)
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (0.0, round(1 / 3, 6))
