@@ -500,6 +500,8 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "ann_ivf",
         "txt_quality",
         "agg_lineitem_pricing",
+        "sessionize",
+        "txt_repetition",
     ):
         timed(timings, name, lambda n=name: force(qs[n](spark, sf_dir)))
 
