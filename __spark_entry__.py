@@ -604,7 +604,12 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine pairs; oracle = the same transitive closure as a recursive
     CTE. comp = smallest vec_id in the component (the canonical keeper)."""
     emb = _read(spark, sf_dir, "embeddings")
-    pairs = dedup.cosine_pairs(emb, "vec_id", "embedding", "label", 0.4)
+    # max_group=None: this oracle (recursive-CTE transitive closure) is
+    # defined over the ALL-PAIRS edge set, so the query must opt out of
+    # the library's hot-group chaining default to match it at any sf
+    pairs = dedup.cosine_pairs(
+        emb, "vec_id", "embedding", "label", 0.4, max_group=None
+    )
     comps = dedup.connected_components(pairs, "a", "b")
     return comps.select(F.col("id").alias("vec_id"), "comp").orderBy("vec_id")
 
@@ -729,7 +734,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
-    pairs = dedup.cosine_pairs(emb, "vec_id", "embedding", "label", 0.4)
+    # all-pairs oracle -> explicit opt-out of the chaining default
+    pairs = dedup.cosine_pairs(
+        emb, "vec_id", "embedding", "label", 0.4, max_group=None
+    )
     return pairs.select("a", "b")
 
 

@@ -495,7 +495,8 @@ def decode_gif(
     Graphic Control Extensions are honored: transparent pixels preserve
     the underlying canvas, disposal 2 restores the frame's region to
     the background color, disposal 3 restores the previous canvas.
-    Interlaced images raise ValueError. ``max_frames`` stops after N
+    Interlaced frames de-interlace to display row order.
+    ``max_frames`` stops after N
     composed frames (the single-image fast path skips the remaining
     LZW work)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):

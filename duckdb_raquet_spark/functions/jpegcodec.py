@@ -228,7 +228,7 @@ def _next_marker(payload: bytes, pos: int) -> int:
 
 
 def _decode_scan(
-    payload, pos, scan_comp, ss, se, ah, al, comps, coef, huff, qt, restart, dims
+    payload, pos, scan_comp, ss, se, ah, al, comps, coef, huff, restart, dims
 ):
     """Decode one scan's entropy data into the per-component zigzag
     coefficient buffers; returns the byte position after the scan."""
@@ -308,7 +308,6 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> map
     comps = None  # list of (cid, hsamp, vsamp, qid)
-    qid_of: dict[int, int] = {}
     w = h = 0
     restart = 0
     coef: dict[int, np.ndarray] = {}
@@ -319,8 +318,12 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker sync")
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
-        while payload[pos + 1] == 0xFF and pos + 2 <= len(payload):
+        # (bounds check FIRST — a payload ending in FF FF must fail as a
+        # truncated JPEG, not an IndexError)
+        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG (fill bytes run to EOF)")
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
@@ -354,7 +357,6 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
             for i in range(nc):
                 cid, samp, q = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 15, q))
-                qid_of[cid] = q
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -389,7 +391,6 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
                 comps,
                 coef,
                 huff,
-                qt,
                 restart,
                 dims,
             )
@@ -751,15 +752,19 @@ def _ac_refine_scan(blocks, ss, se, al) -> _ScanTokens:
             if a == 0:
                 run += 1
                 continue
-            if a > 1:
-                br.append(a & 1)
-                continue
-            # newly significant at this level
+            # any required ZRLs go out at the FIRST nonzero position
+            # (history or new), BEFORE buffering its correction bit —
+            # libjpeg's ordering; deferring them past a buffered
+            # history bit desyncs the decoder's bit interleaving
             while run > 15 and i <= eob:
                 flush_eob()
                 tk.sym(0xF0)
                 run -= 16
                 flush_br()
+            if a > 1:
+                br.append(a & 1)
+                continue
+            # newly significant at this level
             flush_eob()
             tk.sym((run << 4) | 1)
             tk.bits(1 if band[i] > 0 else 0, 1)

@@ -309,6 +309,14 @@ def image_features(
             ids, feats, ws, hs = [], [], [], []
             for i, p in zip(pdf[id_col], pdf[binary_col]):
                 if p is None:
+                    # a missing payload is as observable as an
+                    # undecodable one under 'mark'; raise/skip keep
+                    # the historical silent-drop for NULLs
+                    if on_error == "mark":
+                        ids.append(i)
+                        feats.append(None)
+                        ws.append(None)
+                        hs.append(None)
                     continue
                 try:
                     arr, meta = _decode_image_kernel(bytes(p), deterministic)

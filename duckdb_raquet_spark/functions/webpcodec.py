@@ -755,7 +755,6 @@ def _write_prefix_code(
     # RLE the length sequence into code-length symbols
     ops: list[tuple[int, int, int]] = []  # (symbol, extra_val, extra_bits)
     i = 0
-    prev = 8
     while i < alphabet_size:
         l = lengths[i]
         if l == 0:
@@ -782,7 +781,6 @@ def _write_prefix_code(
                 run += 1
             i += run
             ops.append((l, 0, 0))
-            prev = l
             run -= 1
             while run >= 3:
                 r = min(run, 6)

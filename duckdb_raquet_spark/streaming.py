@@ -280,24 +280,33 @@ def sessionize_batch(
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
 
-    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    # microsecond-exact epoch column, timezone-PROOF: for TIMESTAMP
+    # inputs unix_micros reads the instant directly; for TIMESTAMP_NTZ
+    # the wall-clock fields are composed arithmetically (interpreting
+    # the wall time as UTC, matching DuckDB's epoch_us on NTZ). A
+    # session-tz cast would shift differences by an hour across DST
+    # transitions and flip session splits.
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        us_col = F.expr(
+            f"cast(unix_date(cast(`{ts_col}` as date)) as bigint) * 86400000000"
+            f" + cast(extract(HOUR from `{ts_col}`) as bigint) * 3600000000"
+            f" + cast(extract(MINUTE from `{ts_col}`) as bigint) * 60000000"
+            f" + cast(extract(SECOND from `{ts_col}`) * 1000000 as bigint)"
+        )
+    else:
+        us_col = F.unix_micros(F.col(ts_col))
+    d = df.withColumn("_us", us_col)
+    order = [F.col("_us")] + ([F.col(order_col)] if order_col else [])
     w = Window.partitionBy(user_col).orderBy(*order)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev = F.lag(F.col(ts_col)).over(w)
-    # microsecond-exact gap test (unix_micros, not a seconds cast):
-    # integer math keeps the island numbering bit-identical to any
-    # other engine computing the same sessions (a seconds cast would
-    # truncate here but round in DuckDB's epoch()::BIGINT)
-    # (cast handles TIMESTAMP_NTZ inputs — unix_micros wants TIMESTAMP;
-    # the session tz is irrelevant to a difference)
-    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    prev = F.lag("_us").over(w)
     new_s = F.when(
-        prev.isNull()
-        | (us(F.col(ts_col)) - us(prev) > gap_seconds * 1_000_000),
+        prev.isNull() | (F.col("_us") - prev > gap_seconds * 1_000_000),
         F.lit(1),
     ).otherwise(F.lit(0))
-    g = df.withColumn("_sid", F.sum(new_s).over(run))
+    g = d.withColumn("_sid", F.sum(new_s).over(run))
     return (
         g.groupBy(user_col, "_sid")
         .agg(

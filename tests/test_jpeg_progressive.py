@@ -95,3 +95,52 @@ def test_arithmetic_and_lossless_still_rejected():
         data[i + 1] = marker
         with pytest.raises(NotImplementedError):
             jc.decode_jpeg(bytes(data))
+
+
+def test_ac_refine_token_torture():
+    """Coefficient-level torture for the AC refinement scan pair:
+    random sparse bands (long zero runs, history coefficients, newly
+    significant ones, EOB runs across blocks) must round-trip exactly
+    through _ac_first_scan(al=1) + _ac_refine_scan(al=0) vs the
+    decoder. Regression guard for the ZRL/correction-bit interleaving
+    (a deferred ZRL after a buffered history bit silently corrupted
+    coefficients)."""
+    rng = np.random.default_rng(99)
+    ss, se = 1, 63
+    for trial in range(25):
+        nblocks = int(rng.integers(1, 6))
+        zz = np.zeros((nblocks, 64), dtype=np.int32)
+        for b in range(nblocks):
+            for _ in range(int(rng.integers(0, 7))):
+                k = int(rng.integers(ss, se + 1))
+                zz[b, k] = int(rng.choice([-7, -5, -2, -1, 1, 2, 3, 9]))
+        # deliberately include the repro shape sometimes
+        if trial % 5 == 0 and nblocks > 0:
+            zz[0, :] = 0
+            zz[0, ss + 17] = 5
+            zz[0, ss + 18] = 1
+
+        def play(tk, dests, ah, al_):
+            syms = tk.syms
+            if syms:
+                bits_spec, vals, _codes = jc._fixed_huff(syms)
+                table = jc._huff_map(bits_spec, vals)
+                _, _, codes = jc._fixed_huff(syms)
+            else:
+                table, codes = {}, {}
+            bw = jc._BitWriter()
+            tk.write(bw, codes)
+            bw.flush()
+            r = jc._BitReader(bytes(bw.out) + b"\xff\xd9", 0)
+            eobrun = 0
+            for d in dests:
+                if ah == 0:
+                    eobrun = jc._ac_first(r, d, table, ss, se, al_, eobrun)
+                else:
+                    eobrun = jc._ac_refine(r, d, table, ss, se, al_, eobrun)
+
+        got = [np.zeros(64, dtype=np.int64) for _ in range(nblocks)]
+        play(jc._ac_first_scan(zz, ss, se, 1), got, 0, 1)
+        play(jc._ac_refine_scan(zz, ss, se, 0), got, 1, 0)
+        for b in range(nblocks):
+            assert list(got[b]) == list(zz[b]), (trial, b)

@@ -387,15 +387,21 @@ def test_image_features_on_error_mark(spark):
         b"\xff\xd8\xff\xc0" + _struct.pack(">H", 8 + 9)
         + bytes([8]) + _struct.pack(">HH", 4, 4) + bytes([3] + [0] * 8)
     )
-    rows = [(0, mm.synth_png_bytes(0)), (1, jpeg), (2, mm.synth_webp_bytes(2))]
+    rows = [
+        (0, mm.synth_png_bytes(0)),
+        (1, jpeg),
+        (2, mm.synth_webp_bytes(2)),
+        (3, None),  # missing payload is observable under 'mark' too
+    ]
     df = spark.createDataFrame(rows, "doc_id long, img binary")
     out = mm.image_features(df, "doc_id", "img", on_error="mark")
     got = {r["id"]: r for r in out.collect()}
-    assert sorted(got) == [0, 1, 2]
+    assert sorted(got) == [0, 1, 2, 3]
     assert got[1]["features"] is None and got[1]["width"] is None
+    assert got[3]["features"] is None
     assert got[0]["features"] is not None and got[2]["features"] is not None
     n_skipped = out.where("features IS NULL").count()
-    assert n_skipped == 1
+    assert n_skipped == 2
 
 
 def test_ivf_kmeans_empty_input(spark):

@@ -209,3 +209,38 @@ def test_repetition_scores_hand_values(spark):
     assert got[1] == (round(1 - 3 / 5, 6), 0.5)
     assert got[2] == (0.0, 0.0)
     assert got[3] == (0.0, round(1 / 3, 6))
+
+
+def test_sessionize_batch_dst_timezone_proof():
+    """TIMESTAMP_NTZ gap math must not shift across a DST transition
+    of the session timezone (code-review finding): two events 2h of
+    wall time apart straddling 2024-03-10 02:00 America/New_York must
+    split at gap=5400s and merge at gap=7200s regardless of tz."""
+    import datetime as dt
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    rows = [
+        (0, 1, dt.datetime(2024, 3, 10, 1, 30), 1.0),
+        (1, 1, dt.datetime(2024, 3, 10, 3, 30), 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    try:
+        n_split = streaming.sessionize_batch(
+            df, order_col="event_id", gap_seconds=5400
+        ).count()
+        n_merge = streaming.sessionize_batch(
+            df, order_col="event_id", gap_seconds=7200
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert n_split == 2  # a session-tz cast would see 1h and merge
+    assert n_merge == 1
