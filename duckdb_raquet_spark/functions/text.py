@@ -467,3 +467,48 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "dup_token_frac",
         F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
     )
+
+# --------------------------------------------- decontamination ----
+
+
+def ngram_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the number of
+    distinct word ``n``-grams it shares with an evaluation corpus
+    (Brown et al. 2020 §C / PaLM §F use 8-13-gram overlap). One row
+    per training doc: ``(id, n_hit, contaminated)``.
+
+    Plan shape at scale: the eval side is DISTINCT n-grams of a
+    benchmark suite — millions of rows, small enough that AQE
+    broadcasts it — so the corpus side streams map-side through a
+    broadcast hash join with no shuffle of the exploded corpus grams;
+    the only exchange is the per-doc count aggregate, keyed on the
+    (unskewed) document id, followed by a second broadcast-able join
+    back to the id spine for clean docs' zero rows."""
+    ev = eval_df.select(
+        F.explode_outer(
+            ngram_col(eval_text_col or text_col, n)
+        ).alias("_g")
+    ).where(F.col("_g").isNotNull()).distinct()
+    grams = (
+        df.select(F.col(id_col).alias("id"), ngram_col(text_col, n).alias("_gs"))
+        .select("id", F.explode("_gs").alias("_g"))
+        .distinct()
+    )
+    hits = (
+        grams.join(F.broadcast(ev), "_g")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    spine = df.select(F.col(id_col).alias("id"))
+    return spine.join(hits, "id", "left").select(
+        "id",
+        F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        (F.coalesce("n_hit", F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )

@@ -244,3 +244,29 @@ def test_sessionize_batch_dst_timezone_proof():
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert n_split == 2  # a session-tz cast would see 1h and merge
     assert n_merge == 1
+
+
+def test_ngram_decontaminate_hand_values(spark):
+    """Hand-built contamination: doc 1 shares the eval trigram
+    'a b c' (once, despite repeating it), doc 2 shares two distinct
+    eval trigrams, doc 3 shares none, doc 4 is too short for any
+    trigram."""
+    ev = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x a b c y a b c"),   # 'a b c' twice -> 1 distinct hit
+            (2, "a b c d q c d e"),   # 'a b c', 'b c d', 'c d e' = 3
+            (3, "p q r s t"),
+            (4, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: (r["n_hit"], r["contaminated"])
+        for r in text.ngram_decontaminate(
+            train, ev, "doc_id", "text", n=3
+        ).collect()
+    }
+    assert out == {1: (1, 1), 2: (3, 1), 3: (0, 0), 4: (0, 0)}
