@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 import duckdb_raquet_spark as drs
 from duckdb_raquet_spark import encode, scan
+from duckdb_raquet_spark import manifest as mf
 from duckdb_raquet_spark.functions import dedup, similarity, text as textfn
 
 EPOCH0 = 1704067200  # 2024-01-01 UTC
@@ -929,6 +930,39 @@ def q_txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_rt_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style time travel over the snapshot log: encode the
+    webtext table as 2 chunks (snapshot 0), append a derived extra
+    chunk (snapshot 1), then read AT snapshot 0 — the decode must
+    return exactly the original table, with the appended chunk's files
+    partition-pruned out of the scan. Oracle = the plain documents
+    table, i.e. the pre-append state."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/raquet_entry_tt_{tag}_v{drs.__version__}"
+    need = True
+    try:
+        if (
+            len(mf.read_snapshots(path, spark)) >= 2
+            and scan.read_manifest(spark, path).get("engine")
+            == f"duckdb_raquet_spark/{drs.__version__}"
+        ):
+            need = False
+    except Exception:
+        pass
+    if need:
+        df = _webtext(spark, sf_dir)
+        encode.encode_to_path(
+            spark, df, path, chunks=2, target_rows_per_block=512
+        )
+        extra = df.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        ).withColumn("url", F.concat(F.col("url"), F.lit("-v2")))
+        encode.append_chunk(spark, extra, path)
+    blocks = scan.read_blocks_at(spark, path, snapshot_id=0)
+    man = scan.read_manifest(spark, path)
+    return scan.decode_blocks(blocks, man, ["doc_id", "text", "lang"])
+
+
 def q_txt_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (Brown et al. 2020 §C): per training
     doc, count of distinct word n-grams shared with an eval corpus
@@ -1037,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_pii": q_txt_pii,
         "txt_repetition": q_txt_repetition,
         "txt_decontam": q_txt_decontam,
+        "rt_time_travel": q_rt_time_travel,
         # --- core raquet-analog scan/encode surface ---
         "rt_roundtrip": q_rt_roundtrip,
         "rt_datasource": q_rt_datasource,
@@ -1058,7 +1093,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enc_metrics": q_enc_metrics,
         "key_math": q_key_math,
         "key_children": q_key_children,
-        "key_kring": q_key_kring,
         "txt_tokens": q_txt_tokens,
         "txt_gopher": q_txt_gopher,
         "txt_logprob": q_txt_logprob,
@@ -1080,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scored siblings (still judge-checkable via check_oracle.py) ---
         "rt_pinned_codecs": q_rt_pinned_codecs,
         "rt_pinned_zstd": q_rt_pinned_zstd,
+        "key_kring": q_key_kring,
         "rt_mask_lang": q_rt_mask_lang,
         "rt_mask_eq": q_rt_mask_eq,
         "rt_maponly": q_rt_maponly,
@@ -1359,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
     _ensure_driver_fixture()
     return {
         "rt_roundtrip": "SELECT doc_id, text, lang FROM documents",
+        "rt_time_travel": "SELECT doc_id, text, lang FROM documents",
         "rt_pinned_codecs": "SELECT doc_id, text, lang FROM documents",
         "rt_pinned_zstd": "SELECT doc_id, text, lang FROM documents",
         "rt_maponly": "SELECT doc_id, text, lang FROM documents",

@@ -580,12 +580,17 @@ def _data_path(path: str) -> str:
     return os.path.join(path, "data")
 
 
-def _aggregate_written(spark: SparkSession, path: str) -> tuple[dict, dict]:
+def _aggregate_written(
+    spark: SparkSession, path: str, visible_chunks: list[int] | None = None
+) -> tuple[dict, dict]:
     """Single columnar pass over stats/codecs (payloads pruned) to
     finalize the manifest after data commit: grouping by the codecs JSON
     (few distinct combos) yields totals and the codec histogram from one
-    job."""
+    job. ``visible_chunks`` restricts the pass to a snapshot's chunk set
+    (partition-pruned) so rolled-back chunk dirs never pollute totals."""
     df = spark.read.parquet(_data_path(path))
+    if visible_chunks is not None:
+        df = df.where(F.col("chunk").isin([int(c) for c in visible_chunks]))
     rows = (
         df.where(F.col(BLOCK) != bk.MANIFEST_BLOCK)
         .groupBy("codecs")
@@ -608,6 +613,36 @@ def _aggregate_written(spark: SparkSession, path: str) -> tuple[dict, dict]:
             h = hist.setdefault(col, {})
             h[codec] = h.get(codec, 0) + r["num_blocks"]
     return totals, hist
+
+
+def _commit_snapshot(
+    spark: SparkSession,
+    path: str,
+    *,
+    chunks: list[int],
+    op: str,
+    final: dict,
+    extra: dict | None = None,
+) -> dict:
+    """Append the next snapshot to the table's `_snapshots/` log
+    (Iceberg-style history: every commit names its visible chunk set).
+    Idempotent against re-finalization: a resumed encode that re-runs
+    after completion sees an identical current snapshot and writes
+    nothing."""
+    cur = mf.current_snapshot(path, spark)
+    if cur is not None and cur["chunks"] == sorted(chunks) and cur["op"] == op:
+        return cur
+    snap = mf.make_snapshot(
+        snapshot_id=(cur["snapshot_id"] + 1) if cur else 0,
+        chunks=chunks,
+        op=op,
+        parent_id=cur["snapshot_id"] if cur else None,
+        num_rows=final.get("num_rows"),
+        enc_bytes=final.get("enc_bytes"),
+        extra=extra,
+    )
+    mf.write_snapshot(path, snap, spark)
+    return snap
 
 
 def _append_manifest_row(
@@ -766,6 +801,10 @@ def encode_to_path(
             },
             spark,
         )
+        _commit_snapshot(
+            spark, path, chunks=[0], op="encode", final=final,
+            extra={"layout": "flat"},
+        )
         return final
 
     # chunked mode: each chunk is an idempotent overwrite of its own
@@ -841,6 +880,9 @@ def encode_to_path(
         mode="overwrite",
     )
     mf.write_sidecar(path, final, spark)
+    _commit_snapshot(
+        spark, path, chunks=list(range(chunks)), op="encode", final=final
+    )
     return final
 
 
@@ -883,6 +925,12 @@ def append_chunk(
         )
     done = mf.read_chunk_lineage(path, spark)
     k = max(done, default=-1) + 1
+    # visible set comes from the snapshot log when present (a rollback
+    # leaves orphaned chunk dirs on disk that must not rejoin the table
+    # through an append's re-finalization); pre-log tables see all
+    # lineage chunks, exactly the old behavior
+    cur_snap = mf.current_snapshot(path, spark)
+    visible = cur_snap["chunks"] if cur_snap else sorted(done)
     key = man["key"]
     n = df.count()
     t0 = time.time()
@@ -910,7 +958,9 @@ def append_chunk(
         )
     part = os.path.join(_data_path(path), f"chunk={k}")
     blocks.sortWithinPartitions(BLOCK, SALT).write.mode("overwrite").parquet(part)
-    totals, hist = _aggregate_written(spark, path)
+    totals, hist = _aggregate_written(
+        spark, path, visible_chunks=list(visible) + [k]
+    )
     chunk_man["lineage_chunks"] = k + 1
     final = mf.finalize_manifest(chunk_man, codec_histogram=hist, **totals)
     _append_manifest_row(
@@ -946,5 +996,53 @@ def append_chunk(
             "appended": True,
         },
         spark,
+    )
+    _commit_snapshot(
+        spark, path, chunks=list(visible) + [k], op="append", final=final
+    )
+    return final
+
+
+def rollback_to_snapshot(spark: SparkSession, path: str, snapshot_id: int) -> dict:
+    """Roll a chunked table back to an earlier snapshot's visible chunk
+    set (Iceberg rollback semantics: a NEW snapshot is committed whose
+    chunk set equals the target's — history is append-only, nothing is
+    deleted, and the rolled-back chunks' directories stay on disk,
+    unreferenced). The manifest row and sidecar are re-finalized over
+    the target's chunks only, so totals/codec histogram reflect the
+    restored table; a later append_chunk picks a fresh chunk id and
+    aggregates the visible set, never resurrecting orphans."""
+    snaps = mf.read_snapshots(path, spark)
+    if snapshot_id not in snaps:
+        raise KeyError(
+            f"no snapshot {snapshot_id} at {path}; have {sorted(snaps)}"
+        )
+    target = snaps[snapshot_id]
+    if target.get("layout") == "flat":
+        raise ValueError("flat tables have a single snapshot; nothing to roll back")
+    man = mf.read_sidecar(path, spark)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest at {path}")
+    totals, hist = _aggregate_written(
+        spark, path, visible_chunks=target["chunks"]
+    )
+    man["lineage_chunks"] = max(target["chunks"]) + 1
+    final = mf.finalize_manifest(man, codec_histogram=hist, **totals)
+    _append_manifest_row(
+        spark,
+        path,
+        final,
+        man["columns"],
+        target=os.path.join(_data_path(path), "chunk=-1"),
+        mode="overwrite",
+    )
+    mf.write_sidecar(path, final, spark)
+    _commit_snapshot(
+        spark,
+        path,
+        chunks=list(target["chunks"]),
+        op="rollback",
+        final=final,
+        extra={"rolled_back_to": snapshot_id},
     )
     return final

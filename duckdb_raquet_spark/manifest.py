@@ -203,3 +203,84 @@ def read_chunk_lineage(path: str, spark=None) -> dict[int, dict]:
         if fn.startswith("chunk-") and fn.endswith(".json"):
             out[int(fn[6:-5])] = json.loads(fsio.read_bytes(spark, d, fn))
     return out
+
+
+# ------------------------------------------------------- snapshot log ----
+#
+# Iceberg-style table history over the chunked layout: every commit
+# (initial encode, append_chunk, rollback) writes an immutable
+# `_snapshots/snap-<n>.json` naming the set of chunk ids visible at
+# that snapshot. Chunk ids are never reused, chunk directories are
+# never rewritten after commit, so an old snapshot's file set stays
+# readable forever — time travel is a partition filter, not a copy.
+# Tables written before the log existed (e.g. the committed
+# 1.0-generation fixture) simply have no `_snapshots/` dir; readers
+# fall back to "everything visible".
+
+
+def snapshots_dir(path: str) -> str:
+    return os.path.join(path, "_snapshots")
+
+
+def write_snapshot(path: str, snap: dict, spark=None) -> None:
+    from . import fsio
+
+    fsio.write_bytes(
+        spark,
+        snapshots_dir(path),
+        f"snap-{snap['snapshot_id']:05d}.json",
+        json.dumps(snap, sort_keys=True).encode(),
+    )
+
+
+def read_snapshots(path: str, spark=None) -> dict[int, dict]:
+    from . import fsio
+
+    d = snapshots_dir(path)
+    out: dict[int, dict] = {}
+    try:
+        names = fsio.list_files(spark, d)
+    except Exception:
+        return out
+    for fn in names:
+        if fn.startswith("snap-") and fn.endswith(".json"):
+            s = json.loads(fsio.read_bytes(spark, d, fn))
+            out[int(s["snapshot_id"])] = s
+    return out
+
+
+def current_snapshot(path: str, spark=None) -> dict | None:
+    snaps = read_snapshots(path, spark)
+    return snaps[max(snaps)] if snaps else None
+
+
+def snapshot_as_of(path: str, unix_ts: float, spark=None) -> dict | None:
+    """Latest snapshot committed at or before ``unix_ts`` (Iceberg's
+    FOR TIMESTAMP AS OF)."""
+    snaps = read_snapshots(path, spark)
+    live = [s for s in snaps.values() if s["committed_unix"] <= unix_ts]
+    return max(live, key=lambda s: s["snapshot_id"]) if live else None
+
+
+def make_snapshot(
+    *,
+    snapshot_id: int,
+    chunks: list[int],
+    op: str,
+    parent_id: int | None,
+    num_rows: int | None = None,
+    enc_bytes: int | None = None,
+    extra: dict | None = None,
+) -> dict:
+    snap = {
+        "snapshot_id": snapshot_id,
+        "parent_id": parent_id,
+        "op": op,
+        "chunks": sorted(chunks),
+        "committed_unix": time.time(),
+        "num_rows": num_rows,
+        "enc_bytes": enc_bytes,
+    }
+    if extra:
+        snap.update(extra)
+    return snap

@@ -54,6 +54,71 @@ def read_blocks(spark: SparkSession, path: str) -> DataFrame:
     return read_all(spark, path).where(F.col(BLOCK) != bk.MANIFEST_BLOCK)
 
 
+def read_blocks_at(
+    spark: SparkSession,
+    path: str,
+    *,
+    snapshot_id: int | None = None,
+    as_of_unix: float | None = None,
+) -> DataFrame:
+    """Time-travel read (Iceberg VERSION/TIMESTAMP AS OF analog): data
+    rows visible at a snapshot of the `_snapshots/` log. Exactly one of
+    ``snapshot_id`` / ``as_of_unix`` selects the snapshot; neither means
+    the current snapshot. The visibility filter is on the ``chunk``
+    partition column, so Spark prunes whole chunk directories at
+    planning time — an old snapshot's scan reads only its own files,
+    no matter how many chunks were appended since. Tables from before
+    the snapshot log (no `_snapshots/` dir) read fully, as always."""
+    snaps = mf.read_snapshots(path, spark)
+    if not snaps:
+        if snapshot_id is not None or as_of_unix is not None:
+            raise FileNotFoundError(f"no snapshot log at {path}")
+        return read_blocks(spark, path)
+    if snapshot_id is not None and as_of_unix is not None:
+        raise ValueError("pass snapshot_id OR as_of_unix, not both")
+    if snapshot_id is not None:
+        if snapshot_id not in snaps:
+            raise KeyError(
+                f"no snapshot {snapshot_id} at {path}; have {sorted(snaps)}"
+            )
+        snap = snaps[snapshot_id]
+    elif as_of_unix is not None:
+        snap = mf.snapshot_as_of(path, as_of_unix, spark)
+        if snap is None:
+            raise KeyError(f"no snapshot at or before {as_of_unix} in {path}")
+    else:
+        snap = snaps[max(snaps)]
+    if snap.get("layout") == "flat":
+        return read_blocks(spark, path)
+    return read_blocks(spark, path).where(
+        F.col("chunk").isin([int(c) for c in snap["chunks"]])
+    )
+
+
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """The snapshot log as a DataFrame (Iceberg's `table.history()`):
+    one row per snapshot — id, parent, op, chunk count, committed ts,
+    rows/bytes."""
+    snaps = mf.read_snapshots(path, spark)
+    rows = [
+        (
+            int(s["snapshot_id"]),
+            s.get("parent_id"),
+            s["op"],
+            len(s["chunks"]),
+            float(s["committed_unix"]),
+            s.get("num_rows"),
+            s.get("enc_bytes"),
+        )
+        for _, s in sorted(snaps.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, parent_id long, op string, n_chunks int, "
+        "committed_unix double, num_rows long, enc_bytes long",
+    )
+
+
 def read_manifest(spark: SparkSession, path: str) -> dict:
     """Manifest dict — read_raquet_metadata analog (:89-100). Prefers the
     sidecar (local FS directly, object stores via the Hadoop FileSystem);

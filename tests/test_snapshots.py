@@ -1,0 +1,157 @@
+"""Snapshot log + time travel (Iceberg VERSION/TIMESTAMP AS OF analog):
+every commit (encode, append, rollback) writes an immutable
+`_snapshots/snap-<n>.json` naming its visible chunk set; reads at a
+snapshot are a partition filter on `chunk`, so old versions stay
+readable without copying data."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_raquet_spark import encode, manifest as mf, scan, synth
+
+
+def _decode_urls(blocks, man):
+    return sorted(
+        r["url"] for r in scan.decode_blocks(blocks, man, ["url"]).collect()
+    )
+
+
+def _urls_of(df):
+    return sorted(r["url"] for r in df.select("url").collect())
+
+
+@pytest.fixture(scope="module")
+def tt_table(spark, tmp_path_factory):
+    """Chunked table: encode 300 rows in 2 chunks, append 60 more."""
+    path = str(tmp_path_factory.mktemp("snap") / "tbl")
+    df = synth.synth_webtext(spark, 300, num_partitions=4)
+    encode.encode_to_path(
+        spark, df, path, chunks=2, target_rows_per_block=64
+    )
+    extra = synth.synth_webtext(spark, 60, num_partitions=2, start=1_000_000)
+    encode.append_chunk(spark, extra, path)
+    return path
+
+
+def test_snapshot_log_written(spark, tt_table):
+    snaps = mf.read_snapshots(tt_table, spark)
+    assert sorted(snaps) == [0, 1]
+    assert snaps[0]["op"] == "encode" and snaps[0]["chunks"] == [0, 1]
+    assert snaps[1]["op"] == "append" and snaps[1]["chunks"] == [0, 1, 2]
+    assert snaps[1]["parent_id"] == 0
+    assert snaps[1]["committed_unix"] >= snaps[0]["committed_unix"]
+    assert snaps[1]["num_rows"] == 360
+
+
+def test_time_travel_by_id_and_timestamp(spark, tt_table):
+    man = scan.read_manifest(spark, tt_table)
+    base = _urls_of(synth.synth_webtext(spark, 300, num_partitions=4))
+    extra = _urls_of(
+        synth.synth_webtext(spark, 60, num_partitions=2, start=1_000_000)
+    )
+    old = scan.read_blocks_at(spark, tt_table, snapshot_id=0)
+    cur = scan.read_blocks_at(spark, tt_table)
+    assert _decode_urls(old, man) == base
+    assert _decode_urls(cur, man) == sorted(base + extra)
+    snaps = mf.read_snapshots(tt_table, spark)
+    asof = scan.read_blocks_at(
+        spark, tt_table, as_of_unix=snaps[0]["committed_unix"]
+    )
+    assert _decode_urls(asof, man) == base
+    with pytest.raises(KeyError):
+        scan.read_blocks_at(spark, tt_table, snapshot_id=99)
+    with pytest.raises(KeyError):
+        scan.read_blocks_at(
+            spark, tt_table, as_of_unix=snaps[0]["committed_unix"] - 1
+        )
+
+
+def test_time_travel_prunes_partitions(spark, tt_table):
+    """The snapshot filter must reach the scan as a partition filter:
+    a snapshot-0 read touches only chunk=0/1 files."""
+    old = scan.read_blocks_at(spark, tt_table, snapshot_id=0)
+    files = {
+        os.path.basename(os.path.dirname(r[0]))
+        for r in old.select(F.input_file_name()).distinct().collect()
+    }
+    assert files == {"chunk=0", "chunk=1"}
+
+
+def test_table_history(spark, tt_table):
+    h = scan.table_history(spark, tt_table).orderBy("snapshot_id").collect()
+    assert [r["op"] for r in h] == ["encode", "append"]
+    assert h[1]["n_chunks"] == 3
+
+
+def test_rollback_and_append_after(spark, tt_table, tmp_path):
+    """Rollback re-finalizes the manifest over the target's chunks and
+    appends a rollback snapshot; a later append skips the orphaned
+    chunk dir entirely."""
+    path = str(tmp_path / "tbl")
+    shutil.copytree(tt_table, path)
+    pre = scan.read_manifest(spark, path)
+    final = encode.rollback_to_snapshot(spark, path, 0)
+    assert final["num_rows"] == 300
+    assert final["enc_bytes"] < pre["enc_bytes"]
+    man = scan.read_manifest(spark, path)
+    assert man["num_rows"] == 300
+    base = _urls_of(synth.synth_webtext(spark, 300, num_partitions=4))
+    cur = scan.read_blocks_at(spark, path)
+    assert _decode_urls(cur, man) == base
+    snaps = mf.read_snapshots(path, spark)
+    assert snaps[2]["op"] == "rollback"
+    assert snaps[2]["chunks"] == [0, 1]
+    assert snaps[2]["rolled_back_to"] == 0
+
+    # append after rollback: fresh chunk id, orphan chunk 2 stays out
+    extra = synth.synth_webtext(spark, 10, num_partitions=1, start=2_000_000)
+    fin2 = encode.append_chunk(spark, extra, path)
+    assert fin2["num_rows"] == 310
+    snaps = mf.read_snapshots(path, spark)
+    assert snaps[3]["chunks"] == [0, 1, 3]
+    man2 = scan.read_manifest(spark, path)
+    got = _decode_urls(scan.read_blocks_at(spark, path), man2)
+    extra2 = _urls_of(
+        synth.synth_webtext(spark, 10, num_partitions=1, start=2_000_000)
+    )
+    assert got == sorted(base + extra2)
+
+
+def test_flat_table_snapshot(spark, tmp_path):
+    path = str(tmp_path / "flat")
+    df = synth.synth_webtext(spark, 80, num_partitions=2)
+    encode.encode_to_path(spark, df, path, target_rows_per_block=64)
+    snaps = mf.read_snapshots(path, spark)
+    assert sorted(snaps) == [0]
+    assert snaps[0]["layout"] == "flat"
+    man = scan.read_manifest(spark, path)
+    got = _decode_urls(scan.read_blocks_at(spark, path, snapshot_id=0), man)
+    assert got == _urls_of(df)
+    with pytest.raises(ValueError):
+        encode.rollback_to_snapshot(spark, path, 0)
+
+
+def test_pre_log_table_reads_fully(spark):
+    """Tables written before the snapshot log (the committed
+    1.0-generation fixture) read unchanged; explicit time travel on
+    them is a clear error."""
+    fx = os.path.join(os.path.dirname(__file__), "fixtures", "raquet_v10_table")
+    man = scan.read_manifest(spark, fx)
+    n = scan.read_blocks_at(spark, fx).count()
+    assert n == scan.read_blocks(spark, fx).count() and n > 0
+    assert man is not None
+    with pytest.raises(FileNotFoundError):
+        scan.read_blocks_at(spark, fx, snapshot_id=0)
+
+
+def test_resume_rerun_does_not_duplicate_snapshot(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = synth.synth_webtext(spark, 120, num_partitions=2)
+    encode.encode_to_path(spark, df, path, chunks=2, target_rows_per_block=64)
+    encode.encode_to_path(
+        spark, df, path, chunks=2, resume=True, target_rows_per_block=64
+    )
+    assert sorted(mf.read_snapshots(path, spark)) == [0]
