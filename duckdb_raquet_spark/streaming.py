@@ -26,6 +26,7 @@ from __future__ import annotations
 import time
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from . import encode as enc
 from . import manifest as mf
@@ -84,7 +85,21 @@ def encode_stream(
         blocks.sortWithinPartitions(enc.BLOCK, enc.SALT).write.mode(
             "overwrite"
         ).parquet(part)
-        totals, hist = enc._aggregate_written(spark, path)
+        # visibility from the snapshot log (a replayed batch after a
+        # checkpoint restart overwrites its own chunk dir and must not
+        # double-count it; a rollback's orphans must stay out)
+        cur = mf.current_snapshot(path, spark)
+        if cur is not None:
+            visible = sorted(set(cur["chunks"]) | {batch_id})
+        else:
+            # pre-log table (or very first batch): everything committed
+            # so far, from lineage, plus this batch
+            visible = sorted(
+                set(mf.read_chunk_lineage(path, spark)) | {batch_id}
+            )
+        totals, hist = enc._aggregate_written(
+            spark, path, visible_chunks=visible
+        )
         final = mf.finalize_manifest(man, codec_histogram=hist, **totals)
         final["lineage_chunks"] = batch_id + 1
         enc._append_manifest_row(
@@ -96,18 +111,36 @@ def encode_stream(
             mode="overwrite",
         )
         mf.write_sidecar(path, final, spark)
+        # lineage records THIS batch's bytes (the finalized manifest
+        # carries whole-table totals), matching encode/append lineage
+        crow = (
+            spark.read.parquet(part)
+            .agg(
+                F.sum("stats.raw_bytes").alias("raw"),
+                F.sum("stats.enc_bytes").alias("enc"),
+            )
+            .collect()[0]
+        )
         mf.write_chunk_lineage(
             path,
             batch_id,
             {
                 "chunk": batch_id,
                 "rows": n,
-                "raw_bytes": final["raw_bytes"],
-                "enc_bytes": final["enc_bytes"],
+                "raw_bytes": int(crow["raw"] or 0),
+                "enc_bytes": int(crow["enc"] or 0),
                 "wall_seconds": round(time.time() - t0, 3),
                 "streaming": True,
             },
             spark,
+        )
+        enc._commit_snapshot(
+            spark,
+            path,
+            chunks=visible,
+            op="append",
+            final=final,
+            extra={"streaming_batch": batch_id},
         )
 
     writer = stream_df.writeStream.foreachBatch(process_batch).outputMode("append")

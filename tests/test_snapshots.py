@@ -155,3 +155,43 @@ def test_resume_rerun_does_not_duplicate_snapshot(spark, tmp_path):
         spark, df, path, chunks=2, resume=True, target_rows_per_block=64
     )
     assert sorted(mf.read_snapshots(path, spark)) == [0]
+
+
+def test_streaming_batches_write_snapshots(spark, tmp_path):
+    """Each micro-batch commit appends a snapshot, so streaming ingest
+    gets time travel for free: reading at snapshot k sees exactly the
+    first k+1 batches."""
+    from duckdb_raquet_spark import streaming
+
+    src = str(tmp_path / "src")
+    synth.synth_webtext(spark, 150, num_partitions=3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "stream_enc")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming.encode_stream(
+        stream,
+        out,
+        resolution=3,
+        ts_origin=1704067200,
+        bucket_seconds=7 * 86400,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    snaps = mf.read_snapshots(out, spark)
+    assert len(snaps) == 3
+    assert all(s["op"] == "append" for s in snaps.values())
+    assert snaps[max(snaps)]["num_rows"] == 150
+    assert len(snaps[max(snaps)]["chunks"]) == 3
+    man = scan.read_manifest(spark, out)
+    first = scan.read_blocks_at(spark, out, snapshot_id=0)
+    n_first = scan.decode_blocks(first, man, ["url"]).count()
+    assert 0 < n_first < 150
+    cur = scan.read_blocks_at(spark, out)
+    assert scan.decode_blocks(cur, man, ["url"]).count() == 150
+    # per-batch lineage bytes sum to the manifest's whole-table totals
+    lin = mf.read_chunk_lineage(out, spark)
+    assert sum(r["enc_bytes"] for r in lin.values()) == man["enc_bytes"]

@@ -132,6 +132,45 @@ def main() -> None:
         )
     )
 
+    # 6. decontamination: eval-gram side broadcast (corpus side streams
+    #    through the join without a raw-text shuffle)
+    p = formatted(qs["txt_decontam"](spark, args.sf_dir))
+    sections.append(
+        (
+            "txt_decontam",
+            p,
+            [("eval grams broadcast", "BroadcastHashJoin" in p)],
+        )
+    )
+
+    # 7. time travel: the snapshot's chunk set prunes whole partition
+    #    directories at planning time (PartitionFilters, not a
+    #    post-scan Filter)
+    tt_path = f"/tmp/raquet_audit_tt_{os.path.basename(args.sf_dir)}"
+    if not os.path.isdir(tt_path):
+        small = synth.synth_webtext(spark, 400, num_partitions=2)
+        encode.encode_to_path(
+            spark, small, tt_path, chunks=2, target_rows_per_block=128
+        )
+        encode.append_chunk(
+            spark,
+            synth.synth_webtext(spark, 100, num_partitions=1, start=900_000),
+            tt_path,
+        )
+    p = formatted(scan.read_blocks_at(spark, tt_path, snapshot_id=0))
+    sections.append(
+        (
+            "rt_time_travel",
+            p,
+            [
+                (
+                    "chunk partition pruned",
+                    bool(re.search(r"PartitionFilters: \[.*chunk.*IN", p)),
+                ),
+            ],
+        )
+    )
+
     lines = ["# Plan audit (auto-generated by tools/plan_audit.py)", ""]
     failures = 0
     for title, plan, checks in sections:
