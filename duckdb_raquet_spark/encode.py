@@ -1046,3 +1046,52 @@ def rollback_to_snapshot(spark: SparkSession, path: str, snapshot_id: int) -> di
         extra={"rolled_back_to": snapshot_id},
     )
     return final
+
+
+def expire_snapshots(
+    spark: SparkSession,
+    path: str,
+    *,
+    keep_last: int = 1,
+    delete_orphan_chunks: bool = True,
+) -> dict:
+    """Iceberg ``expire_snapshots`` + ``remove_orphan_files`` analog:
+    retain the newest ``keep_last`` snapshots, delete the older
+    snapshot files, and (optionally) delete chunk directories no
+    retained snapshot references — the physical reclamation step after
+    rollbacks/compaction at 100 TB, where orphaned chunks are real
+    storage. Lineage records are kept for ALL chunks, expired or not:
+    they are the historical metrics log, and ``append_chunk`` derives
+    the next chunk id from them, so ids are never reused even after a
+    chunk's data is reclaimed."""
+    from . import fsio
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    snaps = mf.read_snapshots(path, spark)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshot log at {path}")
+    ids = sorted(snaps)
+    keep_ids = ids[-keep_last:]
+    expired = ids[: -keep_last] if len(ids) > keep_last else []
+    retained_chunks: set[int] = set()
+    for i in keep_ids:
+        retained_chunks.update(int(c) for c in snaps[i]["chunks"])
+    for i in expired:
+        fsio.delete_file(
+            spark, mf.snapshots_dir(path), f"snap-{i:05d}.json"
+        )
+    removed_chunks: list[int] = []
+    if delete_orphan_chunks:
+        import glob as _glob
+
+        for d in _glob.glob(os.path.join(_data_path(path), "chunk=*")):
+            c = int(os.path.basename(d).split("=", 1)[1])
+            if c >= 0 and c not in retained_chunks:
+                fsio.delete_dir(spark, d)
+                removed_chunks.append(c)
+    return {
+        "retained_snapshots": keep_ids,
+        "expired_snapshots": expired,
+        "removed_chunks": sorted(removed_chunks),
+    }

@@ -99,6 +99,19 @@ def delete_dir(spark, dir_uri: str) -> None:
         fs.delete(jdir, True)
 
 
+def delete_file(spark, dir_uri: str, filename: str) -> None:
+    if not is_remote(dir_uri):
+        try:
+            os.remove(os.path.join(dir_uri, filename))
+        except FileNotFoundError:
+            pass
+        return
+    jvm, fs, _ = _fs(spark, dir_uri)
+    p = jvm.org.apache.hadoop.fs.Path(dir_uri.rstrip("/") + "/" + filename)
+    if fs.exists(p):
+        fs.delete(p, False)
+
+
 def list_files(spark, dir_uri: str) -> list[str]:
     """Basenames of plain files directly under ``dir_uri`` (sorted)."""
     if not is_remote(dir_uri):

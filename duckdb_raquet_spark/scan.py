@@ -95,6 +95,38 @@ def read_blocks_at(
     )
 
 
+def read_appended_between(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Incremental (CDC-style) read: the block rows ADDED after
+    ``from_snapshot_id`` and visible at ``to_snapshot_id`` (default:
+    current). Chunks are immutable and ids never reused, so the delta
+    is exactly the chunk-set difference — an incremental consumer
+    (an index refresher, a downstream aggregation) scans only the new
+    chunks' files, partition-pruned, no matter how large the table
+    has grown."""
+    snaps = mf.read_snapshots(path, spark)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshot log at {path}")
+    if from_snapshot_id not in snaps:
+        raise KeyError(f"no snapshot {from_snapshot_id} at {path}")
+    to_id = max(snaps) if to_snapshot_id is None else to_snapshot_id
+    if to_id not in snaps:
+        raise KeyError(f"no snapshot {to_id} at {path}")
+    new_chunks = sorted(
+        set(snaps[to_id]["chunks"]) - set(snaps[from_snapshot_id]["chunks"])
+    )
+    if not new_chunks:
+        # no delta (also the flat-layout case, which has no chunk column)
+        return read_blocks(spark, path).where(F.lit(False))
+    return read_blocks(spark, path).where(
+        F.col("chunk").isin([int(c) for c in new_chunks])
+    )
+
+
 def table_history(spark: SparkSession, path: str) -> DataFrame:
     """The snapshot log as a DataFrame (Iceberg's `table.history()`):
     one row per snapshot — id, parent, op, chunk count, committed ts,

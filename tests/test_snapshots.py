@@ -195,3 +195,53 @@ def test_streaming_batches_write_snapshots(spark, tmp_path):
     # per-batch lineage bytes sum to the manifest's whole-table totals
     lin = mf.read_chunk_lineage(out, spark)
     assert sum(r["enc_bytes"] for r in lin.values()) == man["enc_bytes"]
+
+
+def test_incremental_read_between_snapshots(spark, tt_table):
+    """CDC-style delta: snapshot 0 -> 1 added exactly the appended 60
+    rows; same-snapshot delta is empty."""
+    man = scan.read_manifest(spark, tt_table)
+    delta = scan.read_appended_between(spark, tt_table, 0)
+    extra = _urls_of(
+        synth.synth_webtext(spark, 60, num_partitions=2, start=1_000_000)
+    )
+    assert _decode_urls(delta, man) == extra
+    assert scan.read_appended_between(spark, tt_table, 0, 0).count() == 0
+    with pytest.raises(KeyError):
+        scan.read_appended_between(spark, tt_table, 42)
+
+
+def test_expire_snapshots_reclaims_orphans(spark, tt_table, tmp_path):
+    """Expire after a rollback: the rolled-back chunk's directory is
+    deleted, the retained snapshot stays readable, lineage keeps every
+    chunk id so a later append never reuses one."""
+    path = str(tmp_path / "tbl")
+    shutil.copytree(tt_table, path)
+    encode.rollback_to_snapshot(spark, path, 0)  # orphans chunk 2
+    res = encode.expire_snapshots(spark, path, keep_last=1)
+    assert res["retained_snapshots"] == [2]
+    assert res["expired_snapshots"] == [0, 1]
+    assert res["removed_chunks"] == [2]
+    assert not os.path.isdir(os.path.join(path, "data", "chunk=2"))
+    snaps = mf.read_snapshots(path, spark)
+    assert sorted(snaps) == [2]
+    man = scan.read_manifest(spark, path)
+    base = _urls_of(synth.synth_webtext(spark, 300, num_partitions=4))
+    assert _decode_urls(scan.read_blocks_at(spark, path), man) == base
+    with pytest.raises(KeyError):
+        scan.read_blocks_at(spark, path, snapshot_id=0)
+    # lineage intact -> append picks id 3, not a reused 2
+    assert sorted(mf.read_chunk_lineage(path, spark)) == [0, 1, 2]
+    extra = synth.synth_webtext(spark, 10, num_partitions=1, start=3_000_000)
+    encode.append_chunk(spark, extra, path)
+    assert mf.current_snapshot(path, spark)["chunks"] == [0, 1, 3]
+
+
+def test_expire_keep_all_is_noop(spark, tt_table, tmp_path):
+    path = str(tmp_path / "tbl")
+    shutil.copytree(tt_table, path)
+    res = encode.expire_snapshots(spark, path, keep_last=5)
+    assert res["expired_snapshots"] == [] and res["removed_chunks"] == []
+    assert sorted(mf.read_snapshots(path, spark)) == [0, 1]
+    with pytest.raises(ValueError):
+        encode.expire_snapshots(spark, path, keep_last=0)
