@@ -226,8 +226,22 @@ class RaquetReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         data = os.path.join(self.path, "data")
+        # visibility: only chunks of the current snapshot (rolled-back
+        # orphan dirs awaiting expiry must not be planned); pre-log and
+        # flat tables have no snapshot/chunk dirs and walk everything
+        snap = mf.current_snapshot(self.path, None)
+        visible = None
+        if snap is not None and snap.get("layout") != "flat":
+            visible = {int(c) for c in snap["chunks"]} | {-1}
         files = []
         for root, _dirs, names in os.walk(data):
+            base = os.path.basename(root)
+            if (
+                visible is not None
+                and base.startswith("chunk=")
+                and int(base.split("=", 1)[1]) not in visible
+            ):
+                continue
             for n in sorted(names):
                 if n.endswith(".parquet"):
                     files.append(os.path.join(root, n))

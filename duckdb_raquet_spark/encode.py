@@ -630,7 +630,15 @@ def _commit_snapshot(
     after completion sees an identical current snapshot and writes
     nothing."""
     cur = mf.current_snapshot(path, spark)
-    if cur is not None and cur["chunks"] == sorted(chunks) and cur["op"] == op:
+    if (
+        cur is not None
+        and cur["chunks"] == sorted(chunks)
+        and cur["op"] == op
+        # totals must match too: re-encoding DIFFERENT data over an
+        # existing path is an overwrite commit, not a resume no-op
+        and cur.get("num_rows") == final.get("num_rows")
+        and cur.get("enc_bytes") == final.get("enc_bytes")
+    ):
         return cur
     snap = mf.make_snapshot(
         snapshot_id=(cur["snapshot_id"] + 1) if cur else 0,
@@ -867,7 +875,12 @@ def encode_to_path(
     man["lineage_chunks"] = chunks
     if not sorted_write:
         man["sorted"] = False
-    totals, hist = _aggregate_written(spark, path)
+    # aggregate ONLY this encode's chunk set: a stale orphan chunk dir
+    # (a crashed append, a rollback awaiting expiry) must not inflate
+    # the fresh table's totals
+    totals, hist = _aggregate_written(
+        spark, path, visible_chunks=list(range(chunks))
+    )
     final = mf.finalize_manifest(man, codec_histogram=hist, **totals)
     # manifest row last, in its own chunk=-1 partition, overwrite =
     # exactly-once (the CAS analog, read_raster.cpp:1488)
@@ -1083,12 +1096,16 @@ def expire_snapshots(
         )
     removed_chunks: list[int] = []
     if delete_orphan_chunks:
-        import glob as _glob
-
-        for d in _glob.glob(os.path.join(_data_path(path), "chunk=*")):
-            c = int(os.path.basename(d).split("=", 1)[1])
+        # fsio listing, not glob: works on object stores / HDFS too —
+        # reclamation is precisely the operation that matters there
+        for name in fsio.list_dirs(spark, _data_path(path)):
+            if not name.startswith("chunk="):
+                continue
+            c = int(name.split("=", 1)[1])
             if c >= 0 and c not in retained_chunks:
-                fsio.delete_dir(spark, d)
+                fsio.delete_dir(
+                    spark, os.path.join(_data_path(path), name)
+                )
                 removed_chunks.append(c)
     return {
         "retained_snapshots": keep_ids,

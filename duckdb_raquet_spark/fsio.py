@@ -129,3 +129,22 @@ def list_files(spark, dir_uri: str) -> list[str]:
         if st.isFile():
             out.append(st.getPath().getName())
     return sorted(out)
+
+
+def list_dirs(spark, dir_uri: str) -> list[str]:
+    """Basenames of subdirectories directly under ``dir_uri`` (sorted)."""
+    if not is_remote(dir_uri):
+        if not os.path.isdir(dir_uri):
+            return []
+        return sorted(
+            fn for fn in os.listdir(dir_uri)
+            if os.path.isdir(os.path.join(dir_uri, fn))
+        )
+    jvm, fs, jdir = _fs(spark, dir_uri)
+    if not fs.exists(jdir):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(jdir)
+        if st.isDirectory()
+    )

@@ -485,26 +485,26 @@ def ngram_decontaminate(
     per training doc: ``(id, n_hit, contaminated)``.
 
     Plan shape at scale: the eval side is DISTINCT n-grams of a
-    benchmark suite — millions of rows, small enough that AQE
-    broadcasts it — so the corpus side streams map-side through a
-    broadcast hash join with no shuffle of the exploded corpus grams;
-    the only exchange is the per-doc count aggregate, keyed on the
-    (unskewed) document id, followed by a second broadcast-able join
-    back to the id spine for clean docs' zero rows."""
+    benchmark suite — millions of rows, small enough to broadcast — so
+    the exploded corpus grams stream map-side through the broadcast
+    hash join WITHOUT being shuffled first (per-doc duplicate shared
+    grams are collapsed after the join by count_distinct, over the
+    tiny surviving hit set, not by a corpus-wide pre-join distinct);
+    the only exchanges are the per-doc distinct-count aggregate on the
+    unskewed document id and the join back to the id spine for clean
+    docs' zero rows."""
     ev = eval_df.select(
         F.explode_outer(
             ngram_col(eval_text_col or text_col, n)
         ).alias("_g")
     ).where(F.col("_g").isNotNull()).distinct()
-    grams = (
-        df.select(F.col(id_col).alias("id"), ngram_col(text_col, n).alias("_gs"))
-        .select("id", F.explode("_gs").alias("_g"))
-        .distinct()
-    )
+    grams = df.select(
+        F.col(id_col).alias("id"), ngram_col(text_col, n).alias("_gs")
+    ).select("id", F.explode("_gs").alias("_g"))
     hits = (
         grams.join(F.broadcast(ev), "_g")
         .groupBy("id")
-        .agg(F.count("*").alias("n_hit"))
+        .agg(F.count_distinct("_g").alias("n_hit"))
     )
     spine = df.select(F.col(id_col).alias("id"))
     return spine.join(hits, "id", "left").select(

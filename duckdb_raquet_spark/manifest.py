@@ -238,10 +238,10 @@ def read_snapshots(path: str, spark=None) -> dict[int, dict]:
 
     d = snapshots_dir(path)
     out: dict[int, dict] = {}
-    try:
-        names = fsio.list_files(spark, d)
-    except Exception:
-        return out
+    # a missing _snapshots/ dir lists as [] (pre-log table); any OTHER
+    # IO error must propagate — swallowing it would make a logged table
+    # look pre-log and let appends resurrect rolled-back orphan chunks
+    names = fsio.list_files(spark, d)
     for fn in names:
         if fn.startswith("snap-") and fn.endswith(".json"):
             s = json.loads(fsio.read_bytes(spark, d, fn))

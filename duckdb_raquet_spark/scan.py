@@ -44,8 +44,27 @@ from .encode import (
 # ----------------------------------------------------------------- reads ----
 
 
-def read_all(spark: SparkSession, path: str) -> DataFrame:
+def _read_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Every file under data/, INCLUDING chunks no longer visible at
+    the current snapshot (rolled-back orphans awaiting expiry). Only
+    time travel and maintenance may want this."""
     return spark.read.parquet(_data_path(path))
+
+
+def read_all(spark: SparkSession, path: str) -> DataFrame:
+    """All rows visible at the CURRENT snapshot. Every ordinary read
+    path routes through here, so a rollback is immediately effective
+    for point lookups, scans, the datasource view and compaction —
+    not just for explicit read_blocks_at calls. Pre-snapshot-log and
+    flat tables read unfiltered, as always; the manifest row
+    (chunk=-1) is always visible."""
+    df = _read_raw(spark, path)
+    snap = mf.current_snapshot(path, spark)
+    if snap is not None and snap.get("layout") != "flat" and "chunk" in df.columns:
+        df = df.where(
+            F.col("chunk").isin([int(c) for c in snap["chunks"]] + [-1])
+        )
+    return df
 
 
 def read_blocks(spark: SparkSession, path: str) -> DataFrame:
@@ -90,8 +109,12 @@ def read_blocks_at(
         snap = snaps[max(snaps)]
     if snap.get("layout") == "flat":
         return read_blocks(spark, path)
-    return read_blocks(spark, path).where(
-        F.col("chunk").isin([int(c) for c in snap["chunks"]])
+    # raw read, NOT read_blocks: a pre-rollback snapshot may reference
+    # chunks the current snapshot no longer shows (still on disk until
+    # expire_snapshots reclaims them)
+    return _read_raw(spark, path).where(
+        (F.col(BLOCK) != bk.MANIFEST_BLOCK)
+        & F.col("chunk").isin([int(c) for c in snap["chunks"]])
     )
 
 
@@ -122,8 +145,11 @@ def read_appended_between(
     if not new_chunks:
         # no delta (also the flat-layout case, which has no chunk column)
         return read_blocks(spark, path).where(F.lit(False))
-    return read_blocks(spark, path).where(
-        F.col("chunk").isin([int(c) for c in new_chunks])
+    # raw read: the delta of a historical snapshot pair may include
+    # chunks rolled back since (valid until expired)
+    return _read_raw(spark, path).where(
+        (F.col(BLOCK) != bk.MANIFEST_BLOCK)
+        & F.col("chunk").isin([int(c) for c in new_chunks])
     )
 
 

@@ -106,6 +106,16 @@ def test_rollback_and_append_after(spark, tt_table, tmp_path):
     assert snaps[2]["chunks"] == [0, 1]
     assert snaps[2]["rolled_back_to"] == 0
 
+    # EVERY ordinary read path honors the rollback, not just
+    # read_blocks_at: legacy read_blocks agrees with the manifest
+    assert scan.read_blocks(spark, path).agg(
+        F.sum("n_rows")
+    ).collect()[0][0] == 300
+    # ... while time travel to the PRE-rollback snapshot still sees the
+    # appended chunk (on disk until expire_snapshots reclaims it)
+    pre_roll = scan.read_blocks_at(spark, path, snapshot_id=1)
+    assert pre_roll.agg(F.sum("n_rows")).collect()[0][0] == 360
+
     # append after rollback: fresh chunk id, orphan chunk 2 stays out
     extra = synth.synth_webtext(spark, 10, num_partitions=1, start=2_000_000)
     fin2 = encode.append_chunk(spark, extra, path)
@@ -245,3 +255,29 @@ def test_expire_keep_all_is_noop(spark, tt_table, tmp_path):
     assert sorted(mf.read_snapshots(path, spark)) == [0, 1]
     with pytest.raises(ValueError):
         encode.expire_snapshots(spark, path, keep_last=0)
+
+
+def test_datasource_read_honors_rollback(spark, tt_table, tmp_path):
+    """The Python DataSource plans only the current snapshot's chunk
+    files — a rolled-back chunk's rows never reach the scan."""
+    from duckdb_raquet_spark.datasource import RaquetDataSource
+
+    path = str(tmp_path / "tbl")
+    shutil.copytree(tt_table, path)
+    spark.dataSource.register(RaquetDataSource)
+    assert spark.read.format("raquet").load(path).count() == 360
+    encode.rollback_to_snapshot(spark, path, 0)
+    assert spark.read.format("raquet").load(path).count() == 300
+
+
+def test_reencode_over_existing_path_commits_new_snapshot(spark, tmp_path):
+    """Overwriting a table with DIFFERENT data is a real commit: the
+    snapshot log must grow, and history reflects the new totals."""
+    path = str(tmp_path / "tbl")
+    df1 = synth.synth_webtext(spark, 120, num_partitions=2)
+    encode.encode_to_path(spark, df1, path, chunks=2, target_rows_per_block=64)
+    df2 = synth.synth_webtext(spark, 200, num_partitions=2, start=500_000)
+    encode.encode_to_path(spark, df2, path, chunks=2, target_rows_per_block=64)
+    snaps = mf.read_snapshots(path, spark)
+    assert sorted(snaps) == [0, 1]
+    assert snaps[1]["num_rows"] == 200

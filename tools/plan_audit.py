@@ -146,8 +146,23 @@ def main() -> None:
     # 7. time travel: the snapshot's chunk set prunes whole partition
     #    directories at planning time (PartitionFilters, not a
     #    post-scan Filter)
-    tt_path = f"/tmp/raquet_audit_tt_{os.path.basename(args.sf_dir)}"
-    if not os.path.isdir(tt_path):
+    import duckdb_raquet_spark as drs
+    from duckdb_raquet_spark import manifest as mf_mod
+
+    tt_path = (
+        f"/tmp/raquet_audit_tt_{os.path.basename(args.sf_dir)}"
+        f"_v{drs.__version__}"
+    )
+    # validity-gated, not existence-gated: an interrupted build must be
+    # rebuilt, not trusted
+    try:
+        ok = len(mf_mod.read_snapshots(tt_path, spark)) >= 2
+    except Exception:
+        ok = False
+    if not ok:
+        import shutil
+
+        shutil.rmtree(tt_path, ignore_errors=True)
         small = synth.synth_webtext(spark, 400, num_partitions=2)
         encode.encode_to_path(
             spark, small, tt_path, chunks=2, target_rows_per_block=128
