@@ -99,6 +99,31 @@ def delete_dir(spark, dir_uri: str) -> None:
         fs.delete(jdir, True)
 
 
+def write_bytes_exclusive(spark, dir_uri: str, filename: str, data: bytes) -> str:
+    """Create ``dir_uri/filename`` only if it does not already exist —
+    the optimistic-concurrency primitive (Iceberg's metadata CAS
+    analog). Raises ``FileExistsError`` on collision."""
+    if not is_remote(dir_uri):
+        os.makedirs(dir_uri, exist_ok=True)
+        final = os.path.join(dir_uri, filename)
+        with open(final, "xb") as f:  # 'x': atomic create-or-fail
+            f.write(data)
+        return final
+    jvm, fs, jdir = _fs(spark, dir_uri)
+    fs.mkdirs(jdir)
+    final = dir_uri.rstrip("/") + "/" + filename
+    jfinal = jvm.org.apache.hadoop.fs.Path(final)
+    try:
+        out = fs.create(jfinal, False)  # overwrite=False -> throws if exists
+    except Exception as e:
+        raise FileExistsError(final) from e
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+    return final
+
+
 def delete_file(spark, dir_uri: str, filename: str) -> None:
     if not is_remote(dir_uri):
         try:

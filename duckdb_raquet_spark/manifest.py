@@ -222,15 +222,29 @@ def snapshots_dir(path: str) -> str:
     return os.path.join(path, "_snapshots")
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same snapshot id first. The losing
+    writer's data chunk (if any) is unreferenced — re-read the log and
+    retry the commit; ``expire_snapshots`` reclaims abandoned chunks."""
+
+
 def write_snapshot(path: str, snap: dict, spark=None) -> None:
     from . import fsio
 
-    fsio.write_bytes(
-        spark,
-        snapshots_dir(path),
-        f"snap-{snap['snapshot_id']:05d}.json",
-        json.dumps(snap, sort_keys=True).encode(),
-    )
+    # exclusive create = optimistic concurrency (Iceberg's metadata
+    # CAS): two writers racing to commit snapshot N cannot both win
+    try:
+        fsio.write_bytes_exclusive(
+            spark,
+            snapshots_dir(path),
+            f"snap-{snap['snapshot_id']:05d}.json",
+            json.dumps(snap, sort_keys=True).encode(),
+        )
+    except FileExistsError as e:
+        raise ConcurrentCommitError(
+            f"snapshot {snap['snapshot_id']} already committed at {path}; "
+            "re-read the snapshot log and retry"
+        ) from e
 
 
 def read_snapshots(path: str, spark=None) -> dict[int, dict]:

@@ -281,3 +281,22 @@ def test_reencode_over_existing_path_commits_new_snapshot(spark, tmp_path):
     snaps = mf.read_snapshots(path, spark)
     assert sorted(snaps) == [0, 1]
     assert snaps[1]["num_rows"] == 200
+
+
+def test_concurrent_commit_detected(spark, tt_table, tmp_path):
+    """Optimistic concurrency: a second writer trying to commit the
+    same snapshot id loses with ConcurrentCommitError instead of
+    silently overwriting the winner's commit."""
+    path = str(tmp_path / "tbl")
+    shutil.copytree(tt_table, path)
+    cur = mf.current_snapshot(path, spark)
+    dup = mf.make_snapshot(
+        snapshot_id=cur["snapshot_id"],
+        chunks=cur["chunks"],
+        op="append",
+        parent_id=cur["parent_id"],
+    )
+    with pytest.raises(mf.ConcurrentCommitError):
+        mf.write_snapshot(path, dup, spark)
+    # the original commit is untouched
+    assert mf.current_snapshot(path, spark)["num_rows"] == cur["num_rows"]
