@@ -84,6 +84,13 @@ _IVF_CENTROIDS_PARQUET = os.path.join(
     _ivf_tmp_path(DRIVER_SF_DIR), "_centroids.parquet"
 )
 
+# ann_pq oracle replays shortlist AND rerank from the engine's
+# persisted PQ index (codes + int codebooks); documents/embeddings are
+# identical across sf dirs, so the driver-sf path serves every scale
+_PQ_CURRENT_ALIAS = f"/tmp/raquet_pq_current_v{drs.__version__}"
+_PQ_CODES_GLOB = _PQ_CURRENT_ALIAS + "/codes.parquet/*.parquet"
+_PQ_CODEBOOKS_GLOB = _PQ_CURRENT_ALIAS + "/_pq_codebooks.parquet/*.parquet"
+
 
 def _encoded(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
     """Encode the webtext view once per sf_dir (cached on /tmp, keyed by
@@ -812,6 +819,38 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("score", 4).alias("score"))
 
 
+def _pq_index_path(sf_dir: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/raquet_pq_{tag}_v{drs.__version__}"
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) in the integer
+    domain: vectors unit-normalized, int8-gridded, each 64-dim vector
+    stored as 8 codes (32x smaller); search = integer ADC table
+    shortlist + exact integer-dot rerank (recall@10 = 0.9 vs ann_topk
+    on this corpus). The whole index (codes, int codebooks, query grid
+    vector) is persisted parquet, so the SQL twin replays shortlist AND
+    rerank bit-for-bit — every score is exact int64."""
+    path = _pq_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_pq_meta.json")):
+        emb = _read(spark, sf_dir, "embeddings")
+        similarity.pq_build_index(emb, "vec_id", "embedding", path)
+    # refresh the "current index" alias the SQL oracle reads: the
+    # embeddings table differs between sf dirs, so a static oracle path
+    # must follow whichever index THIS query just used (the driver runs
+    # the Spark query immediately before its oracle)
+    tmp = _PQ_CURRENT_ALIAS + ".tmp"
+    try:
+        if os.path.islink(tmp) or os.path.exists(tmp):
+            os.remove(tmp)
+        os.symlink(path, tmp)
+        os.replace(tmp, _PQ_CURRENT_ALIAS)
+    except OSError:
+        pass
+    return similarity.pq_topk(spark, path, 0, 10)
+
+
 def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k cosine search over the INT8-QUANTIZED codes (per-vector
     symmetric scales cancel inside cosine, so the quantized search needs
@@ -1063,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "emb_quantize": q_emb_quantize,
         "ann_quantized": q_ann_quantized,
+        "ann_pq": q_ann_pq,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "agg_events_daily": q_agg_events_daily,
         "agg_events_windowed": q_agg_events_windowed,
@@ -1099,7 +1139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunks": q_dedup_chunks,
         "dedup_components": q_dedup_components,
         "txt_quality": q_txt_quality,
-        "txt_fingerprint": q_txt_fingerprint,
         "txt_boilerplate": q_txt_boilerplate,
         "txt_url_canon": q_txt_url_canon,
         "txt_langid": q_txt_langid,
@@ -1115,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_pinned_codecs": q_rt_pinned_codecs,
         "rt_pinned_zstd": q_rt_pinned_zstd,
         "key_kring": q_key_kring,
+        "txt_fingerprint": q_txt_fingerprint,
         "rt_mask_lang": q_rt_mask_lang,
         "rt_mask_eq": q_rt_mask_eq,
         "rt_maponly": q_rt_maponly,
@@ -1386,6 +1426,13 @@ def _ensure_driver_fixture() -> None:
             # the ann_ivf oracle reads the engine's trained centroids
             if not os.path.exists(_IVF_CENTROIDS_PARQUET):
                 _ivf_index_path(spark, DRIVER_SF_DIR)
+            # the ann_pq oracle replays from the persisted PQ index
+            pq_path = _pq_index_path(DRIVER_SF_DIR)
+            if not os.path.exists(os.path.join(pq_path, "_pq_meta.json")):
+                emb = _read(spark, DRIVER_SF_DIR, "embeddings")
+                similarity.pq_build_index(emb, "vec_id", "embedding", pq_path)
+            if not os.path.exists(_PQ_CURRENT_ALIAS):
+                os.symlink(pq_path, _PQ_CURRENT_ALIAS)
     except Exception:
         pass
 
@@ -1728,6 +1775,55 @@ def oracle_sql() -> dict[str, str]:
               WHERE a.cid IN (SELECT cid FROM probe) AND e.vec_id <> 0
               ORDER BY sim DESC, e.vec_id LIMIT 10
             )""",
+        "ann_pq": f"""
+            WITH codes AS (
+              SELECT vec_id, qv, codes
+              FROM read_parquet('{_PQ_CODES_GLOB}')
+            ),
+            q AS (SELECT qv FROM codes WHERE vec_id = 0),
+            qd AS (
+              SELECT r.i AS idx, q.qv[r.i + 1] AS qx
+              FROM q, UNNEST(range(0, 64)) AS r(i)
+            ),
+            cb AS (
+              SELECT sub, cid, d, c
+              FROM read_parquet('{_PQ_CODEBOOKS_GLOB}')
+            ),
+            dt AS (
+              SELECT cb.sub, cb.cid,
+                     SUM((cb.c - qd.qx) * (cb.c - qd.qx))::BIGINT AS dist
+              FROM cb JOIN qd ON qd.idx = cb.sub * 8 + cb.d
+              GROUP BY cb.sub, cb.cid
+            ),
+            cexp AS (
+              SELECT vec_id, r.i AS sub, codes[r.i + 1] AS code
+              FROM codes, UNNEST(range(0, 8)) AS r(i)
+              WHERE vec_id <> 0
+            ),
+            adc AS (
+              SELECT cexp.vec_id, SUM(dt.dist)::BIGINT AS adc
+              FROM cexp JOIN dt
+                ON dt.sub = cexp.sub AND dt.cid = cexp.code
+              GROUP BY cexp.vec_id
+            ),
+            short AS (
+              SELECT vec_id, adc FROM adc
+              ORDER BY adc ASC, vec_id ASC LIMIT 100
+            ),
+            sv AS (
+              SELECT c.vec_id, c.qv FROM codes c JOIN short USING (vec_id)
+            ),
+            vexp AS (
+              SELECT sv.vec_id, r.i AS idx, sv.qv[r.i + 1] AS vx
+              FROM sv, UNNEST(range(0, 64)) AS r(i)
+            ),
+            dots AS (
+              SELECT v.vec_id, SUM(v.vx * qd.qx)::BIGINT AS dot
+              FROM vexp v JOIN qd USING (idx) GROUP BY v.vec_id
+            )
+            SELECT s.vec_id, d.dot, s.adc
+            FROM short s JOIN dots d USING (vec_id)
+            ORDER BY d.dot DESC, s.vec_id ASC LIMIT 10""",
         "ann_quantized": """
             WITH m AS (
               SELECT vec_id, embedding,
