@@ -474,6 +474,7 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
     qs = entrymod.queries()
     entrymod._ann_index_path(spark, sf_dir)
     force(qs["ann_ivf"](spark, sf_dir))  # one-time IVF index build, untimed
+    force(qs["ann_pq"](spark, sf_dir))  # one-time PQ index build, untimed
     # probe-footprint evidence (the reference's 2KB-of-261MB property):
     # fraction of index rows/bytes a probe touches, from footer min/max
     from duckdb_raquet_spark.functions import similarity as _sim
@@ -498,6 +499,7 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "ann_topk",
         "ann_lsh",
         "ann_ivf",
+        "ann_pq",
         "txt_quality",
         "agg_lineitem_pricing",
         "sessionize",
