@@ -1,0 +1,259 @@
+"""Corpus-assembly operators: the steps between "filtered documents"
+and "training batches" in an LLM data pipeline.
+
+Three operators, all pure DataFrame plans (no Python UDFs):
+
+* :func:`pack_sequences` — concat-and-chunk training-sequence packing
+  (every doc's tokens land at a global offset; sequences are ``ctx_len``
+  cuts of the concatenated stream).  The global prefix sum is computed
+  with a scale-correct two-pass scheme (bounded per-bucket windows plus
+  a tiny driver-side bucket-offset table) instead of a single-partition
+  global window.
+* :func:`domain_quota` — cap documents per domain with a deterministic
+  hash priority.  Hot domains (the 10^9-page host in a crawl) are
+  handled with a salted two-level rank so no single window partition
+  ever sees more than ``salts * quota``-ish rows — and the result is
+  EXACT (identical to the naive one-window rank), not sampled.
+* :func:`chunk_dedup_filter` — duplicate-passage removal accounting:
+  for every fixed-token chunk occurrence, keep it iff it is the
+  corpus-wide first occurrence (min (doc, position) per digest), and
+  report per-document kept/dropped counts.  The application step of
+  Lee et al. 2022-style chunk dedup (detection lives in
+  :func:`duckdb_raquet_spark.functions.dedup.chunk_dedup`).
+
+Reference parity: the reference engine stops at scan/encode analytics
+(``/root/reference/src``); these mirror the downstream pipeline the
+north rule's Common-Crawl table feeds, per SURVEY.md's
+training-data-pipeline section.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import tokens_col
+
+__all__ = ["pack_sequences", "domain_quota", "chunk_dedup_filter"]
+
+
+def _md5_priority(col: Column) -> Column:
+    """Deterministic 60-bit priority from md5 — the same cross-engine
+    construction as text.hash_sample (DuckDB replays it as
+    ('0x' || substr(md5(x), 1, 15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ctx_len: int = 1024,
+    *,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents ordered by
+    ``id_col`` are conceptually concatenated into one token stream and
+    cut every ``ctx_len`` tokens (GPT-style pretraining packing — no
+    padding, docs span sequence boundaries).  Returns one row per doc:
+
+    ``(id, n_tokens, tok_offset, seq_first, seq_last, n_seqs)``
+
+    where ``tok_offset`` is the exclusive prefix sum of token counts in
+    id order and ``seq_first/seq_last`` are the first/last ``ctx_len``
+    sequences the doc lands in.
+
+    Plan at 10^12 docs: a naive ``SUM() OVER (ORDER BY id)`` is a
+    single-partition window — a non-starter.  Instead:
+
+    1. bucket every doc by id range (``floor((id - min_id) / width)``,
+       ``n_buckets`` buckets — width from one cheap min/max agg);
+    2. per-bucket token totals (hash agg, ``n_buckets`` rows) come back
+       to the driver, which computes exclusive bucket offsets — the
+       only driver-side state is O(n_buckets);
+    3. the offset table joins back (broadcast — it is tiny) and a
+       window runs WITHIN each bucket only, so no partition ever holds
+       more than ~n_docs/n_buckets rows (ids uniform; with skewed id
+       ranges raise ``n_buckets``).
+
+    The result is bit-identical to the global window (integer sums,
+    associative regrouping).
+    """
+    # narrow projection persisted so the (100 TB) text column is
+    # tokenized exactly once across the two passes — ~16 bytes/row on
+    # disk, vs re-reading the full text per pass
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).persist()
+    lo, hi = toks.agg(F.min("id"), F.max("id")).first()
+    if lo is None:
+        return toks.select(
+            "id",
+            "n_tokens",
+            F.lit(0).cast("long").alias("tok_offset"),
+            F.lit(0).cast("long").alias("seq_first"),
+            F.lit(0).cast("long").alias("seq_last"),
+            F.lit(0).cast("long").alias("n_seqs"),
+        )
+    width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
+    bucketed = toks.withColumn(
+        "_b", ((F.col("id") - F.lit(int(lo))) / F.lit(width)).cast("long")
+    )
+    # pass 1: per-bucket totals -> exclusive bucket offsets (driver,
+    # O(n_buckets) rows — bounded regardless of table size)
+    totals = {
+        r["_b"]: r["t"]
+        for r in bucketed.groupBy("_b").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(totals):
+        offsets.append((b, acc))
+        acc += int(totals[b])
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "_b long, _boff long")
+    # pass 2: window within bucket only + broadcast offset join
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_b").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    out = (
+        bucketed.join(F.broadcast(off_df), "_b")
+        .withColumn(
+            "tok_offset",
+            (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("_boff")).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "seq_first", F.floor(F.col("tok_offset") / ctx_len).cast("long")
+        )
+        .withColumn(
+            "seq_last",
+            F.floor(
+                (F.col("tok_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+                / ctx_len
+            ).cast("long"),
+        )
+        .withColumn(
+            "n_seqs", (F.col("seq_last") - F.col("seq_first") + 1).cast("long")
+        )
+    )
+    return out.select(
+        "id", "n_tokens", "tok_offset", "seq_first", "seq_last", "n_seqs"
+    )
+
+
+def domain_quota(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    quota: int,
+    *,
+    salts: int = 64,
+) -> DataFrame:
+    """Keep at most ``quota`` documents per domain, selected by a
+    deterministic md5 hash priority (smallest first, id tiebreak) — the
+    hot-domain cap of a crawl pipeline, reproducible across runs and
+    engines.  Returns the surviving rows of ``df``.
+
+    EXACTNESS + SKEW: the naive plan is one rank window per domain —
+    the 10^9-page domain becomes one executor's partition.  Here the
+    selection runs in two levels: rows first rank within
+    ``(domain, priority % salts)`` — ``salts`` independent, bounded
+    windows per domain — and only rows with sub-rank <= quota (at most
+    ``salts * quota`` per domain, regardless of domain size) reach the
+    exact second-level rank.  Any row in a domain's true top-``quota``
+    is necessarily in its salt bucket's top-``quota``, so the two-level
+    result equals the one-window result exactly — this is a pruning
+    rewrite, not an approximation.  Domains under quota skip nothing
+    and lose nothing (their ranks are all <= quota).
+    """
+    from pyspark.sql.window import Window
+
+    pri = _md5_priority(F.col(id_col))
+    salted = df.withColumn("_pri", pri).withColumn(
+        "_salt", (F.pmod(F.col("_pri"), F.lit(salts))).cast("int")
+    )
+    w1 = Window.partitionBy(domain_col, "_salt").orderBy("_pri", id_col)
+    cand = salted.withColumn("_r1", F.row_number().over(w1)).where(
+        F.col("_r1") <= quota
+    )
+    w2 = Window.partitionBy(domain_col).orderBy("_pri", id_col)
+    kept = cand.withColumn("_r2", F.row_number().over(w2)).where(
+        F.col("_r2") <= quota
+    )
+    return kept.drop("_pri", "_salt", "_r1", "_r2")
+
+
+def chunk_dedup_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Duplicate-passage removal accounting: split every doc into
+    consecutive ``chunk_tokens``-token passages (same windows as
+    ``dedup.chunk_dedup``), and for each passage occurrence keep it iff
+    it is the corpus-wide FIRST occurrence of its digest (min
+    ``(doc, position)``).  Returns one row per document:
+
+    ``(id, n_chunks, n_kept, n_dropped)``
+
+    Plan at 10^12 docs: the explode emits one 32-hex digest per
+    passage (never text); the keeper per digest is a hash aggregate
+    (``min(packed)`` — map-side partial, no window, so a boilerplate
+    passage shared by 10^8 docs costs one combiner row per partition,
+    not a 10^8-row window); the join back is digest-keyed.  Occurrence
+    order is packed as ``doc_id * 2^20 + position`` (positions fit 20
+    bits for any doc under ~20M tokens; doc ids up to 2^43 stay
+    overflow-free).
+    """
+    toks = tokens_col(F.col(text_col))
+    n_chunks = F.floor(F.size(toks) / chunk_tokens).cast("int")
+    digests = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(
+            F.array_join(F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " ").cast(
+                "binary"
+            )
+        ),
+    )
+    # guard: sequence(0, -1) is DESCENDING in Spark, so n_chunks == 0
+    # must yield NULL (explode drops it), not a bogus [0, -1] pair
+    occ = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.when(n_chunks > 0, digests).alias("_d"),
+        )
+        .select(
+            "id", F.posexplode("_d").alias("pos", "chunk_md5")
+        )
+        .withColumn(
+            "_packed",
+            F.col("id").cast("long") * F.lit(1 << 20) + F.col("pos"),
+        )
+    )
+    keepers = occ.groupBy("chunk_md5").agg(F.min("_packed").alias("_keep"))
+    marked = occ.join(keepers, "chunk_md5").withColumn(
+        "_kept", (F.col("_packed") == F.col("_keep")).cast("int")
+    )
+    per_doc = marked.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("_kept").cast("long").alias("n_kept"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (
+                F.coalesce("n_chunks", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            ).cast("long").alias("n_dropped"),
+        )
+    )
