@@ -1045,6 +1045,48 @@ def q_rt_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.decode_blocks(blocks, man, ["doc_id", "text", "lang"])
 
 
+def q_rt_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only schema evolution (Iceberg ALTER TABLE analog):
+    encode 2 chunks, ADD COLUMN quality (default 0.25) + review
+    (default 'pending'), append a chunk carrying real values, DROP
+    COLUMN text — all without rewriting a data file. Old chunks decode
+    the defaults, the new chunk its payloads; the dropped column's
+    bytes are never read (explicit manifest-derived scan schema)."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/raquet_entry_evo_{tag}_v{drs.__version__}"
+    need = True
+    try:
+        man0 = scan.read_manifest(spark, path)
+        if (
+            man0.get("engine") == f"duckdb_raquet_spark/{drs.__version__}"
+            and "quality" in [c["name"] for c in man0["columns"]]
+            and "text" in man0.get("dropped_columns", [])
+        ):
+            need = False
+    except Exception:
+        pass
+    if need:
+        df = _webtext(spark, sf_dir).select("url", "warc_ts", "text", "doc_id")
+        encode.encode_to_path(
+            spark, df, path, chunks=2, target_rows_per_block=512
+        )
+        encode.evolve_add_column(spark, path, "quality", "double", default=0.25)
+        encode.evolve_add_column(spark, path, "review", "string", default="pending")
+        extra = (
+            df.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+            .withColumn("url", F.concat(F.col("url"), F.lit("-v2")))
+            .withColumn("quality", F.lit(0.75))
+            .withColumn("review", F.lit("done"))
+        )
+        encode.append_chunk(spark, extra, path)
+        encode.evolve_drop_column(spark, path, "text")
+    man = scan.read_manifest(spark, path)
+    out = scan.decode_blocks(
+        scan.read_blocks(spark, path), man, ["doc_id", "quality", "review"]
+    )
+    return out.orderBy("doc_id")
+
+
 def q_txt_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (Brown et al. 2020 §C): per training
     doc, count of distinct word n-grams shared with an eval corpus
@@ -1158,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack": q_corpus_pack,
         "domain_quota": q_domain_quota,
         "dedup_chunk_filter": q_dedup_chunk_filter,
+        "rt_evolve": q_rt_evolve,
         # --- core raquet-analog scan/encode surface ---
         "rt_roundtrip": q_rt_roundtrip,
         "rt_datasource": q_rt_datasource,
@@ -1176,7 +1219,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_binary_stats": q_mm_binary_stats,
         "enc_metrics": q_enc_metrics,
         "key_math": q_key_math,
-        "key_children": q_key_children,
         "txt_tokens": q_txt_tokens,
         "txt_gopher": q_txt_gopher,
         "txt_logprob": q_txt_logprob,
@@ -1197,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_mask_range": q_rt_mask_range,
         "txt_quality": q_txt_quality,
         "rt_events": q_rt_events,
+        "key_children": q_key_children,
         "rt_pinned_codecs": q_rt_pinned_codecs,
         "rt_pinned_zstd": q_rt_pinned_zstd,
         "key_kring": q_key_kring,
@@ -1732,6 +1775,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS vec_id, min(comp)::BIGINT AS comp
             FROM walk GROUP BY id ORDER BY vec_id""",
+        "rt_evolve": """
+            SELECT doc_id, 0.25::DOUBLE AS quality, 'pending' AS review
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, 0.75::DOUBLE AS quality,
+                   'done' AS review
+            FROM documents
+            ORDER BY doc_id""",
         "corpus_pack": """
             WITH t AS (
               SELECT doc_id,

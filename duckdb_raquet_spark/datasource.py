@@ -286,7 +286,12 @@ class RaquetReader(DataSourceReader):
         pf = pq.ParquetFile(partition.path)
         sch = pf.metadata.schema.to_arrow_schema()
         bi = sch.get_field_index("block")
-        need = ["block", "n_rows"] + blob_names
+        # schema evolution: a pre-evolution chunk file lacks the blob
+        # of a later-added column — read what the file has, default-fill
+        # the rest (mirrors decode_blocks)
+        present = [b for b in blob_names if b in sch.names]
+        defaults = {c["name"]: c.get("default") for c in man["columns"]}
+        need = ["block", "n_rows"] + present
         arrow_types = {f.name: f.type for f in _to_arrow(specs)}
         for rg in range(pf.metadata.num_row_groups):
             if self.env.ranges and bi >= 0:
@@ -298,22 +303,36 @@ class RaquetReader(DataSourceReader):
             tbl = pf.read_row_group(rg, columns=need)
             blocks = tbl.column("block").to_pylist()
             n_rows = tbl.column("n_rows").to_pylist()
-            blob_cols = {b: tbl.column(b) for b in blob_names}
+            blob_cols = {b: tbl.column(b) for b in present}
             for i, block in enumerate(blocks):
                 if block == bk.MANIFEST_BLOCK:
                     continue
                 if self.env.ranges and not self.env.may_contain(block, block):
                     continue
                 n = int(n_rows[i])
-                get = payload_getter(
-                    lambda b, i=i: bytes(blob_cols[b][i].as_py())
-                )
+
+                def get_raw(b, i=i):
+                    if b not in blob_cols:
+                        return None
+                    v = blob_cols[b][i].as_py()
+                    return None if v is None else bytes(v)
+
+                get = payload_getter(get_raw)
                 arrays = []
                 for name, _t, kind in specs:
-                    arr = selector.decode_column_arrow(get(name), kind, n)
+                    raw = get(name)
                     want = arrow_types[name]
-                    if arr.type != want:
-                        arr = arr.cast(want)
+                    if raw is None:
+                        d = defaults.get(name)
+                        arr = (
+                            pa.nulls(n, want)
+                            if d is None
+                            else pa.array([d] * n, type=want)
+                        )
+                    else:
+                        arr = selector.decode_column_arrow(raw, kind, n)
+                        if arr.type != want:
+                            arr = arr.cast(want)
                     arrays.append(arr)
                 yield pa.RecordBatch.from_arrays(
                     arrays, names=[s[0] for s in specs]

@@ -944,6 +944,17 @@ def append_chunk(
     # lineage chunks, exactly the old behavior
     cur_snap = mf.current_snapshot(path, spark)
     visible = cur_snap["chunks"] if cur_snap else sorted(done)
+    # schema evolution: an appended frame may omit columns added after
+    # the original encode — fill their recorded defaults, then align
+    # column order to the manifest's
+    for c in man["columns"]:
+        if c["name"] not in df.columns and "added_snapshot" in c:
+            df = df.withColumn(
+                c["name"], F.lit(c.get("default")).cast(c["spark_type"])
+            )
+    man_names = [c["name"] for c in man["columns"]]
+    if df.columns != man_names and set(df.columns) == set(man_names):
+        df = df.select(*man_names)
     key = man["key"]
     n = df.count()
     t0 = time.time()
@@ -961,14 +972,21 @@ def append_chunk(
         shuffle=shuffle,
     )
     chunk_man["key"]["ts_origin"] = key["ts_origin"]
-    if [c["name"] for c in chunk_man["columns"]] != [
-        c["name"] for c in man["columns"]
+    if [(c["name"], c["spark_type"]) for c in chunk_man["columns"]] != [
+        (c["name"], c["spark_type"]) for c in man["columns"]
     ]:
         raise ValueError(
             "appended DataFrame columns do not match the table's: "
-            f"{[c['name'] for c in chunk_man['columns']]} vs "
-            f"{[c['name'] for c in man['columns']]}"
+            f"{[(c['name'], c['spark_type']) for c in chunk_man['columns']]} "
+            f"vs {[(c['name'], c['spark_type']) for c in man['columns']]}"
         )
+    # carry evolution metadata through re-finalization: the new chunk's
+    # plain column specs would otherwise shed added_snapshot/default
+    # annotations and the schema_evolved reader switch
+    chunk_man["columns"] = man["columns"]
+    for _k in ("schema_evolved", "dropped_columns"):
+        if _k in man:
+            chunk_man[_k] = man[_k]
     part = os.path.join(_data_path(path), f"chunk={k}")
     blocks.sortWithinPartitions(BLOCK, SALT).write.mode("overwrite").parquet(part)
     totals, hist = _aggregate_written(
@@ -1112,3 +1130,141 @@ def expire_snapshots(
         "expired_snapshots": expired,
         "removed_chunks": sorted(removed_chunks),
     }
+
+
+# ------------------------------------------------------ schema evolution ----
+#
+# Iceberg-style METADATA-ONLY schema changes over the chunked layout:
+# no data file is rewritten, so evolving a 100 TB table costs two JSON
+# writes regardless of size. The manifest's `columns` list is the
+# single source of schema truth; evolved tables set `schema_evolved`
+# so readers switch to an explicit manifest-derived Parquet schema
+# (inferred schemas would silently drop a column that only newer
+# chunks carry — Spark picks an arbitrary file's footer otherwise).
+# Old chunks' missing payloads decode as the column's recorded default
+# (NULL unless set). Dropped names are tombstoned and may never be
+# reused: old files still hold `<name>_blob` bytes, and a reused name
+# would resurface those stale payloads as the new column's data.
+
+
+def _evolve_commit(spark, path, man, op: str, extra: dict) -> dict:
+    """Claim the next snapshot id (exclusive-create = the concurrency
+    gate), then rewrite manifest row + sidecar. A writer crashing
+    between the two leaves a schema-op snapshot with an unchanged
+    manifest — re-running the evolve is safe (it claims a fresh id)."""
+    man = dict(man)
+    man["schema_evolved"] = True
+    # direct snapshot write, NOT _commit_snapshot: its resume-idempotency
+    # check (same chunks + op + totals) would wrongly swallow the second
+    # of two consecutive schema ops — metadata-only commits change none
+    # of those fields, only the manifest
+    cur = mf.current_snapshot(path, spark)
+    snap = mf.make_snapshot(
+        snapshot_id=(cur["snapshot_id"] + 1) if cur else 0,
+        chunks=_visible_chunks(spark, path),
+        op=op,
+        parent_id=cur["snapshot_id"] if cur else None,
+        num_rows=man.get("num_rows"),
+        enc_bytes=man.get("enc_bytes"),
+        extra=extra,
+    )
+    mf.write_snapshot(path, snap, spark)
+    _append_manifest_row(
+        spark,
+        path,
+        man,
+        man["columns"],
+        target=os.path.join(_data_path(path), "chunk=-1"),
+        mode="overwrite",
+    )
+    mf.write_sidecar(path, man, spark)
+    return man, snap
+
+
+def _visible_chunks(spark, path) -> list[int]:
+    cur = mf.current_snapshot(path, spark)
+    if cur is not None:
+        return [int(c) for c in cur["chunks"]]
+    return sorted(mf.read_chunk_lineage(path, spark))
+
+
+def evolve_add_column(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    spark_type: str,
+    *,
+    default=None,
+) -> dict:
+    """ALTER TABLE ADD COLUMN (metadata-only). Chunks written before
+    the change decode the column as ``default`` (NULL if unset); chunks
+    appended after carry real payloads. Returns the updated manifest.
+
+    The decode/point-lookup/compaction paths understand missing
+    payloads; the stats-proof mask fast paths assume materialized
+    payloads and per-block stats — run ``compact_to_path`` first to
+    physically backfill an added column before masking on it."""
+    import glob as _glob
+
+    man = mf.read_sidecar(path, spark)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest at {path}")
+    if not _glob.glob(os.path.join(_data_path(path), "chunk=*")):
+        raise ValueError(
+            "schema evolution needs a chunked-layout table (data/chunk=*/)"
+        )
+    names = [c["name"] for c in man["columns"]]
+    if name in names:
+        raise ValueError(f"column {name!r} already exists")
+    if name in man.get("dropped_columns", []):
+        raise ValueError(
+            f"column name {name!r} was dropped earlier and cannot be "
+            "reused: old data files still hold its payload bytes, which "
+            "would resurface as the new column's values"
+        )
+    kind = selector.kind_of_spark_type(spark_type)
+    cur = mf.current_snapshot(path, spark)
+    spec = {
+        "name": name,
+        "spark_type": spark_type,
+        "kind": kind,
+        "added_snapshot": (cur["snapshot_id"] + 1) if cur else 0,
+    }
+    if default is not None:
+        spec["default"] = default
+    man = dict(man)
+    man["columns"] = list(man["columns"]) + [spec]
+    man, _ = _evolve_commit(
+        spark, path, man, "add-column", {"column": name, "spark_type": spark_type}
+    )
+    return man
+
+
+def evolve_drop_column(spark: SparkSession, path: str, name: str) -> dict:
+    """ALTER TABLE DROP COLUMN (metadata-only). The payload bytes stay
+    in the old files, unreferenced (an explicit-schema read never
+    touches them; ``compact_to_path`` physically sheds them since it
+    re-encodes through the manifest's column list). The name is
+    tombstoned against reuse. Returns the updated manifest."""
+    man = mf.read_sidecar(path, spark)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest at {path}")
+    names = [c["name"] for c in man["columns"]]
+    if name not in names:
+        raise ValueError(f"no column {name!r}; have {names}")
+    if name == man.get("url_col") or name == man.get("ts_col"):
+        raise ValueError(f"cannot drop key column {name!r}")
+    in_group = member_to_group(man.get("column_groups"))
+    if name in in_group:
+        raise ValueError(
+            f"column {name!r} is interleaved in column group "
+            f"{in_group[name]!r}; drop is only supported for standalone "
+            "columns (group payloads are one blob)"
+        )
+    man = dict(man)
+    man["columns"] = [c for c in man["columns"] if c["name"] != name]
+    man["dropped_columns"] = sorted(
+        set(man.get("dropped_columns", [])) | {name}
+    )
+    man, _ = _evolve_commit(spark, path, man, "drop-column", {"column": name})
+    return man

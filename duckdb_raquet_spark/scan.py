@@ -47,7 +47,19 @@ from .encode import (
 def _read_raw(spark: SparkSession, path: str) -> DataFrame:
     """Every file under data/, INCLUDING chunks no longer visible at
     the current snapshot (rolled-back orphans awaiting expiry). Only
-    time travel and maintenance may want this."""
+    time travel and maintenance may want this.
+
+    Schema-evolved tables read with an EXPLICIT manifest-derived schema:
+    Spark's inferred schema comes from one arbitrary file's footer, so a
+    column only newer chunks carry could silently vanish, and a dropped
+    column's stale payloads could resurface. With the explicit schema,
+    files missing a payload column yield NULL (decoded downstream as the
+    column's default) and dropped payloads are never read at all; the
+    `chunk` partition column is still discovered and appended."""
+    man = mf.read_sidecar(path, spark)
+    if man is not None and man.get("schema_evolved"):
+        sch = blocks_schema(man["columns"], man.get("column_groups"))
+        return spark.read.schema(sch).parquet(_data_path(path))
     return spark.read.parquet(_data_path(path))
 
 
@@ -233,12 +245,17 @@ def _blob_plan(man: dict, specs: list[tuple[str, str, str]]):
     def payload_getter(get_blob):
         cache: dict[str, list[bytes]] = {}
 
-        def get(name: str) -> bytes:
+        def get(name: str) -> bytes | None:
             g = m2g.get(name)
             if g is None:
                 return get_blob(blob_col(name))
             if g not in cache:
-                cache[g] = _registry.decode_group(get_blob(blob_col(g)))
+                blob = get_blob(blob_col(g))
+                cache[g] = (
+                    [None] * len(groups[g])
+                    if blob is None
+                    else _registry.decode_group(blob)
+                )
             return cache[g][groups[g].index(name)]
 
         return get
@@ -276,6 +293,9 @@ def decode_blocks(
     if eq_filter is not None and eq_filter[0] not in {s[0] for s in specs}:
         raise ValueError(f"eq_filter column {eq_filter[0]!r} not in decode set")
     blob_names, payload_getter = _blob_plan(man, specs)
+    # schema evolution: chunks older than an added column carry a NULL
+    # payload; decode fills the column's recorded default (NULL if unset)
+    defaults = {c["name"]: c.get("default") for c in man["columns"]}
     needed = [BLOCK, SALT, "n_rows"] + blob_names
     src = blocks.select(*needed)  # Parquet reads only these payloads
     schema_parts = []
@@ -295,13 +315,29 @@ def decode_blocks(
             }
             for i in range(rb.num_rows):
                 n = n_rows_col[i].as_py()
-                get = payload_getter(lambda b, i=i: bytes(payload_cols[b][i].as_py()))
+
+                def get_raw(b, i=i):
+                    v = payload_cols[b][i].as_py()
+                    return None if v is None else bytes(v)
+
+                get = payload_getter(get_raw)
+
+                def dec(name: str, kind: str, n: int = n) -> pa.Array:
+                    raw = get(name)
+                    if raw is None:  # pre-evolution chunk: default-fill
+                        ftype = arrow_schema.field(name).type
+                        d = defaults.get(name)
+                        if d is None:
+                            return pa.nulls(n, type=ftype)
+                        return pa.array([d] * n, type=ftype)
+                    return selector.decode_column_arrow(raw, kind, n)
+
                 decoded: dict[str, pa.Array] = {}
                 take_idx = None
                 if eq_filter is not None:
                     fname, fval = eq_filter
                     kind = next(k for nm, _, k in specs if nm == fname)
-                    farr = selector.decode_column_arrow(get(fname), kind, n)
+                    farr = dec(fname, kind)
                     eq = pc.equal(farr, pa.scalar(fval, type=farr.type))
                     idx = np.flatnonzero(
                         eq.to_numpy(zero_copy_only=False) == True  # noqa: E712
@@ -330,7 +366,7 @@ def decode_blocks(
                 for name, _, kind in specs:
                     arr = decoded.get(name)
                     if arr is None:
-                        arr = selector.decode_column_arrow(get(name), kind, n)
+                        arr = dec(name, kind)
                         if take_idx is not None:
                             arr = arr.take(take_idx)
                     arrays.append(arr)
@@ -1058,6 +1094,17 @@ def compact_blocks(
     blob_names, payload_getter = _blob_plan(man, specs)
     arrow_schema = to_arrow_schema(schema)
     out_names = [f.name for f in arrow_schema]
+    # schema evolution: pre-evolution blocks carry NULL payloads for
+    # added columns — compaction materializes the default (the physical
+    # backfill step, still block-local)
+    defaults = {c["name"]: c.get("default") for c in columns}
+    from pyspark.sql import types as _T
+
+    logical_arrow = to_arrow_schema(
+        _T._parse_datatype_string(
+            ", ".join(f"`{n}` {t}" for n, t, _ in specs)
+        )
+    )
 
     def fn(key: tuple, tbl: "pa.Table") -> "pa.Table":
         block = key[0]
@@ -1071,7 +1118,21 @@ def compact_blocks(
             n = int(n_rows_col[r].as_py())
             get = payload_getter(lambda b, r=r: tbl[b][r].as_py())
             for name, _, kind in specs:
-                arr = selector.decode_column_arrow(get(name), kind, n)
+                raw = get(name)
+                if raw is None:
+                    d = defaults.get(name)
+                    ftype = logical_arrow.field(name).type
+                    arr = (
+                        pa.nulls(n, ftype)
+                        if d is None
+                        else pa.array([d] * n, type=ftype)
+                    )
+                else:
+                    arr = selector.decode_column_arrow(
+                        bytes(raw) if not isinstance(raw, bytes) else raw,
+                        kind,
+                        n,
+                    )
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
                 per_col[name].append(arr)
