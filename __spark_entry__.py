@@ -1049,9 +1049,10 @@ def q_rt_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only schema evolution (Iceberg ALTER TABLE analog):
     encode 2 chunks, ADD COLUMN quality (default 0.25) + review
     (default 'pending'), append a chunk carrying real values, DROP
-    COLUMN text — all without rewriting a data file. Old chunks decode
-    the defaults, the new chunk its payloads; the dropped column's
-    bytes are never read (explicit manifest-derived scan schema)."""
+    COLUMN text, RENAME review -> review_state — all without rewriting
+    a data file. Old chunks decode the defaults, the new chunk its
+    payloads (under the immutable physical blob name); the dropped
+    column's bytes are never read (explicit manifest-derived schema)."""
     tag = sf_dir.strip("/").replace("/", "_")
     path = f"/tmp/raquet_entry_evo_{tag}_v{drs.__version__}"
     need = True
@@ -1059,7 +1060,7 @@ def q_rt_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         man0 = scan.read_manifest(spark, path)
         if (
             man0.get("engine") == f"duckdb_raquet_spark/{drs.__version__}"
-            and "quality" in [c["name"] for c in man0["columns"]]
+            and "review_state" in [c["name"] for c in man0["columns"]]
             and "text" in man0.get("dropped_columns", [])
         ):
             need = False
@@ -1080,9 +1081,10 @@ def q_rt_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         encode.append_chunk(spark, extra, path)
         encode.evolve_drop_column(spark, path, "text")
+        encode.evolve_rename_column(spark, path, "review", "review_state")
     man = scan.read_manifest(spark, path)
     out = scan.decode_blocks(
-        scan.read_blocks(spark, path), man, ["doc_id", "quality", "review"]
+        scan.read_blocks(spark, path), man, ["doc_id", "quality", "review_state"]
     )
     return out.orderBy("doc_id")
 
@@ -1776,11 +1778,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS vec_id, min(comp)::BIGINT AS comp
             FROM walk GROUP BY id ORDER BY vec_id""",
         "rt_evolve": """
-            SELECT doc_id, 0.25::DOUBLE AS quality, 'pending' AS review
+            SELECT doc_id, 0.25::DOUBLE AS quality,
+                   'pending' AS review_state
             FROM documents
             UNION ALL
             SELECT doc_id + 10000000 AS doc_id, 0.75::DOUBLE AS quality,
-                   'done' AS review
+                   'done' AS review_state
             FROM documents
             ORDER BY doc_id""",
         "corpus_pack": """

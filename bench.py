@@ -504,6 +504,9 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "agg_lineitem_pricing",
         "sessionize",
         "txt_repetition",
+        "corpus_pack",
+        "domain_quota",
+        "dedup_chunk_filter",
     ):
         timed(timings, name, lambda n=name: force(qs[n](spark, sf_dir)))
 

@@ -97,7 +97,10 @@ def blocks_schema(
     for c in columns:
         g = m2g.get(c["name"])
         if g is None:
-            fields.append(T.StructField(blob_col(c["name"]), T.BinaryType()))
+            # renamed columns keep their immutable physical payload name
+            fields.append(
+                T.StructField(blob_col(c.get("physical", c["name"])), T.BinaryType())
+            )
         elif g not in emitted:
             emitted.add(g)
             fields.append(T.StructField(blob_col(g), T.BinaryType()))
@@ -955,6 +958,12 @@ def append_chunk(
     man_names = [c["name"] for c in man["columns"]]
     if df.columns != man_names and set(df.columns) == set(man_names):
         df = df.select(*man_names)
+    # renamed columns: encode under the immutable PHYSICAL payload name
+    # so this chunk's blobs line up with every older chunk's
+    for c in man["columns"]:
+        p = c.get("physical", c["name"])
+        if p != c["name"] and c["name"] in df.columns:
+            df = df.withColumnRenamed(c["name"], p)
     key = man["key"]
     n = df.count()
     t0 = time.time()
@@ -972,13 +981,14 @@ def append_chunk(
         shuffle=shuffle,
     )
     chunk_man["key"]["ts_origin"] = key["ts_origin"]
-    if [(c["name"], c["spark_type"]) for c in chunk_man["columns"]] != [
-        (c["name"], c["spark_type"]) for c in man["columns"]
-    ]:
+    expected = [
+        (c.get("physical", c["name"]), c["spark_type"]) for c in man["columns"]
+    ]
+    if [(c["name"], c["spark_type"]) for c in chunk_man["columns"]] != expected:
         raise ValueError(
             "appended DataFrame columns do not match the table's: "
             f"{[(c['name'], c['spark_type']) for c in chunk_man['columns']]} "
-            f"vs {[(c['name'], c['spark_type']) for c in man['columns']]}"
+            f"vs {expected}"
         )
     # carry evolution metadata through re-finalization: the new chunk's
     # plain column specs would otherwise shed added_snapshot/default
@@ -1214,8 +1224,10 @@ def evolve_add_column(
             "schema evolution needs a chunked-layout table (data/chunk=*/)"
         )
     names = [c["name"] for c in man["columns"]]
-    if name in names:
-        raise ValueError(f"column {name!r} already exists")
+    physicals = {c.get("physical", c["name"]) for c in man["columns"]}
+    if name in names or name in physicals:
+        raise ValueError(f"column {name!r} already exists (or is a "
+                         "renamed column's physical payload name)")
     if name in man.get("dropped_columns", []):
         raise ValueError(
             f"column name {name!r} was dropped earlier and cannot be "
@@ -1236,6 +1248,59 @@ def evolve_add_column(
     man["columns"] = list(man["columns"]) + [spec]
     man, _ = _evolve_commit(
         spark, path, man, "add-column", {"column": name, "spark_type": spark_type}
+    )
+    return man
+
+
+def evolve_rename_column(
+    spark: SparkSession, path: str, old: str, new: str
+) -> dict:
+    """ALTER TABLE RENAME COLUMN (metadata-only). The payload keeps its
+    immutable PHYSICAL name — old and new chunks agree on one blob name
+    forever (the Iceberg field-id discipline); only the manifest's
+    logical name changes, so readers, appends and compaction all route
+    through the ``physical`` mapping. The old logical name is tombstoned
+    (its payload bytes live on under the physical name). Key columns
+    (url/ts) and column-group members cannot be renamed."""
+    man = mf.read_sidecar(path, spark)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest at {path}")
+    names = [c["name"] for c in man["columns"]]
+    physicals = {c.get("physical", c["name"]) for c in man["columns"]}
+    if old not in names:
+        raise ValueError(f"no column {old!r}; have {names}")
+    if new in names or new in physicals:
+        raise ValueError(f"column {new!r} already exists (or is a "
+                         "renamed column's physical payload name)")
+    if new in man.get("dropped_columns", []):
+        raise ValueError(
+            f"column name {new!r} was dropped or renamed away earlier "
+            "and cannot be reused"
+        )
+    if old == man.get("url_col") or old == man.get("ts_col"):
+        raise ValueError(f"cannot rename key column {old!r}")
+    in_group = member_to_group(man.get("column_groups"))
+    if old in in_group:
+        raise ValueError(
+            f"column {old!r} is interleaved in column group "
+            f"{in_group[old]!r}; rename is only supported for standalone "
+            "columns"
+        )
+    man = dict(man)
+    cols = []
+    for c in man["columns"]:
+        if c["name"] == old:
+            c = dict(c)
+            # chained renames keep the ORIGINAL physical name
+            c["physical"] = c.get("physical", old)
+            c["name"] = new
+        cols.append(c)
+    man["columns"] = cols
+    man["dropped_columns"] = sorted(
+        set(man.get("dropped_columns", [])) | {old}
+    )
+    man, _ = _evolve_commit(
+        spark, path, man, "rename-column", {"from": old, "to": new}
     )
     return man
 
@@ -1262,9 +1327,13 @@ def evolve_drop_column(spark: SparkSession, path: str, name: str) -> dict:
             "columns (group payloads are one blob)"
         )
     man = dict(man)
+    spec = next(c for c in man["columns"] if c["name"] == name)
     man["columns"] = [c for c in man["columns"] if c["name"] != name]
+    # tombstone the physical payload name too: that is the blob whose
+    # stale bytes a reused name would resurface
     man["dropped_columns"] = sorted(
-        set(man.get("dropped_columns", [])) | {name}
+        set(man.get("dropped_columns", []))
+        | {name, spec.get("physical", name)}
     )
     man, _ = _evolve_commit(spark, path, man, "drop-column", {"column": name})
     return man

@@ -229,15 +229,21 @@ def _colspecs(man: dict, cols: list[str] | None) -> list[tuple[str, str, str]]:
 def _blob_plan(man: dict, specs: list[tuple[str, str, str]]):
     """Resolve which blob columns the requested logical columns live in
     (column-group members share one interleaved blob) and build a
-    per-row payload getter that decompresses each touched group ONCE."""
+    per-row payload getter that decompresses each touched group ONCE.
+
+    Renamed columns: the payload keeps its immutable PHYSICAL name
+    (the Iceberg field-id discipline — old and new chunks then agree on
+    one blob name forever); the manifest's ``physical`` key maps the
+    logical name here, the single payload-resolution choke point."""
     from .codecs import registry as _registry
 
+    phys = {c["name"]: c.get("physical", c["name"]) for c in man["columns"]}
     groups = man.get("column_groups") or {}
     m2g = {m: g for g, ms in groups.items() for m in ms}
     blob_names: list[str] = []
     seen: set[str] = set()
     for name, _, _ in specs:
-        b = blob_col(m2g.get(name, name))
+        b = blob_col(m2g.get(name, phys.get(name, name)))
         if b not in seen:
             seen.add(b)
             blob_names.append(b)
@@ -248,7 +254,7 @@ def _blob_plan(man: dict, specs: list[tuple[str, str, str]]):
         def get(name: str) -> bytes | None:
             g = m2g.get(name)
             if g is None:
-                return get_blob(blob_col(name))
+                return get_blob(blob_col(phys.get(name, name)))
             if g not in cache:
                 blob = get_blob(blob_col(g))
                 cache[g] = (
@@ -261,6 +267,33 @@ def _blob_plan(man: dict, specs: list[tuple[str, str, str]]):
         return get
 
     return blob_names, payload_getter
+
+
+def _evo_decode_fn(columns: list[dict], specs):
+    """Evolution-aware per-column decode: a NULL payload (chunk older
+    than an added column) yields the column's recorded default instead
+    of crashing. Returns ``dec(get, name, kind, n) -> pa.Array``."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as _T
+    from pyspark.sql.pandas.types import to_arrow_schema as _tas
+
+    defaults = {c["name"]: c.get("default") for c in columns}
+    logical = _tas(
+        _T._parse_datatype_string(
+            ", ".join(f"`{n}` {t}" for n, t, _ in specs)
+        )
+    )
+
+    def dec(get, name: str, kind: str, n: int) -> "pa.Array":
+        raw = get(name)
+        if raw is None:
+            d = defaults.get(name)
+            ft = logical.field(name).type
+            return pa.nulls(n, ft) if d is None else pa.array([d] * n, type=ft)
+        return selector.decode_column_arrow(raw, kind, n)
+
+    return dec
 
 
 def decode_blocks(
@@ -623,7 +656,6 @@ def transform_blocks(
 
     columns = man["columns"]
     specs = [(c["name"], c["spark_type"], c["kind"]) for c in columns]
-    col_specs = [(c["name"], c["kind"], c.get("codec")) for c in columns]
     sort_cols = sort_cols_for(columns, man["url_col"], man["ts_col"])
     ts_col = man["ts_col"]
     effort = man.get("effort", selector.EFFORT_MAX)
@@ -631,6 +663,11 @@ def transform_blocks(
     schema = blocks_schema(columns, groups)
     blob_names, payload_getter = _blob_plan(man, specs)
     fcols = list(filter_cols) if filter_cols else [n for n, _, _ in specs]
+    p_of = {c["name"]: c.get("physical", c["name"]) for c in columns}
+    col_specs = [
+        (p_of[c["name"]], c["kind"], c.get("codec")) for c in columns
+    ]
+    dec = _evo_decode_fn(columns, specs)
 
     def fn(batches):
         for pdf in batches:
@@ -640,10 +677,14 @@ def transform_blocks(
             ix = {c: i for i, c in enumerate(pdf.columns)}
             for r in pdf.itertuples(index=False, name=None):
                 n = int(r[ix["n_rows"]])
-                get = payload_getter(lambda b, r=r: bytes(r[ix[b]]))
+
+                def get_raw(b, r=r):
+                    v = r[ix[b]]
+                    return None if v is None else bytes(v)
+
+                get = payload_getter(get_raw)
                 arrays = {
-                    name: selector.decode_column_arrow(get(name), kind, n)
-                    for name, _, kind in specs
+                    name: dec(get, name, kind, n) for name, _, kind in specs
                 }
                 frame = pd.DataFrame(
                     {name: _arrow_to_pandas(arrays[name], kindmap[name]) for name in fcols}
@@ -651,7 +692,9 @@ def transform_blocks(
                 mask = np.asarray(row_filter(frame), dtype=bool)
                 if not mask.any():
                     continue
-                tbl = pa.table({name: arrays[name] for name, _, _ in specs})
+                # physical payload names (renamed columns) so re-encoded
+                # blobs line up with blocks_schema
+                tbl = pa.table({p_of[name]: arrays[name] for name, _, _ in specs})
                 if not mask.all():
                     tbl = tbl.filter(pa.array(mask))
                 out_rows.append(
@@ -863,7 +906,6 @@ def transform_blocks_to_null(
 
     columns = man["columns"]
     specs = [(c["name"], c["spark_type"], c["kind"]) for c in columns]
-    col_specs = [(c["name"], c["kind"], c.get("codec")) for c in columns]
     sort_cols = sort_cols_for(columns, man["url_col"], man["ts_col"])
     ts_col = man["ts_col"]
     effort = man.get("effort", selector.EFFORT_MAX)
@@ -876,6 +918,11 @@ def transform_blocks_to_null(
     unknown = to_null - {n for n, _, _ in specs}
     if unknown:
         raise ValueError(f"null_cols not in table: {sorted(unknown)}")
+    p_of = {c["name"]: c.get("physical", c["name"]) for c in columns}
+    col_specs = [
+        (p_of[c["name"]], c["kind"], c.get("codec")) for c in columns
+    ]
+    dec = _evo_decode_fn(columns, specs)
 
     def fn(batches):
         for pdf in batches:
@@ -883,10 +930,14 @@ def transform_blocks_to_null(
             ix = {c: i for i, c in enumerate(pdf.columns)}
             for r in pdf.itertuples(index=False, name=None):
                 n = int(r[ix["n_rows"]])
-                get = payload_getter(lambda b, r=r: bytes(r[ix[b]]))
+
+                def get_raw(b, r=r):
+                    v = r[ix[b]]
+                    return None if v is None else bytes(v)
+
+                get = payload_getter(get_raw)
                 arrays = {
-                    name: selector.decode_column_arrow(get(name), kind, n)
-                    for name, _, kind in specs
+                    name: dec(get, name, kind, n) for name, _, kind in specs
                 }
                 frame = pd.DataFrame(
                     {name: _arrow_to_pandas(arrays[name], kindmap[name]) for name in fcols}
@@ -897,7 +948,7 @@ def transform_blocks_to_null(
                     arr = arrays[name]
                     if name in to_null:
                         arr = pc.if_else(mask, arr, pa.scalar(None, type=arr.type))
-                    cols[name] = arr
+                    cols[p_of[name]] = arr
                 out_rows.append(
                     encode_block_arrow(
                         pa.table(cols), col_specs, sort_cols, zlib_level,
@@ -1085,7 +1136,14 @@ def compact_blocks(
 
     columns = man["columns"]
     specs = [(c["name"], c["spark_type"], c["kind"]) for c in columns]
-    col_specs = [(c["name"], c["kind"], c.get("codec")) for c in columns]
+    # re-encode under the immutable PHYSICAL payload names (renamed
+    # columns): decode resolves logical->physical via _blob_plan; the
+    # merged table and encode kernel stay physical so rewritten blobs
+    # line up with blocks_schema and with passthrough rows
+    p_of = {c["name"]: c.get("physical", c["name"]) for c in columns}
+    col_specs = [
+        (p_of[c["name"]], c["kind"], c.get("codec")) for c in columns
+    ]
     sort_cols = sort_cols_for(columns, man["url_col"], man["ts_col"])
     ts_col = man["ts_col"]
     effort = man.get("effort", selector.EFFORT_MAX)
@@ -1113,7 +1171,7 @@ def compact_blocks(
         total = int(pc.sum(n_rows_col).as_py() or 0)
         if tbl.num_rows == 1 and total <= max_rows_per_block:
             return tbl.select(out_names)  # passthrough: no decode
-        per_col: dict[str, list] = {name: [] for name, _, _ in specs}
+        per_col: dict[str, list] = {p_of[name]: [] for name, _, _ in specs}
         for r in range(tbl.num_rows):
             n = int(n_rows_col[r].as_py())
             get = payload_getter(lambda b, r=r: tbl[b][r].as_py())
@@ -1135,9 +1193,12 @@ def compact_blocks(
                     )
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
-                per_col[name].append(arr)
+                per_col[p_of[name]].append(arr)
         merged = pa.table(
-            {name: pa.concat_arrays(per_col[name]) for name, _, _ in specs}
+            {
+                p_of[name]: pa.concat_arrays(per_col[p_of[name]])
+                for name, _, _ in specs
+            }
         )
         # one deterministic sort up front; contiguous slices become the
         # salted sub-rows (encode_block_arrow's own sort is then a

@@ -125,6 +125,77 @@ def test_time_travel_before_evolution_still_reads(spark, evo_table):
     assert {r["quality"] for r in rows} == {0.5}
 
 
+@pytest.fixture(scope="module")
+def renamed_table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ren") / "tbl")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    web = docs.select(
+        F.concat(F.lit("https://r/"), F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60).alias("warc_ts"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=32)
+    encode.evolve_rename_column(spark, path, "text", "body")
+    return path, web
+
+
+def test_rename_column_reads_and_appends(spark, renamed_table):
+    path, web = renamed_table
+    man = scan.read_manifest(spark, path)
+    spec = next(c for c in man["columns"] if c["name"] == "body")
+    assert spec["physical"] == "text"
+    assert "text" in man["dropped_columns"]
+
+    # old chunks decode under the new logical name
+    out = scan.decode_blocks(scan.read_blocks(spark, path), man, ["doc_id", "body"])
+    orig = {r["doc_id"]: r["text"] for r in web.select("doc_id", "text").collect()}
+    got = {r["doc_id"]: r["body"] for r in out.collect()}
+    assert got == orig
+
+    # append with the NEW name: blobs land under the immutable physical
+    # name so old and new chunks agree
+    extra = web.withColumnRenamed("text", "body").withColumn(
+        "doc_id", F.col("doc_id") + 500
+    )
+    encode.append_chunk(spark, extra, path)
+    man2 = scan.read_manifest(spark, path)
+    assert next(c for c in man2["columns"] if c["name"] == "body")["physical"] == "text"
+    out2 = scan.decode_blocks(scan.read_blocks(spark, path), man2, ["doc_id", "body"])
+    assert out2.count() == 120
+    assert out2.where(F.col("body").isNull()).count() == 0
+
+
+def test_rename_guards(spark, renamed_table):
+    path, _ = renamed_table
+    with pytest.raises(ValueError, match="already exists"):
+        encode.evolve_rename_column(spark, path, "lang", "body")
+    with pytest.raises(ValueError, match="physical payload name"):
+        encode.evolve_rename_column(spark, path, "lang", "text")
+    with pytest.raises(ValueError, match="key column"):
+        encode.evolve_rename_column(spark, path, "url", "uri")
+    with pytest.raises(ValueError, match="physical payload name"):
+        encode.evolve_add_column(spark, path, "text", "string")
+
+
+def test_rename_then_mask_and_compact(spark, renamed_table, tmp_path):
+    path, _ = renamed_table
+    man = scan.read_manifest(spark, path)
+    blocks = scan.read_blocks(spark, path)
+    # row-dropping mask re-encodes under the physical name: round-trips
+    masked = scan.mask_values_in(blocks, man, "lang", ["en"])
+    dec = scan.decode_blocks(masked, man, ["doc_id", "body", "lang"])
+    assert {r["lang"] for r in dec.select("lang").distinct().collect()} == {"en"}
+    assert dec.where(F.col("body").isNull()).count() == 0
+    # compaction keeps the physical mapping and stays readable
+    dst = str(tmp_path / "ren_compact")
+    scan.compact_to_path(spark, path, dst)
+    man2 = scan.read_manifest(spark, dst)
+    out = scan.decode_blocks(scan.read_blocks(spark, dst), man2, ["doc_id", "body"])
+    assert out.count() == 120
+
+
 def test_datasource_reads_evolved_table(spark, evo_table):
     from duckdb_raquet_spark.datasource import RaquetDataSource
 
