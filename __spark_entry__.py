@@ -1089,6 +1089,47 @@ def q_rt_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def q_rt_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level deletes (Iceberg equality-delete files, merge-on-read):
+    encode 2 chunks, DELETE the doc_id%7==0 urls (seq=1), append a
+    chunk RE-INSERTING the %14==0 half under fresh doc_ids (chunk 2 >
+    seq — the sequence rule keeps them visible), DELETE lang='de'
+    (seq=2, applies everywhere). No data file is rewritten; the read is
+    decode + two broadcast anti-joins (scan.read_rows)."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/raquet_entry_del_{tag}_v{drs.__version__}"
+    need = True
+    try:
+        man0 = scan.read_manifest(spark, path)
+        if (
+            man0.get("engine") == f"duckdb_raquet_spark/{drs.__version__}"
+            and len(man0.get("delete_files", [])) == 2
+        ):
+            need = False
+    except Exception:
+        pass
+    if need:
+        df = _webtext(spark, sf_dir).select(
+            "url", "warc_ts", "text", "lang", "doc_id"
+        )
+        encode.encode_to_path(
+            spark, df, path, chunks=2, target_rows_per_block=512
+        )
+        encode.delete_rows(
+            spark, path, "url",
+            df.where(F.col("doc_id") % 7 == 0).select("url"),
+        )
+        reins = df.where(F.col("doc_id") % 14 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        )
+        encode.append_chunk(spark, reins, path)
+        encode.delete_rows(spark, path, "lang", ["de"])
+    out = scan.read_rows(spark, path, ["doc_id", "lang"])
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    ).orderBy("doc_id")
+
+
 def q_txt_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (Brown et al. 2020 §C): per training
     doc, count of distinct word n-grams shared with an eval corpus
@@ -1203,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota": q_domain_quota,
         "dedup_chunk_filter": q_dedup_chunk_filter,
         "rt_evolve": q_rt_evolve,
+        "rt_delete": q_rt_delete,
         # --- core raquet-analog scan/encode surface ---
         "rt_roundtrip": q_rt_roundtrip,
         "rt_datasource": q_rt_datasource,
@@ -1235,9 +1277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
         "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
         # --- past the driver's 50-query cap: redundant variants of
         # scored siblings (still judge-checkable via check_oracle.py) ---
+        "ann_lsh": q_ann_lsh,
         "rt_mask_range": q_rt_mask_range,
         "txt_quality": q_txt_quality,
         "rt_events": q_rt_events,
@@ -1785,6 +1827,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id + 10000000 AS doc_id, 0.75::DOUBLE AS quality,
                    'done' AS review_state
             FROM documents
+            ORDER BY doc_id""",
+        "rt_delete": """
+            SELECT doc_id::BIGINT AS doc_id, lang
+            FROM documents
+            WHERE doc_id % 7 <> 0 AND lang <> 'de'
+            UNION ALL
+            SELECT (doc_id + 10000000)::BIGINT AS doc_id, lang
+            FROM documents
+            WHERE doc_id % 14 = 0 AND lang <> 'de'
             ORDER BY doc_id""",
         "corpus_pack": """
             WITH t AS (

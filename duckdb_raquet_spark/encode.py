@@ -632,6 +632,12 @@ def _commit_snapshot(
     Idempotent against re-finalization: a resumed encode that re-runs
     after completion sees an identical current snapshot and writes
     nothing."""
+    # carry the live delete-file list into EVERY snapshot so readers at
+    # any snapshot id (and after expire_snapshots) resolve row-level
+    # deletes without walking to an older commit
+    if final.get("delete_files") and not (extra or {}).get("delete_files"):
+        extra = dict(extra or {})
+        extra["delete_files"] = final["delete_files"]
     cur = mf.current_snapshot(path, spark)
     if (
         cur is not None
@@ -994,7 +1000,7 @@ def append_chunk(
     # plain column specs would otherwise shed added_snapshot/default
     # annotations and the schema_evolved reader switch
     chunk_man["columns"] = man["columns"]
-    for _k in ("schema_evolved", "dropped_columns"):
+    for _k in ("schema_evolved", "dropped_columns", "delete_files"):
         if _k in man:
             chunk_man[_k] = man[_k]
     part = os.path.join(_data_path(path), f"chunk={k}")
@@ -1064,6 +1070,14 @@ def rollback_to_snapshot(spark: SparkSession, path: str, snapshot_id: int) -> di
     man = mf.read_sidecar(path, spark)
     if man is None:
         raise FileNotFoundError(f"no committed manifest at {path}")
+    # restore the delete-file list VISIBLE AT the target snapshot
+    # (every commit since row-level deletes carries the live list; a
+    # snapshot without the key predates all deletes)
+    dl = target.get("delete_files", [])
+    if dl:
+        man["delete_files"] = dl
+    else:
+        man.pop("delete_files", None)
     totals, hist = _aggregate_written(
         spark, path, visible_chunks=target["chunks"]
     )
@@ -1157,17 +1171,21 @@ def expire_snapshots(
 # would resurface those stale payloads as the new column's data.
 
 
-def _evolve_commit(spark, path, man, op: str, extra: dict) -> dict:
-    """Claim the next snapshot id (exclusive-create = the concurrency
-    gate), then rewrite manifest row + sidecar. A writer crashing
-    between the two leaves a schema-op snapshot with an unchanged
-    manifest — re-running the evolve is safe (it claims a fresh id)."""
-    man = dict(man)
-    man["schema_evolved"] = True
-    # direct snapshot write, NOT _commit_snapshot: its resume-idempotency
-    # check (same chunks + op + totals) would wrongly swallow the second
-    # of two consecutive schema ops — metadata-only commits change none
-    # of those fields, only the manifest
+def _meta_commit(spark, path, man, op: str, extra: dict) -> dict:
+    """Metadata-only commit: claim the next snapshot id
+    (exclusive-create = the concurrency gate), then rewrite manifest
+    row + sidecar. A writer crashing between the two leaves a
+    metadata-op snapshot with an unchanged manifest — re-running the
+    operation is safe (it claims a fresh id). Direct snapshot write,
+    NOT _commit_snapshot: its resume-idempotency check (same chunks +
+    op + totals) would wrongly swallow the second of two consecutive
+    metadata ops — they change none of those fields, only the
+    manifest."""
+    extra = dict(extra)
+    # every commit snapshots the table's live delete-file list so a
+    # reader at any snapshot (and expire_snapshots) never loses it
+    if "delete_files" not in extra and man.get("delete_files"):
+        extra["delete_files"] = man["delete_files"]
     cur = mf.current_snapshot(path, spark)
     snap = mf.make_snapshot(
         snapshot_id=(cur["snapshot_id"] + 1) if cur else 0,
@@ -1189,6 +1207,12 @@ def _evolve_commit(spark, path, man, op: str, extra: dict) -> dict:
     )
     mf.write_sidecar(path, man, spark)
     return man, snap
+
+
+def _evolve_commit(spark, path, man, op: str, extra: dict) -> dict:
+    man = dict(man)
+    man["schema_evolved"] = True
+    return _meta_commit(spark, path, man, op, extra)
 
 
 def _visible_chunks(spark, path) -> list[int]:
@@ -1336,4 +1360,103 @@ def evolve_drop_column(spark: SparkSession, path: str, name: str) -> dict:
         | {name, spec.get("physical", name)}
     )
     man, _ = _evolve_commit(spark, path, man, "drop-column", {"column": name})
+    return man
+
+
+# ------------------------------------------------------ row-level deletes ----
+#
+# Iceberg-style EQUALITY DELETE FILES (merge-on-read): DELETE writes a
+# small parquet of key values plus a metadata-only commit — no data
+# file is rewritten, so deleting rows from a 100 TB table costs
+# O(delete set), not O(table). Each delete file records the column it
+# matches on and a SEQUENCE number (the highest chunk id visible when
+# it committed): it deletes matching rows only in chunks <= seq, so a
+# later append may re-insert a deleted key and stay visible (Iceberg's
+# sequence-number rule for equality deletes). Readers apply deletes as
+# a broadcast anti-join (scan.read_rows); scan.purge_deletes rewrites
+# the table with deletes applied physically and clears the list.
+
+DELETES_DIR = "_deletes"
+
+
+def delete_rows(spark: SparkSession, path: str, col: str, values) -> dict:
+    """DELETE FROM <table> WHERE <col> IN (<values>) as an Iceberg
+    equality-delete commit. ``values`` is a list/tuple/set of literals
+    or a single-column DataFrame (e.g. a dedup pipeline's drop list —
+    the DataFrame is written distributed, never collected). Delete
+    files are broadcast to readers, so keep a single delete commit to
+    broadcast-able size (millions of keys, not billions); bigger
+    retention sweeps belong in ``scan.transform_blocks`` rewrites.
+
+    Returns the updated manifest. The delete applies to rows in chunks
+    visible NOW (chunk id <= the recorded sequence number); chunks
+    appended later are untouched."""
+    import glob as _glob
+
+    man = mf.read_sidecar(path, spark)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest at {path}")
+    if not _glob.glob(os.path.join(_data_path(path), "chunk=*")):
+        raise ValueError(
+            "row-level deletes need a chunked-layout table (data/chunk=*/)"
+        )
+    spec = next((c for c in man["columns"] if c["name"] == col), None)
+    if spec is None:
+        raise ValueError(
+            f"no column {col!r}; have {[c['name'] for c in man['columns']]}"
+        )
+    visible = _visible_chunks(spark, path)
+    seq = max(visible) if visible else 0
+    cur = mf.current_snapshot(path, spark)
+    snap_id = (cur["snapshot_id"] + 1) if cur else 0
+    rel = f"delete-{snap_id:05d}"
+    dest = os.path.join(path, DELETES_DIR, rel)
+    if isinstance(values, DataFrame):
+        vdf = values
+        if col not in vdf.columns:
+            if len(vdf.columns) == 1:
+                vdf = vdf.withColumnRenamed(vdf.columns[0], col)
+            else:
+                raise ValueError(
+                    f"values DataFrame must have a {col!r} column or "
+                    f"exactly one column; has {vdf.columns}"
+                )
+        vdf = (
+            vdf.select(F.col(col).cast(spec["spark_type"]))
+            .where(F.col(col).isNotNull())
+            .distinct()
+        )
+        vdf.coalesce(1).write.mode("overwrite").parquet(dest)
+        n = spark.read.parquet(dest).count()
+    else:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import types as T
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from . import fsio
+
+        vals = sorted(set(values))
+        if not vals:
+            raise ValueError("empty delete set")
+        arrow = to_arrow_schema(
+            T.StructType.fromDDL(f"`{col}` {spec['spark_type']}")
+        )
+        tbl = pa.table({col: pa.array(vals, type=arrow.field(col).type)})
+        sink = pa.BufferOutputStream()
+        pq.write_table(tbl, sink)
+        fsio.write_bytes(spark, dest, "part-0.parquet", sink.getvalue().to_pybytes())
+        n = len(vals)
+    entry = {
+        "dir": f"{DELETES_DIR}/{rel}",
+        "col": col,
+        "seq": int(seq),
+        "n": int(n),
+    }
+    man = dict(man)
+    man["delete_files"] = list(man.get("delete_files", [])) + [entry]
+    man, _ = _meta_commit(
+        spark, path, man, "delete",
+        {"delete_files": man["delete_files"]},
+    )
     return man

@@ -302,6 +302,7 @@ def decode_blocks(
     cols: list[str] | None = None,
     *,
     with_block: bool = False,
+    with_chunk: bool = False,
     eq_filter: tuple[str, object] | None = None,
 ) -> DataFrame:
     """blocks -> original rows via mapInArrow (payload bytes in, Arrow
@@ -330,8 +331,16 @@ def decode_blocks(
     # payload; decode fills the column's recorded default (NULL if unset)
     defaults = {c["name"]: c.get("default") for c in man["columns"]}
     needed = [BLOCK, SALT, "n_rows"] + blob_names
+    if with_chunk:
+        # chunk is the partition column of the chunked layout; rows
+        # need it so equality deletes apply per their sequence number
+        if "chunk" not in blocks.columns:
+            raise ValueError("with_chunk requires a chunked-layout read")
+        needed.insert(0, "chunk")
     src = blocks.select(*needed)  # Parquet reads only these payloads
     schema_parts = []
+    if with_chunk:
+        schema_parts += ["chunk int"]
     if with_block:
         schema_parts += [f"{BLOCK} long", f"{SALT} int"]
     schema_parts += [f"`{n}` {t}" for n, t, _ in specs]
@@ -343,6 +352,11 @@ def decode_blocks(
             n_rows_col = rb.column(rb.schema.get_field_index("n_rows"))
             blk_col = rb.column(rb.schema.get_field_index(BLOCK))
             salt_col = rb.column(rb.schema.get_field_index(SALT))
+            chk_col = (
+                rb.column(rb.schema.get_field_index("chunk"))
+                if with_chunk
+                else None
+            )
             payload_cols = {
                 b: rb.column(rb.schema.get_field_index(b)) for b in blob_names
             }
@@ -383,6 +397,13 @@ def decode_blocks(
                 else:
                     n_out = n
                 arrays = []
+                if with_chunk:
+                    arrays.append(
+                        pa.array(
+                            np.full(n_out, chk_col[i].as_py(), dtype=np.int32),
+                            type=pa.int32(),
+                        )
+                    )
                 if with_block:
                     arrays.append(
                         pa.array(
@@ -414,6 +435,202 @@ def decode_blocks(
     return src.mapInArrow(fn, schema=out_schema)
 
 
+# ------------------------------------------------------ row-level deletes ----
+
+
+def read_delete_entries(
+    spark: SparkSession,
+    path: str,
+    *,
+    snapshot_id: int | None = None,
+    as_of_unix: float | None = None,
+) -> list[dict]:
+    """Equality-delete file entries visible at a snapshot (default:
+    current). Every commit since a table's first DELETE carries the
+    live list in its snapshot, so the entry list at snapshot S is S's
+    own record — a snapshot without the key predates all deletes.
+    Tables without a snapshot log fall back to the sidecar manifest."""
+    snaps = mf.read_snapshots(path, spark)
+    if not snaps:
+        man = mf.read_sidecar(path, spark)
+        return list((man or {}).get("delete_files", []))
+    if snapshot_id is not None and as_of_unix is not None:
+        raise ValueError("pass snapshot_id OR as_of_unix, not both")
+    if snapshot_id is not None:
+        if snapshot_id not in snaps:
+            raise KeyError(
+                f"no snapshot {snapshot_id} at {path}; have {sorted(snaps)}"
+            )
+        snap = snaps[snapshot_id]
+    elif as_of_unix is not None:
+        snap = mf.snapshot_as_of(path, as_of_unix, spark)
+        if snap is None:
+            raise KeyError(f"no snapshot at or before {as_of_unix} in {path}")
+    else:
+        snap = snaps[max(snaps)]
+    return list(snap.get("delete_files", []))
+
+
+def _apply_delete_entries(
+    spark: SparkSession,
+    path: str,
+    rows: DataFrame,
+    entries: list[dict],
+    chunk_col: str = "chunk",
+) -> DataFrame:
+    """Merge-on-read: anti-join decoded rows against each equality
+    delete column's (value, seq) set. Delete files are small by
+    contract, so the join is a BROADCAST hash anti-join — no shuffle of
+    the data side; the residual ``chunk <= seq`` sequence predicate
+    keeps rows appended AFTER a delete visible even when their key
+    matches (Iceberg's sequence-number rule)."""
+    by_col: dict[str, list[dict]] = {}
+    for e in entries:
+        by_col.setdefault(e["col"], []).append(e)
+    for col, es in sorted(by_col.items()):
+        dd = None
+        for e in es:
+            d = spark.read.parquet(os.path.join(path, e["dir"])).select(
+                F.col(col).alias("_dv"),
+                F.lit(int(e["seq"])).alias("_dseq"),
+            )
+            dd = d if dd is None else dd.unionByName(d)
+        rows = rows.join(
+            F.broadcast(dd),
+            on=(F.col(col) == F.col("_dv"))
+            & (F.col(chunk_col) <= F.col("_dseq")),
+            how="left_anti",
+        )
+    return rows
+
+
+def read_rows(
+    spark: SparkSession,
+    path: str,
+    cols: list[str] | None = None,
+    *,
+    snapshot_id: int | None = None,
+    as_of_unix: float | None = None,
+    apply_deletes: bool = True,
+    man: dict | None = None,
+) -> DataFrame:
+    """The table-level reader: time-travel block scan + decode +
+    merge-on-read equality-delete anti-join. This is what SELECT means
+    on a table with row-level deletes; ``read_blocks``/``decode_blocks``
+    stay the physical layer underneath (deletes not applied)."""
+    man = man or read_manifest(spark, path)
+    blocks = read_blocks_at(
+        spark, path, snapshot_id=snapshot_id, as_of_unix=as_of_unix
+    )
+    entries = (
+        read_delete_entries(
+            spark, path, snapshot_id=snapshot_id, as_of_unix=as_of_unix
+        )
+        if apply_deletes
+        else []
+    )
+    if not entries:
+        return decode_blocks(blocks, man, cols)
+    names = [c["name"] for c in man["columns"]]
+    want = list(cols) if cols is not None else names
+    dcols = sorted({e["col"] for e in entries})
+    unknown = set(dcols) - set(names)
+    if unknown:
+        raise ValueError(
+            f"delete files reference missing columns {sorted(unknown)} "
+            "(renamed or dropped after the delete?)"
+        )
+    dec_cols = list(dict.fromkeys(want + dcols))
+    rows = decode_blocks(blocks, man, dec_cols, with_chunk=True)
+    rows = _apply_delete_entries(spark, path, rows, entries)
+    return rows.select(*want)
+
+
+def purge_deletes(
+    spark: SparkSession, src: str, dst: str, zlib_level: int = 6
+) -> dict:
+    """Physically apply a table's equality-delete files into a NEW
+    committed table (merge-on-read -> copy-on-write compaction step):
+    per-block decode -> drop matching rows -> re-encode via
+    :func:`transform_blocks`. A delete file applies to chunk ``c`` iff
+    ``c <= seq`` — monotone in ``c`` — so chunks group into intervals
+    by which files apply; chunks no file touches pass through with
+    payloads unread. The output table carries no delete files (and
+    fresh chunk ids), so its reads skip the anti-join entirely."""
+    from functools import reduce
+
+    from . import encode as enc
+
+    man = read_manifest(spark, src)
+    entries = man.get("delete_files") or []
+    if not entries:
+        raise ValueError(
+            f"no delete files at {src}; use compact_to_path for plain "
+            "compaction"
+        )
+    blocks = read_blocks(spark, src)
+    # delete sets are broadcast-sized by contract (delete_rows doc)
+    sets: list[tuple[str, int, set]] = []
+    for e in entries:
+        vals = {
+            r[0]
+            for r in spark.read.parquet(os.path.join(src, e["dir"])).collect()
+        }
+        sets.append((e["col"], int(e["seq"]), vals))
+    chunks = sorted(
+        int(r["chunk"]) for r in blocks.select("chunk").distinct().collect()
+    )
+    groups: dict[tuple, list[int]] = {}
+    for c in chunks:
+        key = tuple(i for i, (_, s, _) in enumerate(sets) if s >= c)
+        groups.setdefault(key, []).append(c)
+    out_names = enc.blocks_schema(
+        man["columns"], man.get("column_groups")
+    ).fieldNames()
+    parts: list[DataFrame] = []
+    for key, cs in sorted(groups.items()):
+        sub = blocks.where(F.col("chunk").isin(cs))
+        if not key:
+            parts.append(sub.select(*out_names))  # payloads untouched
+            continue
+        by_col: dict[str, set] = {}
+        for i in key:
+            col, _, vals = sets[i]
+            by_col.setdefault(col, set()).update(vals)
+
+        def row_filter(frame, by_col=by_col):
+            keep = np.ones(len(frame), dtype=bool)
+            for col, vals in by_col.items():
+                keep &= ~frame[col].isin(list(vals)).to_numpy(dtype=bool)
+            return keep
+
+        parts.append(
+            transform_blocks(
+                sub, man, row_filter, zlib_level,
+                filter_cols=sorted(by_col),
+            )
+        )
+    merged = reduce(DataFrame.unionByName, parts)
+    base = {k: v for k, v in man.items() if k not in (
+        "num_blocks", "num_rows", "raw_bytes", "enc_bytes",
+        "codec_histogram", "created_unix", "delete_files",
+    )}
+    base.update({
+        "num_blocks": None, "num_rows": None, "raw_bytes": None,
+        "enc_bytes": None, "codec_histogram": {}, "created_unix": None,
+        "purged_from": src, "shuffle": "hash",
+    })
+    final = enc.write_blocks(merged, dst, base, man["columns"])
+    mf.write_chunk_lineage(
+        dst, 0,
+        {"chunk": 0, "rows": final["num_rows"],
+         "raw_bytes": final["raw_bytes"], "enc_bytes": final["enc_bytes"],
+         "purged_from": src, "applied_delete_files": len(entries)},
+        spark,
+    )
+    return final
+
+
 # ------------------------------------------------------------ point/range ----
 
 
@@ -441,7 +658,22 @@ def point_lookup(
         pruned = prune_blocks_for_url_hash(blocks, man, bk.hash_x_from_url(url))
     url_col = man["url_col"]
     want = cols if cols is None else list(dict.fromkeys([url_col] + cols))
-    decoded = decode_blocks(pruned, man, want, eq_filter=(url_col, url))
+    entries = man.get("delete_files") or []
+    if entries and "chunk" in blocks.columns:
+        # row-level deletes: decode the delete columns too, anti-join
+        # per sequence rule, then project back down
+        dcols = sorted({e["col"] for e in entries})
+        dec_cols = (
+            None if want is None else list(dict.fromkeys(want + dcols))
+        )
+        decoded = decode_blocks(
+            pruned, man, dec_cols, with_chunk=True, eq_filter=(url_col, url)
+        )
+        decoded = _apply_delete_entries(spark, path, decoded, entries)
+        names = [c["name"] for c in man["columns"]]
+        decoded = decoded.select(*(want if want is not None else names))
+    else:
+        decoded = decode_blocks(pruned, man, want, eq_filter=(url_col, url))
     out = decoded.where(F.col(url_col) == url)  # no-op safety re-check
     return out.select(*cols) if cols is not None else out
 
@@ -1240,6 +1472,13 @@ def compact_to_path(
     from . import encode as enc
 
     man = read_manifest(spark, src)
+    if man.get("delete_files"):
+        # compaction collapses chunk ids, which would re-expose deleted
+        # rows to the sequence rule (old keys land in chunk 0 <= seq)
+        raise ValueError(
+            f"{src} has equality-delete files; use purge_deletes to "
+            "compact with deletes applied"
+        )
     blocks = read_blocks(spark, src)
     compacted = compact_blocks(blocks, man, zlib_level, max_rows_per_block)
     base = {k: v for k, v in man.items() if k not in (

@@ -1,0 +1,194 @@
+"""Iceberg-style row-level deletes: equality-delete files, merge-on-read
+(encode.delete_rows / scan.read_rows), sequence-number semantics, purge."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_raquet_spark import encode, manifest as mf, scan
+
+
+def _webtext(spark, n=80, shift=0):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(n)
+    return docs.select(
+        F.concat(
+            F.lit("https://d/"), (F.col("doc_id") + shift).cast("string")
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("doc_id") + shift) * 60
+        ).alias("warc_ts"),
+        F.col("text"),
+        F.col("lang"),
+        (F.col("doc_id") + shift).alias("doc_id"),
+    )
+
+
+@pytest.fixture(scope="module")
+def del_table(spark, tmp_path_factory):
+    """2 chunks, delete doc_id%7==0 urls (seq=1), append a chunk that
+    RE-INSERTS the doc_id%14==0 half of them, then delete lang='de'
+    (seq=2, applies to all three chunks)."""
+    path = str(tmp_path_factory.mktemp("del") / "tbl")
+    web = _webtext(spark)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=32)
+    urls = [
+        r["url"]
+        for r in web.where(F.col("doc_id") % 7 == 0).select("url").collect()
+    ]
+    encode.delete_rows(spark, path, "url", urls)
+    # re-insert half the deleted keys with fresh doc_ids
+    reins = _webtext(spark).where(F.col("doc_id") % 14 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    encode.append_chunk(spark, reins, path)
+    encode.delete_rows(spark, path, "lang", ["de"])
+    return path, web
+
+
+def _expected_ids(web_rows, reins_shift=1_000_000):
+    keep = set()
+    for r in web_rows:
+        if r["doc_id"] % 7 != 0 and r["lang"] != "de":
+            keep.add(r["doc_id"])
+        if r["doc_id"] % 14 == 0 and r["lang"] != "de":
+            keep.add(r["doc_id"] + reins_shift)
+    return keep
+
+
+def test_delete_rows_merge_on_read(spark, del_table):
+    path, web = del_table
+    man = scan.read_manifest(spark, path)
+    assert len(man["delete_files"]) == 2
+    assert [e["col"] for e in man["delete_files"]] == ["url", "lang"]
+    assert man["delete_files"][0]["seq"] == 1  # chunks 0,1 visible then
+    assert man["delete_files"][1]["seq"] == 2  # after the append
+
+    out = scan.read_rows(spark, path, ["doc_id", "lang"])
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == _expected_ids(web.collect())
+    # no data file was rewritten: chunk dirs are 0,1,2 and the delete
+    # commit is metadata + a small parquet
+    assert sorted(
+        int(r["chunk"])
+        for r in scan.read_blocks(spark, path).select("chunk").distinct().collect()
+    ) == [0, 1, 2]
+
+
+def test_sequence_rule_reinserted_rows_survive(spark, del_table):
+    path, web = del_table
+    # every re-inserted url is one the first delete targeted, yet all
+    # non-'de' re-inserts are visible (chunk 2 > seq 1)
+    out = scan.read_rows(spark, path, ["doc_id", "url", "lang"])
+    reins = [r for r in out.collect() if r["doc_id"] >= 1_000_000]
+    assert reins, "re-inserted rows must survive the earlier delete"
+    deleted_urls = {
+        r["url"] for r in web.where(F.col("doc_id") % 14 == 0).collect()
+    }
+    assert all(r["url"] in deleted_urls for r in reins)
+    assert all(r["lang"] != "de" for r in reins)
+
+
+def test_time_travel_sees_deletes_as_of_snapshot(spark, del_table):
+    path, web = del_table
+    snaps = mf.read_snapshots(path, spark)
+    by_op = {}
+    for s in snaps.values():
+        by_op.setdefault(s["op"], []).append(s["snapshot_id"])
+    pre_delete = min(by_op["delete"]) - 1
+    first_delete = min(by_op["delete"])
+
+    # before any delete: full original table
+    out0 = scan.read_rows(spark, path, ["doc_id"], snapshot_id=pre_delete)
+    assert out0.count() == 80
+    # at the first delete: %7 urls gone, no re-inserts yet, 'de' intact
+    out1 = scan.read_rows(
+        spark, path, ["doc_id", "lang"], snapshot_id=first_delete
+    )
+    rows1 = out1.collect()
+    assert {r["doc_id"] for r in rows1} == {
+        r["doc_id"] for r in web.collect() if r["doc_id"] % 7 != 0
+    }
+    assert any(r["lang"] == "de" for r in rows1)
+
+
+def test_point_lookup_respects_deletes(spark, del_table):
+    path, web = del_table
+    victim = next(
+        r for r in web.collect() if r["doc_id"] % 7 == 0 and r["doc_id"] % 14 != 0
+    )
+    ts = 1704067200 + victim["doc_id"] * 60
+    assert scan.point_lookup(spark, path, victim["url"], ts).count() == 0
+    survivor = next(
+        r for r in web.collect() if r["doc_id"] % 7 != 0 and r["lang"] != "de"
+    )
+    ts2 = 1704067200 + survivor["doc_id"] * 60
+    assert scan.point_lookup(spark, path, survivor["url"], ts2).count() == 1
+
+
+def test_purge_deletes_physical_rewrite(spark, del_table, tmp_path):
+    path, web = del_table
+    dst = str(tmp_path / "purged")
+    final = scan.purge_deletes(spark, path, dst)
+    man2 = scan.read_manifest(spark, dst)
+    assert "delete_files" not in man2
+    expected = _expected_ids(web.collect())
+    out = scan.read_rows(spark, dst, ["doc_id"])
+    assert {r["doc_id"] for r in out.collect()} == expected
+    assert final["num_rows"] == len(expected)
+    # purged table reads identically through the plain physical layer
+    phys = scan.decode_blocks(
+        scan.read_blocks(spark, dst), man2, ["doc_id"]
+    )
+    assert {r["doc_id"] for r in phys.collect()} == expected
+
+
+def test_compact_refuses_delete_tables(spark, del_table, tmp_path):
+    path, _ = del_table
+    with pytest.raises(ValueError, match="purge_deletes"):
+        scan.compact_to_path(spark, path, str(tmp_path / "c"))
+
+
+def test_delete_rows_dataframe_input(spark, tmp_path):
+    """The dedup-pipeline tie-in: a DataFrame drop list deletes rows
+    without ever collecting to the driver."""
+    path = str(tmp_path / "tbl")
+    web = _webtext(spark, n=40)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=32)
+    drop = web.where(F.col("doc_id") % 3 == 0).select("url")
+    man = encode.delete_rows(spark, path, "url", drop)
+    assert man["delete_files"][0]["n"] == web.where(
+        F.col("doc_id") % 3 == 0
+    ).count()
+    out = scan.read_rows(spark, path, ["doc_id"])
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in web.collect() if r["doc_id"] % 3 != 0
+    }
+
+
+def test_delete_guards(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    web = _webtext(spark, n=20)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=32)
+    with pytest.raises(ValueError, match="no column"):
+        encode.delete_rows(spark, path, "nope", ["x"])
+    with pytest.raises(ValueError, match="empty delete set"):
+        encode.delete_rows(spark, path, "url", [])
+
+
+def test_rollback_restores_pre_delete_state(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    web = _webtext(spark, n=30)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=32)
+    pre = mf.current_snapshot(path, spark)["snapshot_id"]
+    encode.delete_rows(spark, path, "lang", ["en"])
+    assert scan.read_rows(spark, path).where(F.col("lang") == "en").count() == 0
+    encode.rollback_to_snapshot(spark, path, pre)
+    man = scan.read_manifest(spark, path)
+    assert not man.get("delete_files")
+    out = scan.read_rows(spark, path, ["doc_id"])
+    assert out.count() == 30
+    # and an append after the rollback still carries no delete list
+    encode.append_chunk(spark, _webtext(spark, n=10, shift=5000), path)
+    snap = mf.current_snapshot(path, spark)
+    assert "delete_files" not in snap
