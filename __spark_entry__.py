@@ -1109,6 +1109,9 @@ def q_rt_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
     if need:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)  # never resume half-built
         df = _webtext(spark, sf_dir).select(
             "url", "warc_ts", "text", "lang", "doc_id"
         )
@@ -1124,6 +1127,55 @@ def q_rt_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         encode.append_chunk(spark, reins, path)
         encode.delete_rows(spark, path, "lang", ["de"])
+    out = scan.read_rows(spark, path, ["doc_id", "lang"])
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    ).orderBy("doc_id")
+
+
+def q_rt_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (Iceberg merge-on-read UPSERT, encode.upsert_rows):
+    encode 2 chunks, then one upsert whose df UPDATES every doc_id%9==0
+    row (lang -> 'xx', matched on url) and INSERTS the doc_id%25==0
+    docs under fresh urls/doc_ids. One equality delete + one appended
+    chunk; no existing data file is rewritten — the read resolves the
+    merge via the sequence-rule anti-join."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/raquet_entry_ups_{tag}_v{drs.__version__}"
+    need = True
+    try:
+        man0 = scan.read_manifest(spark, path)
+        snap0 = mf.current_snapshot(path, spark)
+        # the append is the LAST commit of a completed upsert — a run
+        # that died between its delete and its append must rebuild
+        if (
+            man0.get("engine") == f"duckdb_raquet_spark/{drs.__version__}"
+            and len(man0.get("delete_files", [])) == 1
+            and snap0 is not None
+            and snap0.get("op") == "append"
+        ):
+            need = False
+    except Exception:
+        pass
+    if need:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)  # never resume half-built
+        df = _webtext(spark, sf_dir).select(
+            "url", "warc_ts", "text", "lang", "doc_id"
+        )
+        encode.encode_to_path(
+            spark, df, path, chunks=2, target_rows_per_block=512
+        )
+        upd = df.where(F.col("doc_id") % 9 == 0).withColumn(
+            "lang", F.lit("xx")
+        )
+        ins = (
+            df.where(F.col("doc_id") % 25 == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(20_000_000))
+            .withColumn("url", F.concat(F.col("url"), F.lit("?v2")))
+        )
+        encode.upsert_rows(spark, upd.unionByName(ins), path, "url")
     out = scan.read_rows(spark, path, ["doc_id", "lang"])
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang"
@@ -1245,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunk_filter": q_dedup_chunk_filter,
         "rt_evolve": q_rt_evolve,
         "rt_delete": q_rt_delete,
+        "rt_upsert": q_rt_upsert,
         # --- core raquet-analog scan/encode surface ---
         "rt_roundtrip": q_rt_roundtrip,
         "rt_datasource": q_rt_datasource,
@@ -1263,7 +1316,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_binary_stats": q_mm_binary_stats,
         "enc_metrics": q_enc_metrics,
         "key_math": q_key_math,
-        "txt_tokens": q_txt_tokens,
         "txt_gopher": q_txt_gopher,
         "txt_logprob": q_txt_logprob,
         "dedup_chunks": q_dedup_chunks,
@@ -1279,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         # --- past the driver's 50-query cap: redundant variants of
         # scored siblings (still judge-checkable via check_oracle.py) ---
+        "txt_tokens": q_txt_tokens,
         "ann_lsh": q_ann_lsh,
         "rt_mask_range": q_rt_mask_range,
         "txt_quality": q_txt_quality,
@@ -1836,6 +1889,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT (doc_id + 10000000)::BIGINT AS doc_id, lang
             FROM documents
             WHERE doc_id % 14 = 0 AND lang <> 'de'
+            ORDER BY doc_id""",
+        "rt_upsert": """
+            SELECT doc_id::BIGINT AS doc_id,
+                   CASE WHEN doc_id % 9 = 0 THEN 'xx' ELSE lang END AS lang
+            FROM documents
+            UNION ALL
+            SELECT (doc_id + 20000000)::BIGINT AS doc_id, lang
+            FROM documents
+            WHERE doc_id % 25 = 0
             ORDER BY doc_id""",
         "corpus_pack": """
             WITH t AS (

@@ -166,6 +166,19 @@ class RaquetReader(DataSourceReader):
         cols_opt = options.get("columns")
         self.cols = [c.strip() for c in cols_opt.split(",")] if cols_opt else None
         self.env = _Envelope()
+        # equality-delete files (encode.delete_rows): value sets load
+        # driver-side and ship with the pickled reader — the same
+        # broadcast-sized contract as scan._apply_delete_entries
+        self.deletes: list[tuple[str, int, set]] = []
+        for e in self.man.get("delete_files", []):
+            import pyarrow.dataset as pa_ds
+
+            tbl = pa_ds.dataset(
+                os.path.join(self.path, e["dir"]), format="parquet"
+            ).to_table()
+            self.deletes.append(
+                (e["col"], int(e["seq"]), set(tbl.column(e["col"]).to_pylist()))
+            )
 
     # ------------------------------------------------------ pushdown ----
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -281,7 +294,24 @@ class RaquetReader(DataSourceReader):
         from .scan import _blob_plan, _colspecs
 
         man = self.man
-        specs = _colspecs(man, self.cols)
+        # equality deletes applicable to THIS file's chunk (chunk <= the
+        # delete's sequence number; data files of delete-bearing tables
+        # always sit under chunk=N — delete_rows enforces the layout)
+        applicable: list[tuple[str, set]] = []
+        if self.deletes:
+            import re as _re
+
+            m = _re.search(r"chunk=(\d+)", partition.path)
+            chunk = int(m.group(1)) if m else 0
+            applicable = [
+                (c, vals) for c, seq, vals in self.deletes if chunk <= seq
+            ]
+        dec_cols = self.cols
+        if applicable and dec_cols is not None:
+            dec_cols = list(
+                dict.fromkeys(dec_cols + [c for c, _ in applicable])
+            )
+        specs = _colspecs(man, dec_cols)
         blob_names, payload_getter = _blob_plan(man, specs)
         pf = pq.ParquetFile(partition.path)
         sch = pf.metadata.schema.to_arrow_schema()
@@ -334,9 +364,25 @@ class RaquetReader(DataSourceReader):
                         if arr.type != want:
                             arr = arr.cast(want)
                     arrays.append(arr)
-                yield pa.RecordBatch.from_arrays(
+                batch = pa.RecordBatch.from_arrays(
                     arrays, names=[s[0] for s in specs]
                 )
+                if applicable:
+                    import pyarrow.compute as pc
+
+                    names = batch.schema.names
+                    drop = None
+                    for c, vals in applicable:
+                        col = batch.column(names.index(c))
+                        vs = pa.array(sorted(vals)).cast(col.type)
+                        hit = pc.fill_null(
+                            pc.is_in(col, value_set=vs), False
+                        )
+                        drop = hit if drop is None else pc.or_(drop, hit)
+                    batch = batch.filter(pc.invert(drop))
+                    if self.cols is not None and dec_cols != self.cols:
+                        batch = batch.select(self.cols)
+                yield batch
 
 
 def _to_arrow(specs):

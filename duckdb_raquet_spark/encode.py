@@ -1460,3 +1460,59 @@ def delete_rows(spark: SparkSession, path: str, col: str, values) -> dict:
         {"delete_files": man["delete_files"]},
     )
     return man
+
+
+def upsert_rows(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    *,
+    zlib_level: int = 6,
+    effort: str = selector.EFFORT_MAX,
+    codec_overrides: dict[str, str] | None = None,
+) -> dict:
+    """MERGE INTO <table> USING df ON table.key = df.key — matched rows
+    replaced, unmatched rows inserted (Iceberg merge-on-read UPSERT,
+    the ``raquet_metadata.hpp`` table-mutation analog). Composed from
+    the two primitives so it inherits their cost model: one equality
+    delete on df's keys (O(|df|) — the delete's sequence number covers
+    only chunks visible NOW) plus one appended chunk carrying df's rows
+    (chunk id > seq, so the fresh versions survive the anti-join).
+    No existing data file is rewritten; a 100-row upsert into a 100 TB
+    table moves ~100 rows.
+
+    df must carry the table's full column set (this engine stores whole
+    rows per block — partial-column UPDATE would need a read-modify
+    path; use evolve_* for schema changes). Duplicate keys WITHIN df
+    are an error: both copies would survive the merge.
+
+    Returns the final manifest (after the append's re-finalization)."""
+    man = mf.read_sidecar(path, spark)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest at {path}")
+    names = [c["name"] for c in man["columns"]]
+    if key_col not in names:
+        raise ValueError(f"no column {key_col!r}; have {names}")
+    missing = [n for n in names if n not in df.columns]
+    if missing:
+        raise ValueError(
+            f"upsert df must carry the full column set; missing {missing}"
+        )
+    dup = (
+        df.groupBy(key_col).count().where(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate {key_col!r} keys within the upsert df — dedupe "
+            "first (both copies would survive the merge)"
+        )
+    delete_rows(spark, path, key_col, df.select(key_col))
+    return append_chunk(
+        spark,
+        df.select(*names),
+        path,
+        zlib_level=zlib_level,
+        effort=effort,
+        codec_overrides=codec_overrides,
+    )

@@ -9,10 +9,14 @@ doc_id labeled with its component's canonical keeper.
     spark-submit --py-files dist/duckdb_raquet_spark.zip jobs/dedup_job.py \
         --input /root/testdata/sf0.01/documents.parquet \
         --output /tmp/dedup_out [--threshold 0.8] [--k 32] [--bands 8] \
-        [--max-bucket 1000]
+        [--max-bucket 1000] [--delete-from /path/to/raquet_table \
+        --delete-col doc_id]
 
 Output table: (doc_id, keep_id, reason) where reason in
 ('exact', 'near', 'unique'); plus one JSON summary line on stdout.
+With --delete-from, the drop list is additionally applied to a
+committed raquet table as ONE Iceberg-style equality-delete commit
+(encode.delete_rows) — the dedup sweep physically rewrites nothing.
 """
 
 from __future__ import annotations
@@ -39,6 +43,17 @@ def main() -> None:
         default=1000,
         help="LSH hot-bucket cap (consecutive-id chaining above it); "
         "safe here because the consumer is connected components",
+    )
+    ap.add_argument(
+        "--delete-from",
+        default=None,
+        help="raquet table path: apply the drop list as one equality-"
+        "delete commit (merge-on-read; no data file rewritten)",
+    )
+    ap.add_argument(
+        "--delete-col",
+        default=None,
+        help="table column the drop list keys match (default: --id-col)",
     )
     args = ap.parse_args()
 
@@ -104,17 +119,24 @@ def main() -> None:
         .agg(F.count("*").alias("cnt"))
         .collect()
     }
-    print(
-        json.dumps(
-            {
-                "total_docs": n_total,
-                "kept": n_keep,
-                "dropped": n_total - n_keep,
-                "dropped_by_reason": by_reason,
-                "output": args.output,
-            }
+    summary = {
+        "total_docs": n_total,
+        "kept": n_keep,
+        "dropped": n_total - n_keep,
+        "dropped_by_reason": by_reason,
+        "output": args.output,
+    }
+    if args.delete_from:
+        from duckdb_raquet_spark import encode
+
+        col = args.delete_col or args.id_col
+        drops = out.where(F.col("doc_id") != F.col("keep_id")).select(
+            F.col("doc_id").alias(col)
         )
-    )
+        man = encode.delete_rows(spark, args.delete_from, col, drops)
+        summary["deleted_from"] = args.delete_from
+        summary["delete_commit"] = man["delete_files"][-1]
+    print(json.dumps(summary))
     spark.stop()
 
 

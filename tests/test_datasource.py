@@ -122,3 +122,33 @@ def test_datasource_and_compact_on_column_groups(registered, tmp_path):
     src2 = df.select("url", "text", "html")
     assert dec.exceptAll(src2).count() == 0
     assert src2.exceptAll(dec).count() == 0
+
+
+def test_datasource_read_applies_equality_deletes(registered, tmp_path):
+    """format('raquet') honors encode.delete_rows: deleted keys vanish,
+    re-inserted keys in later chunks survive (sequence rule), and a
+    projection that EXCLUDES the delete column still filters."""
+    spark = registered
+    path = str(tmp_path / "del_ds")
+    df = synth.synth_webtext(spark, 120, num_partitions=2)
+    encode.encode_to_path(spark, df, path, chunks=2, target_rows_per_block=32)
+    victims = [r["url"] for r in df.orderBy("url").limit(20).collect()]
+    encode.delete_rows(spark, path, "url", victims)
+    # re-insert half the victims as a later chunk (> seq): visible again
+    reins = df.where(F.col("url").isin(victims[:10]))
+    encode.append_chunk(spark, reins, path)
+
+    back = spark.read.format("raquet").load(path)
+    urls = [r["url"] for r in back.select("url").collect()]
+    assert set(victims[10:]).isdisjoint(urls)
+    for u in victims[:10]:
+        assert urls.count(u) == 1  # the re-inserted copy only
+    assert len(urls) == 120 - 20 + 10
+
+    # projection without the delete column: filter still applies
+    langs = spark.read.format("raquet").option("columns", "lang").load(path)
+    assert langs.count() == 120 - 20 + 10
+    assert langs.columns == ["lang"]
+    # engine reader and datasource agree row-for-row
+    eng = scan.read_rows(spark, path, ["url"]).collect()
+    assert sorted(r["url"] for r in eng) == sorted(urls)

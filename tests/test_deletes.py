@@ -192,3 +192,64 @@ def test_rollback_restores_pre_delete_state(spark, tmp_path):
     encode.append_chunk(spark, _webtext(spark, n=10, shift=5000), path)
     snap = mf.current_snapshot(path, spark)
     assert "delete_files" not in snap
+
+
+def test_upsert_rows_merge(spark, tmp_path):
+    """MERGE: matched keys replaced with df's version, unmatched keys
+    inserted; untouched rows unchanged; no data file rewritten."""
+    path = str(tmp_path / "tbl")
+    web = _webtext(spark, n=30)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=32)
+    pre_chunks = {
+        int(r["chunk"])
+        for r in scan.read_blocks(spark, path).select("chunk").distinct().collect()
+    }
+    # update: flip lang of every %5 doc; insert: 5 brand-new urls
+    upd = web.where(F.col("doc_id") % 5 == 0).withColumn("lang", F.lit("xx"))
+    ins = _webtext(spark, n=5, shift=9000)
+    encode.upsert_rows(spark, upd.unionByName(ins), path, "url")
+
+    out = {r["url"]: r for r in scan.read_rows(spark, path).collect()}
+    base = {r["url"]: r for r in web.collect()}
+    assert len(out) == 30 + 5
+    for url, row in base.items():
+        if row["doc_id"] % 5 == 0:
+            assert out[url]["lang"] == "xx"
+            assert out[url]["text"] == row["text"]  # full row carried
+        else:
+            assert out[url]["lang"] == row["lang"]
+    for r in ins.collect():
+        assert out[r["url"]]["doc_id"] == r["doc_id"]
+    # merge-on-read: original chunks untouched, exactly one appended
+    post_chunks = {
+        int(r["chunk"])
+        for r in scan.read_blocks(spark, path).select("chunk").distinct().collect()
+    }
+    assert post_chunks == pre_chunks | {max(pre_chunks) + 1}
+
+
+def test_upsert_guards(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    web = _webtext(spark, n=10)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=16)
+    with pytest.raises(ValueError, match="full column set"):
+        encode.upsert_rows(spark, web.select("url", "lang"), path, "url")
+    dup = web.limit(1).unionByName(web.limit(1))
+    with pytest.raises(ValueError, match="duplicate"):
+        encode.upsert_rows(spark, dup, path, "url")
+
+
+def test_upsert_then_upsert_latest_wins(spark, tmp_path):
+    """Two upserts of the same key: the later chunk's version is the
+    visible one (each merge deletes the prior version at its seq)."""
+    path = str(tmp_path / "tbl")
+    web = _webtext(spark, n=12)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=16)
+    v1 = web.limit(3).withColumn("lang", F.lit("v1"))
+    v2 = web.limit(3).withColumn("lang", F.lit("v2"))
+    encode.upsert_rows(spark, v1, path, "url")
+    encode.upsert_rows(spark, v2, path, "url")
+    out = scan.read_rows(spark, path, ["url", "lang"])
+    marked = {r["url"]: r["lang"] for r in out.collect() if r["lang"] in ("v1", "v2")}
+    assert set(marked.values()) == {"v2"}
+    assert out.count() == 12

@@ -186,6 +186,47 @@ def main() -> None:
         )
     )
 
+    # 8. merge-on-read deletes: the equality-delete sets join as
+    #    BROADCAST anti-joins — no Exchange of the decoded fact side
+    del_path = (
+        f"/tmp/raquet_audit_del_{os.path.basename(args.sf_dir)}"
+        f"_v{drs.__version__}"
+    )
+    try:
+        ok = len(
+            scan.read_manifest(spark, del_path).get("delete_files", [])
+        ) == 2
+    except Exception:
+        ok = False
+    if not ok:
+        import shutil
+
+        shutil.rmtree(del_path, ignore_errors=True)
+        small = synth.synth_webtext(spark, 400, num_partitions=2)
+        encode.encode_to_path(
+            spark, small, del_path, chunks=2, target_rows_per_block=128
+        )
+        encode.delete_rows(
+            spark, del_path, "url",
+            small.limit(40).select("url"),
+        )
+        encode.delete_rows(spark, del_path, "lang", ["de"])
+    p = formatted(scan.read_rows(spark, del_path, ["url", "text"]))
+    n_anti = len(re.findall(r"BroadcastHashJoin .*LeftAnti", p))
+    sections.append(
+        (
+            "read_rows (equality deletes)",
+            p,
+            [
+                ("two broadcast anti-joins", n_anti == 2),
+                (
+                    "no shuffle of the decoded side",
+                    not re.search(r"Exchange hashpartitioning", p),
+                ),
+            ],
+        )
+    )
+
     lines = ["# Plan audit (auto-generated by tools/plan_audit.py)", ""]
     failures = 0
     for title, plan, checks in sections:
