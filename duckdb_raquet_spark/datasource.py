@@ -176,8 +176,10 @@ class RaquetReader(DataSourceReader):
             tbl = pa_ds.dataset(
                 os.path.join(self.path, e["dir"]), format="parquet"
             ).to_table()
+            # column 0 positionally: the file's internal name may
+            # predate an evolve_rename_column of e["col"]
             self.deletes.append(
-                (e["col"], int(e["seq"]), set(tbl.column(e["col"]).to_pylist()))
+                (e["col"], int(e["seq"]), set(tbl.column(0).to_pylist()))
             )
 
     # ------------------------------------------------------ pushdown ----

@@ -1323,6 +1323,14 @@ def evolve_rename_column(
     man["dropped_columns"] = sorted(
         set(man.get("dropped_columns", [])) | {old}
     )
+    # equality-delete files referencing the column follow the rename
+    # (readers select the delete parquet's value column POSITIONALLY,
+    # so the file's internal name staying `old` is immaterial)
+    if man.get("delete_files"):
+        man["delete_files"] = [
+            {**e, "col": new} if e["col"] == old else e
+            for e in man["delete_files"]
+        ]
     man, _ = _evolve_commit(
         spark, path, man, "rename-column", {"from": old, "to": new}
     )
@@ -1349,6 +1357,12 @@ def evolve_drop_column(spark: SparkSession, path: str, name: str) -> dict:
             f"column {name!r} is interleaved in column group "
             f"{in_group[name]!r}; drop is only supported for standalone "
             "columns (group payloads are one blob)"
+        )
+    if any(e["col"] == name for e in man.get("delete_files", [])):
+        raise ValueError(
+            f"column {name!r} is referenced by live equality-delete "
+            "files; purge_deletes first (dropping it would strand "
+            "unresolvable deletes)"
         )
     man = dict(man)
     spec = next(c for c in man["columns"] if c["name"] == name)

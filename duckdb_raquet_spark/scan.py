@@ -490,8 +490,12 @@ def _apply_delete_entries(
     for col, es in sorted(by_col.items()):
         dd = None
         for e in es:
-            d = spark.read.parquet(os.path.join(path, e["dir"])).select(
-                F.col(col).alias("_dv"),
+            d0 = spark.read.parquet(os.path.join(path, e["dir"]))
+            # POSITIONAL select of the single value column: a delete
+            # file written before evolve_rename_column keeps the old
+            # name internally while the entry's `col` follows the rename
+            d = d0.select(
+                F.col(d0.columns[0]).alias("_dv"),
                 F.lit(int(e["seq"])).alias("_dseq"),
             )
             dd = d if dd is None else dd.unionByName(d)

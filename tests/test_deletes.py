@@ -253,3 +253,26 @@ def test_upsert_then_upsert_latest_wins(spark, tmp_path):
     marked = {r["url"]: r["lang"] for r in out.collect() if r["lang"] in ("v1", "v2")}
     assert set(marked.values()) == {"v2"}
     assert out.count() == 12
+
+
+def test_rename_carries_deletes_drop_refuses(spark, tmp_path):
+    """Schema evolution x deletes: RENAME remaps the delete entries'
+    logical column (value files read positionally), DROP of a column
+    with live deletes is refused until purge."""
+    path = str(tmp_path / "tbl")
+    web = _webtext(spark, n=24)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=16)
+    encode.delete_rows(spark, path, "lang", ["de", "fr"])
+    with pytest.raises(ValueError, match="purge_deletes"):
+        encode.evolve_drop_column(spark, path, "lang")
+    encode.evolve_rename_column(spark, path, "lang", "language")
+    man = scan.read_manifest(spark, path)
+    assert [e["col"] for e in man["delete_files"]] == ["language"]
+    out = scan.read_rows(spark, path, ["doc_id", "language"])
+    rows = out.collect()
+    assert all(r["language"] not in ("de", "fr") for r in rows)
+    assert {r["doc_id"] for r in rows} == {
+        r["doc_id"] for r in web.collect() if r["lang"] not in ("de", "fr")
+    }
+    # the renamed-away old name is gone from the read surface
+    assert "language" in out.columns and "lang" not in out.columns
