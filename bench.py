@@ -468,6 +468,47 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         ),
     )
 
+    # merge-on-read overhead: chunked twin of the table (untimed), one
+    # ~2% equality delete, then full decode WITHOUT vs WITH the
+    # broadcast anti-join — the delta is the cost of row-level deletes
+    # on the read path (the write side is O(delete set) by design)
+    from duckdb_raquet_spark import encode as _enc
+
+    import shutil as _sh
+
+    del_path = os.path.join(TMP, "enc_head_del")
+    _sh.rmtree(del_path, ignore_errors=True)
+    _enc.encode_to_path(
+        spark,
+        spark.read.parquet(input_path),
+        del_path,
+        chunks=2,
+        est_rows=rows,
+        ts_range=ts_range,
+        target_rows_per_block=max(1024, rows // 256),
+        effort="fast",
+    )
+    timed(
+        timings,
+        "decode_full_nodeletes",
+        lambda: force(
+            scan.read_rows(spark, del_path, ["url", "text", "lang"])
+        ),
+    )
+    _enc.delete_rows(
+        spark, del_path, "url",
+        spark.read.parquet(input_path)
+        .select("url")
+        .where(F.xxhash64("url") % 50 == 0),
+    )
+    timed(
+        timings,
+        "decode_full_deletes",
+        lambda: force(
+            scan.read_rows(spark, del_path, ["url", "text", "lang"])
+        ),
+    )
+
     # pipeline queries over the driver's sf tables (shared op surface);
     # ann_lsh probes the persisted sig-sorted index — build it untimed
     # first (one-time cost, amortized over every query in production)
