@@ -772,7 +772,18 @@ def range_scan_ts(
         raise ValueError("table has no timestamp column")
     blocks = prune_blocks_for_ts(read_blocks(spark, path), man, lo_epoch, hi_epoch)
     want = cols if cols is None else list(dict.fromkeys([ts_col] + cols))
-    decoded = decode_blocks(blocks, man, want)
+    entries = man.get("delete_files") or []
+    if entries and "chunk" in blocks.columns:
+        # merge-on-read: decode delete columns too, anti-join per the
+        # sequence rule, project back down (mirrors point_lookup)
+        dcols = sorted({e["col"] for e in entries})
+        dec_cols = None if want is None else list(dict.fromkeys(want + dcols))
+        decoded = decode_blocks(blocks, man, dec_cols, with_chunk=True)
+        decoded = _apply_delete_entries(spark, path, decoded, entries)
+        names = [c["name"] for c in man["columns"]]
+        decoded = decoded.select(*(want if want is not None else names))
+    else:
+        decoded = decode_blocks(blocks, man, want)
     out = decoded.where(
         (F.col(ts_col) >= F.timestamp_seconds(F.lit(lo_epoch)))
         & (F.col(ts_col) < F.timestamp_seconds(F.lit(hi_epoch)))
@@ -1327,6 +1338,16 @@ def register_table(spark: SparkSession, path: str, name: str) -> None:
 def read_blocks_table(spark: SparkSession, name: str) -> DataFrame:
     """Data rows of a registered/catalog raquet table."""
     return spark.table(name).where(F.col(BLOCK) != bk.MANIFEST_BLOCK)
+
+
+def register_rows_view(spark: SparkSession, path: str, name: str) -> None:
+    """Expose a table's DECODED ROWS as a SQL view — `SELECT ... FROM
+    name` is then the full table-level read (current snapshot, schema
+    evolution applied, equality deletes anti-joined via
+    :func:`read_rows`), the `read_raquet` table-macro analog at row
+    granularity. The view pins the state at registration time;
+    re-register after DML to see new commits."""
+    read_rows(spark, path).createOrReplaceTempView(name)
 
 
 def read_manifest_table(spark: SparkSession, name: str) -> dict:

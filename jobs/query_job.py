@@ -33,6 +33,19 @@ def _rows_out(df, limit: int | None) -> None:
         print(r)
 
 
+def _warn_stale_stats(man: dict) -> None:
+    """Decode-free stats come from per-block footers written at encode
+    time; equality deletes are metadata-only, so those footers still
+    count deleted rows. Same trade as Iceberg metadata stats — flag it
+    rather than silently over-counting."""
+    if man.get("delete_files"):
+        print(
+            "warning: table has live equality-delete files; block-stats "
+            "results include deleted rows (purge_deletes to refresh)",
+            file=sys.stderr,
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("path", help="encoded table path (output of encode_job)")
@@ -96,12 +109,15 @@ def main() -> None:
         )
         _rows_out(df, args.limit)
     elif args.cmd == "stats":
+        _warn_stale_stats(man)
         blocks = scan.read_blocks(spark, args.path)
         _rows_out(scan.summary_stats(blocks, args.col), None)
     elif args.cmd == "counts":
+        _warn_stale_stats(man)
         blocks = scan.read_blocks(spark, args.path)
         _rows_out(scan.cat_value_counts(blocks, args.col), None)
     elif args.cmd == "rollup":
+        _warn_stale_stats(man)
         blocks = scan.read_blocks(spark, args.path)
         _rows_out(scan.rollup_stats(blocks, man, args.parent_res, args.col), None)
     elif args.cmd == "bandmath":
@@ -114,8 +130,8 @@ def main() -> None:
         fn = lambda a, expr=expr: eval(expr, {"np": np}, dict(a))  # noqa: E731,S307
         _rows_out(scan.column_math_stats(blocks, man, cols, fn), None)
     elif args.cmd == "decode":
-        blocks = scan.read_blocks(spark, args.path)
-        _rows_out(scan.decode_blocks(blocks, man, cols), args.limit)
+        # table-level read: equality deletes applied (no-op otherwise)
+        _rows_out(scan.read_rows(spark, args.path, cols, man=man), args.limit)
     else:  # pragma: no cover
         sys.exit(2)
 
