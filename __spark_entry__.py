@@ -67,7 +67,9 @@ _ENC_CACHE: dict[str, tuple[str, dict]] = {}
 # (the reference's own trick — its tables are plain parquet any engine
 # can open, /root/reference/README.md:474-485), so they need the
 # deterministic fixture path
-DRIVER_SF_DIR = "/root/testdata/sf0.01"
+# Overridable so tools/check_oracle.py can validate the engine-artifact
+# oracles at ANY sf (the driver itself always runs sf0.01)
+DRIVER_SF_DIR = os.environ.get("RAQUET_DRIVER_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _enc_path(sf_dir: str) -> str:

@@ -151,6 +151,75 @@ def encode_stream(
     return writer.start()
 
 
+def upsert_stream(
+    stream_df: DataFrame,
+    path: str,
+    key_col: str,
+    *,
+    order_col: str | None = None,
+    zlib_level: int = 6,
+    effort: str = "max",
+    codec_overrides: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming MERGE (CDC ingest): each micro-batch upserts into an
+    EXISTING committed table via :func:`encode.upsert_rows` — one
+    equality delete on the batch's keys plus one appended chunk, no
+    existing data file rewritten. The table must be created first
+    (``encode_to_path``); its manifest pins the key geometry.
+
+    ``order_col`` collapses duplicate keys WITHIN a micro-batch to the
+    row with the greatest ``order_col`` (CDC streams routinely carry
+    several versions of a key per batch; without it, ``upsert_rows``
+    raises on in-batch duplicates, which is the right default for
+    sources that promise unique keys).
+
+    At-least-once replay is state-idempotent: re-upserting a batch
+    appends a fresh chunk whose sequence-rule delete removes the prior
+    replay's copies, so the visible rows converge to the same state
+    (at the cost of extra commits — run ``expire_snapshots`` +
+    ``purge_deletes`` as maintenance, exactly like Iceberg CDC
+    pipelines compact)."""
+    if not stream_df.isStreaming:
+        raise ValueError("upsert_stream needs a streaming DataFrame")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = batch_df
+        if order_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(key_col).orderBy(
+                F.col(order_col).desc_nulls_last()
+            )
+            b = (
+                b.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        if not b.take(1):
+            return
+        enc.upsert_rows(
+            spark,
+            b,
+            path,
+            key_col,
+            zlib_level=zlib_level,
+            effort=effort,
+            codec_overrides=codec_overrides,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).outputMode(
+        "append"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # ------------------------------------------------- streaming analytics ----
 
 

@@ -307,3 +307,68 @@ def test_register_rows_view_sql(spark, del_table):
     assert n == len(_expected_ids(web.collect()))
     de = spark.sql("SELECT count(*) AS n FROM del_tbl_v WHERE lang = 'de'")
     assert de.first()["n"] == 0
+
+
+def test_read_changes_changelog(spark, tmp_path):
+    """Changelog between snapshots: net inserts from appended chunks,
+    net deletes from new equality-delete files; pre-range deletes and
+    insert-then-delete-in-range rows appear as neither."""
+    path = str(tmp_path / "tbl")
+    web = _webtext(spark, n=40)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=32)
+    encode.delete_rows(spark, path, "lang", ["de"])  # pre-range delete
+    s_from = mf.current_snapshot(path, spark)["snapshot_id"]
+
+    # in range: append 10 new docs, delete %5 urls (hits old chunks
+    # AND, per sequence rule, not the appended chunk)
+    extra = _webtext(spark, n=10, shift=7000)
+    encode.append_chunk(spark, extra, path)
+    encode.delete_rows(
+        spark, path, "url",
+        web.where(F.col("doc_id") % 5 == 0).select("url"),
+    )
+    s_to = mf.current_snapshot(path, spark)["snapshot_id"]
+
+    ch = scan.read_changes(spark, path, s_from, s_to, cols=["doc_id", "lang"])
+    rows = ch.collect()
+    ins = {r["doc_id"] for r in rows if r["_change_type"] == "insert"}
+    dels = {r["doc_id"] for r in rows if r["_change_type"] == "delete"}
+    assert ins == {r["doc_id"] for r in extra.collect()}
+    # deleted: %5 docs alive at s_from (lang != 'de')
+    assert dels == {
+        r["doc_id"]
+        for r in web.collect()
+        if r["doc_id"] % 5 == 0 and r["lang"] != "de"
+    }
+    # consistency: rows(s_from) + inserts - deletes == rows(s_to)
+    at_from = {
+        r["doc_id"]
+        for r in scan.read_rows(spark, path, ["doc_id"], snapshot_id=s_from).collect()
+    }
+    at_to = {
+        r["doc_id"]
+        for r in scan.read_rows(spark, path, ["doc_id"], snapshot_id=s_to).collect()
+    }
+    assert (at_from | ins) - dels == at_to
+
+    # empty range: no changes, schema preserved
+    none = scan.read_changes(spark, path, s_to, s_to)
+    assert none.count() == 0
+    assert "_change_type" in none.columns
+
+
+def test_read_changes_rollback_deletes(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    web = _webtext(spark, n=20)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=16)
+    extra = _webtext(spark, n=5, shift=8000)
+    encode.append_chunk(spark, extra, path)
+    s_from = mf.current_snapshot(path, spark)["snapshot_id"]
+    encode.rollback_to_snapshot(spark, path, s_from - 1)  # drop the append
+    s_to = mf.current_snapshot(path, spark)["snapshot_id"]
+    ch = scan.read_changes(spark, path, s_from, s_to, cols=["doc_id"])
+    rows = ch.collect()
+    assert {r["doc_id"] for r in rows if r["_change_type"] == "delete"} == {
+        r["doc_id"] for r in extra.collect()
+    }
+    assert not [r for r in rows if r["_change_type"] == "insert"]

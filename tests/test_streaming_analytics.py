@@ -165,3 +165,64 @@ def test_sessionize_gap_sessions(spark, tmp_path):
     # state — assert the closed one is exactly right (3 events incl. the
     # duplicate-timestamp pair, values summed once each)
     assert (1, "2024-01-01 10:00:00", 3, 7.0) in got
+
+
+def test_upsert_stream_cdc_merge(spark, tmp_path):
+    """Streaming MERGE: a CDC-style stream of row versions upserts into
+    a committed table; the final visible state keeps exactly the latest
+    version per key (order_col collapses in-batch duplicates)."""
+    from duckdb_raquet_spark import encode, scan
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(30)
+    base = docs.select(
+        F.concat(F.lit("https://d/"), F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60).alias("warc_ts"),
+        "text",
+        "lang",
+        "doc_id",
+    )
+    path = str(tmp_path / "tbl")
+    encode.encode_to_path(spark, base, path, chunks=2, target_rows_per_block=16)
+
+    # CDC feed: two versions of every %3 key (v1 then v2, one file each
+    # so maxFilesPerTrigger=1 delivers them as separate batches), plus
+    # one brand-new key
+    src = str(tmp_path / "cdc_src")
+    upd = base.where(F.col("doc_id") % 3 == 0)
+    v1 = upd.withColumn("lang", F.lit("v1"))
+    v2 = upd.withColumn("lang", F.lit("v2")).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    new = base.limit(1).select(
+        F.lit("https://d/brandnew").alias("url"),
+        F.col("warc_ts"),
+        F.col("text"),
+        F.lit("nw").alias("lang"),
+        F.lit(777_777).alias("doc_id"),
+    )
+    v1.coalesce(1).write.parquet(src + "/f=1")
+    v2.unionByName(new).coalesce(1).write.parquet(src + "/f=2")
+
+    schema = spark.read.parquet(src + "/f=1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f=*")
+    )
+    q = streaming.upsert_stream(
+        stream,
+        path,
+        "url",
+        order_col="warc_ts",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    out = {r["url"]: r["lang"] for r in scan.read_rows(spark, path).collect()}
+    assert len(out) == 31  # 30 originals (some updated) + 1 insert
+    assert out["https://d/brandnew"] == "nw"
+    for r in base.collect():
+        want = "v2" if r["doc_id"] % 3 == 0 else r["lang"]
+        assert out[f"https://d/{r['doc_id']}"] == want

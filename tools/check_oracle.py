@@ -42,6 +42,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # engine-artifact oracles (rollup/enc_metrics/ann_*) embed the
+    # DRIVER fixture's /tmp path into their SQL at import time; point
+    # them at the sf under test BEFORE the entry module builds them,
+    # else a sf0.001 sweep diffs sf0.001 Spark vs sf0.01 DuckDB
+    os.environ["RAQUET_DRIVER_SF_DIR"] = sf_dir
+
     import duckdb
     from pyspark.sql import SparkSession
 
