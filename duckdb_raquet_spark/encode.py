@@ -1149,10 +1149,24 @@ def expire_snapshots(
                     spark, os.path.join(_data_path(path), name)
                 )
                 removed_chunks.append(c)
+    removed_deletes: list[str] = []
+    if delete_orphan_chunks:
+        # equality-delete files no retained snapshot references (e.g.
+        # after a rollback to a pre-delete snapshot) are storage too
+        retained_deletes: set[str] = set()
+        for i in keep_ids:
+            for e in snaps[i].get("delete_files", []):
+                retained_deletes.add(os.path.basename(e["dir"]))
+        ddir = os.path.join(path, DELETES_DIR)
+        for name in fsio.list_dirs(spark, ddir):
+            if name not in retained_deletes:
+                fsio.delete_dir(spark, os.path.join(ddir, name))
+                removed_deletes.append(name)
     return {
         "retained_snapshots": keep_ids,
         "expired_snapshots": expired,
         "removed_chunks": sorted(removed_chunks),
+        "removed_delete_files": sorted(removed_deletes),
     }
 
 

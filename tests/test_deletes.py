@@ -372,3 +372,24 @@ def test_read_changes_rollback_deletes(spark, tmp_path):
         r["doc_id"] for r in extra.collect()
     }
     assert not [r for r in rows if r["_change_type"] == "insert"]
+
+
+def test_expire_reclaims_orphan_delete_files(spark, tmp_path):
+    """Rollback to a pre-delete snapshot, then expire history: the
+    orphaned delete dir is reclaimed; a referenced one is kept."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    web = _webtext(spark, n=20)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=16)
+    pre = mf.current_snapshot(path, spark)["snapshot_id"]
+    encode.delete_rows(spark, path, "lang", ["en"])
+    encode.rollback_to_snapshot(spark, path, pre)
+    out = encode.expire_snapshots(spark, path, keep_last=1)
+    assert out["removed_delete_files"]
+    assert not os.listdir(os.path.join(path, encode.DELETES_DIR))
+    # and a live delete file survives expiry
+    encode.delete_rows(spark, path, "lang", ["de"])
+    out2 = encode.expire_snapshots(spark, path, keep_last=1)
+    assert out2["removed_delete_files"] == []
+    assert scan.read_rows(spark, path).where(F.col("lang") == "de").count() == 0
