@@ -303,11 +303,16 @@ class RaquetReader(DataSourceReader):
         if self.deletes:
             import re as _re
 
-            m = _re.search(r"chunk=(\d+)", partition.path)
-            chunk = int(m.group(1)) if m else 0
-            applicable = [
-                (c, vals) for c, seq, vals in self.deletes if chunk <= seq
-            ]
+            # LAST match: the partition directory component — an
+            # enclosing path may itself contain "chunk=<digits>"
+            ms = _re.findall(r"chunk=(\d+)", partition.path)
+            chunk = int(ms[-1]) if ms else 0
+            merged: dict[str, set] = {}
+            for c, seq, vals in self.deletes:
+                if chunk <= seq:
+                    merged.setdefault(c, set()).update(vals)
+            applicable = sorted(merged.items())
+        value_sets = {c: pa.array(sorted(vals)) for c, vals in applicable}
         dec_cols = self.cols
         if applicable and dec_cols is not None:
             dec_cols = list(
@@ -376,7 +381,11 @@ class RaquetReader(DataSourceReader):
                     drop = None
                     for c, vals in applicable:
                         col = batch.column(names.index(c))
-                        vs = pa.array(sorted(vals)).cast(col.type)
+                        # value arrays built once per partition (read
+                        # prologue), not per block — only cast here
+                        vs = value_sets[c]
+                        if vs.type != col.type:
+                            vs = vs.cast(col.type)
                         hit = pc.fill_null(
                             pc.is_in(col, value_set=vs), False
                         )

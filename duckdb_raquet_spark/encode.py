@@ -647,6 +647,11 @@ def _commit_snapshot(
         # existing path is an overwrite commit, not a resume no-op
         and cur.get("num_rows") == final.get("num_rows")
         and cur.get("enc_bytes") == final.get("enc_bytes")
+        # and the delete-file list: a rollback FORWARD to a delete
+        # snapshot changes only this — swallowing it would desync the
+        # snapshot log from the sidecar (divergent reads, and expiry
+        # could reclaim a delete dir the sidecar still references)
+        and cur.get("delete_files") == (extra or {}).get("delete_files")
     ):
         return cur
     snap = mf.make_snapshot(
@@ -1456,6 +1461,14 @@ def delete_rows(spark: SparkSession, path: str, col: str, values) -> dict:
         )
         vdf.coalesce(1).write.mode("overwrite").parquet(dest)
         n = spark.read.parquet(dest).count()
+        if n == 0:
+            # same contract as the literal path: an empty delete set is
+            # a caller bug, and committing it would tax every future
+            # read with a pointless anti-join
+            from . import fsio
+
+            fsio.delete_dir(spark, dest)
+            raise ValueError("empty delete set")
     else:
         import pyarrow as pa
         import pyarrow.parquet as pq

@@ -468,7 +468,26 @@ def read_delete_entries(
             raise KeyError(f"no snapshot at or before {as_of_unix} in {path}")
     else:
         snap = snaps[max(snaps)]
-    return list(snap.get("delete_files", []))
+    entries = list(snap.get("delete_files", []))
+    # replay rename-column ops committed AFTER this snapshot so its
+    # entries resolve against the CURRENT manifest's names (decoded
+    # rows always carry current names; the value files themselves are
+    # read positionally, so only the logical label needs updating)
+    renames = [
+        (snaps[i]["from"], snaps[i]["to"])
+        for i in sorted(snaps)
+        if i > snap["snapshot_id"] and snaps[i].get("op") == "rename-column"
+    ]
+    if renames and entries:
+        out = []
+        for e in entries:
+            col = e["col"]
+            for old, new in renames:
+                if col == old:
+                    col = new
+            out.append({**e, "col": col} if col != e["col"] else e)
+        entries = out
+    return entries
 
 
 def _apply_delete_entries(
@@ -506,6 +525,49 @@ def _apply_delete_entries(
             how="left_anti",
         )
     return rows
+
+
+def _delete_flag_join(
+    spark: SparkSession,
+    path: str,
+    rows: DataFrame,
+    entries: list[dict],
+    chunk_col: str = "chunk",
+):
+    """Broadcast LEFT joins that FLAG (not drop) rows matching the
+    given equality-delete entries. Returns ``(flagged_df, any_match)``;
+    the right side is uniqued per value with max(seq), so the join can
+    never fan out. Used where the matching rows themselves are the
+    result (changelog deletes/resurrections) — the read path's
+    anti-join stays :func:`_apply_delete_entries`."""
+    from functools import reduce
+
+    by_col: dict[str, list[dict]] = {}
+    for e in entries:
+        by_col.setdefault(e["col"], []).append(e)
+    conds = []
+    for i, (col, es) in enumerate(sorted(by_col.items())):
+        dd = None
+        for e in es:
+            d0 = spark.read.parquet(os.path.join(path, e["dir"]))
+            d = d0.select(
+                F.col(d0.columns[0]).alias("_dv"),
+                F.lit(int(e["seq"])).alias("_ds"),
+            )
+            dd = d if dd is None else dd.unionByName(d)
+        dd = (
+            dd.groupBy("_dv")
+            .agg(F.max("_ds").alias("_ds"))
+            .select(F.col("_dv").alias(f"_dv{i}"), F.col("_ds").alias(f"_ds{i}"))
+        )
+        rows = rows.join(
+            F.broadcast(dd),
+            on=(F.col(col) == F.col(f"_dv{i}"))
+            & (F.col(chunk_col) <= F.col(f"_ds{i}")),
+            how="left",
+        )
+        conds.append(F.col(f"_dv{i}").isNotNull())
+    return rows, reduce(lambda a, b: a | b, conds)
 
 
 def read_rows(
@@ -550,6 +612,20 @@ def read_rows(
     return rows.select(*want)
 
 
+def _clear_stale_table_meta(spark: SparkSession, src: str, dst: str) -> None:
+    """Writing a fresh table into a reused path must not inherit the
+    old occupant's snapshot log or delete files — readers prefer the
+    `_snapshots/` log over the sidecar, so stale metadata would
+    override the new data (wrong chunk visibility, phantom deletes)."""
+    from . import fsio
+
+    if os.path.abspath(src) == os.path.abspath(dst):
+        raise ValueError("src and dst must differ (in-place rewrite "
+                         "would read the files it is overwriting)")
+    for sub in ("_snapshots", "_deletes"):
+        fsio.delete_dir(spark, os.path.join(dst, sub))
+
+
 def purge_deletes(
     spark: SparkSession, src: str, dst: str, zlib_level: int = 6
 ) -> dict:
@@ -572,6 +648,7 @@ def purge_deletes(
             f"no delete files at {src}; use compact_to_path for plain "
             "compaction"
         )
+    _clear_stale_table_meta(spark, src, dst)
     blocks = read_blocks(spark, src)
     # delete sets are broadcast-sized by contract (delete_rows doc)
     sets: list[tuple[str, int, set]] = []
@@ -712,36 +789,37 @@ def read_changes(
         )
         if entries_from:
             rows_old = _apply_delete_entries(spark, path, rows_old, entries_from)
-        by_col: dict[str, list[dict]] = {}
-        for e in new_entries:
-            by_col.setdefault(e["col"], []).append(e)
-        conds = []
-        flagged = rows_old
-        for i, (col, es) in enumerate(sorted(by_col.items())):
-            dd = None
-            for e in es:
-                d0 = spark.read.parquet(os.path.join(path, e["dir"]))
-                d = d0.select(
-                    F.col(d0.columns[0]).alias("_dv"),
-                    F.lit(int(e["seq"])).alias("_ds"),
-                )
-                dd = d if dd is None else dd.unionByName(d)
-            # one row per value (max seq): the left join cannot fan out
-            dd = (
-                dd.groupBy("_dv")
-                .agg(F.max("_ds").alias("_ds"))
-                .select(F.col("_dv").alias(f"_dv{i}"), F.col("_ds").alias(f"_ds{i}"))
-            )
-            flagged = flagged.join(
-                F.broadcast(dd),
-                on=(F.col(col) == F.col(f"_dv{i}"))
-                & (F.col("chunk") <= F.col(f"_ds{i}")),
-                how="left",
-            )
-            conds.append(F.col(f"_dv{i}").isNotNull())
-        dels = flagged.where(reduce(lambda a, b: a | b, conds))
+        flagged, cond = _delete_flag_join(spark, path, rows_old, new_entries)
         parts.append(
-            dels.select(*want).withColumn("_change_type", F.lit("delete"))
+            flagged.where(cond)
+            .select(*want)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+    removed_entries = [
+        e
+        for e in entries_from
+        if e["dir"] not in {x["dir"] for x in entries_to}
+    ]
+    if removed_entries and surviving:
+        # rows a rollback RESURRECTED: dead at `from` because of a
+        # since-removed delete file, alive at `to` — net inserts
+        blocks_srv = read_blocks_at(spark, path, snapshot_id=to_id).where(
+            F.col("chunk").isin(surviving)
+        )
+        dcols = sorted(
+            {e["col"] for e in entries_to} | {e["col"] for e in removed_entries}
+        )
+        rows_srv = decode_blocks(
+            blocks_srv, man, list(dict.fromkeys(want + dcols)), with_chunk=True
+        )
+        flagged, cond = _delete_flag_join(
+            spark, path, rows_srv, removed_entries
+        )
+        was_dead = flagged.where(cond)
+        if entries_to:
+            was_dead = _apply_delete_entries(spark, path, was_dead, entries_to)
+        parts.append(
+            was_dead.select(*want).withColumn("_change_type", F.lit("insert"))
         )
     if removed:
         blocks_rm = read_blocks_at(
@@ -1633,6 +1711,7 @@ def compact_to_path(
             f"{src} has equality-delete files; use purge_deletes to "
             "compact with deletes applied"
         )
+    _clear_stale_table_meta(spark, src, dst)
     blocks = read_blocks(spark, src)
     compacted = compact_blocks(blocks, man, zlib_level, max_rows_per_block)
     base = {k: v for k, v in man.items() if k not in (

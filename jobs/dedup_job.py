@@ -133,9 +133,13 @@ def main() -> None:
         drops = out.where(F.col("doc_id") != F.col("keep_id")).select(
             F.col("doc_id").alias(col)
         )
-        man = encode.delete_rows(spark, args.delete_from, col, drops)
         summary["deleted_from"] = args.delete_from
-        summary["delete_commit"] = man["delete_files"][-1]
+        if n_total - n_keep == 0:
+            # nothing to drop — delete_rows rejects empty sets
+            summary["delete_commit"] = None
+        else:
+            man = encode.delete_rows(spark, args.delete_from, col, drops)
+            summary["delete_commit"] = man["delete_files"][-1]
     print(json.dumps(summary))
     spark.stop()
 

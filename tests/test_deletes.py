@@ -393,3 +393,94 @@ def test_expire_reclaims_orphan_delete_files(spark, tmp_path):
     out2 = encode.expire_snapshots(spark, path, keep_last=1)
     assert out2["removed_delete_files"] == []
     assert scan.read_rows(spark, path).where(F.col("lang") == "de").count() == 0
+
+
+def test_rollback_forward_to_delete_snapshot(spark, tmp_path):
+    """Review regression: rolling FORWARD to a delete snapshot changes
+    only the delete list; the commit must not be swallowed by the
+    resume-idempotency check (snapshot log would desync from sidecar)."""
+    path = str(tmp_path / "tbl")
+    web = _webtext(spark, n=40)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=32)
+    s0 = mf.current_snapshot(path, spark)["snapshot_id"]
+    encode.delete_rows(spark, path, "lang", ["de"])
+    s1 = mf.current_snapshot(path, spark)["snapshot_id"]
+    n_del = scan.read_rows(spark, path).count()
+    encode.rollback_to_snapshot(spark, path, s0)   # deletes off
+    encode.rollback_to_snapshot(spark, path, s1)   # deletes back ON
+    cur = mf.current_snapshot(path, spark)
+    assert cur["snapshot_id"] > s1 + 1  # both rollbacks committed
+    assert cur.get("delete_files")
+    # snapshot-log reads and sidecar reads agree
+    assert scan.read_rows(spark, path).count() == n_del
+    assert (
+        scan.read_rows(spark, path).where(F.col("lang") == "de").count() == 0
+    )
+
+
+def test_time_travel_across_rename_resolves_old_delete_names(spark, tmp_path):
+    """Review regression: a pre-rename snapshot's delete entries carry
+    the old column name; reads replay later rename ops to resolve them
+    against the current manifest."""
+    path = str(tmp_path / "tbl")
+    web = _webtext(spark, n=24)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=16)
+    encode.delete_rows(spark, path, "lang", ["de"])
+    s_pre = mf.current_snapshot(path, spark)["snapshot_id"]
+    n_pre = scan.read_rows(spark, path).count()
+    encode.evolve_rename_column(spark, path, "lang", "language")
+    out = scan.read_rows(spark, path, ["doc_id", "language"], snapshot_id=s_pre)
+    rows = out.collect()
+    assert len(rows) == n_pre
+    assert all(r["language"] != "de" for r in rows)
+
+
+def test_read_changes_reports_resurrected_rows(spark, tmp_path):
+    """Review regression: a rollback that removes a delete file in the
+    changelog range resurrects rows — they must appear as inserts."""
+    path = str(tmp_path / "tbl")
+    web = _webtext(spark, n=30)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=16)
+    pre = mf.current_snapshot(path, spark)["snapshot_id"]
+    encode.delete_rows(spark, path, "lang", ["de"])
+    s_from = mf.current_snapshot(path, spark)["snapshot_id"]
+    encode.rollback_to_snapshot(spark, path, pre)
+    s_to = mf.current_snapshot(path, spark)["snapshot_id"]
+    ch = scan.read_changes(spark, path, s_from, s_to, cols=["doc_id", "lang"])
+    rows = ch.collect()
+    res = {r["doc_id"] for r in rows if r["_change_type"] == "insert"}
+    assert res == {r["doc_id"] for r in web.collect() if r["lang"] == "de"}
+    assert not [r for r in rows if r["_change_type"] == "delete"]
+
+
+def test_purge_into_reused_path_clears_stale_meta(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    web = _webtext(spark, n=20)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=16)
+    encode.delete_rows(spark, path, "lang", ["de"])
+    dst = str(tmp_path / "dst")
+    # dst previously held a chunked table WITH deletes
+    encode.encode_to_path(
+        spark, _webtext(spark, n=10, shift=4000), dst,
+        chunks=2, target_rows_per_block=16,
+    )
+    encode.delete_rows(spark, dst, "lang", ["en"])
+    final = scan.purge_deletes(spark, path, dst)
+    out = scan.read_rows(spark, dst, ["doc_id", "lang"])
+    assert out.count() == final["num_rows"]
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in web.collect() if r["lang"] != "de"
+    }
+    with pytest.raises(ValueError, match="must differ"):
+        scan.purge_deletes(spark, path, path)
+
+
+def test_empty_dataframe_delete_set_rejected(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    web = _webtext(spark, n=10)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=16)
+    with pytest.raises(ValueError, match="empty delete set"):
+        encode.delete_rows(
+            spark, path, "url", web.where(F.lit(False)).select("url")
+        )
+    assert not scan.read_manifest(spark, path).get("delete_files")
