@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""spark-submit DML + maintenance CLI over a committed raquet table.
+
+The operational twin of query_job.py: where query_job READS, this job
+MUTATES and MAINTAINS — the commands an Iceberg operator would reach
+for (`DELETE FROM`, `MERGE INTO`, changelog scan, history, expiry,
+delete compaction), each O(delete set) / O(delta) / metadata-only, so
+they cost the same on a 100 TB table as on the test fixtures.
+
+    spark-submit --py-files dist/duckdb_raquet_spark.zip jobs/table_job.py \
+        <table> delete --col lang --values de,fr
+    ... delete --col url --values-parquet /path/droplist.parquet
+    ... upsert --key-col url --input /path/new_rows.parquet
+    ... purge --output /path/purged          # apply deletes physically
+    ... expire --keep-last 3                 # snapshots + orphan chunks/deletes
+    ... history                              # one JSON line per snapshot
+    ... changes --from-snapshot 2 [--to-snapshot 5] [--cols a,b]
+
+Mutations print ONE JSON summary line; `history`/`changes` print JSON
+rows (same contract as query_job).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _rows_out(df, limit: int | None = None) -> None:
+    if limit:
+        df = df.limit(limit)
+    for r in df.toJSON().toLocalIterator():
+        print(r)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("path", help="committed raquet table path")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("delete")
+    p.add_argument("--col", required=True)
+    p.add_argument("--values", default=None, help="comma-separated literals")
+    p.add_argument(
+        "--values-parquet", default=None,
+        help="parquet path whose first/only matching column is the key list",
+    )
+
+    p = sub.add_parser("upsert")
+    p.add_argument("--key-col", required=True)
+    p.add_argument("--input", required=True, help="parquet of full rows")
+
+    p = sub.add_parser("purge")
+    p.add_argument("--output", required=True)
+
+    p = sub.add_parser("expire")
+    p.add_argument("--keep-last", type=int, default=1)
+
+    sub.add_parser("history")
+
+    p = sub.add_parser("changes")
+    p.add_argument("--from-snapshot", type=int, required=True)
+    p.add_argument("--to-snapshot", type=int, default=None)
+    p.add_argument("--cols", default=None)
+    p.add_argument("--limit", type=int, default=None)
+
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("raquet-table").getOrCreate()
+    from duckdb_raquet_spark import encode, scan
+
+    if args.cmd == "delete":
+        if (args.values is None) == (args.values_parquet is None):
+            sys.exit("delete needs exactly one of --values / --values-parquet")
+        if args.values is not None:
+            vals = args.values.split(",")
+        else:
+            vals = spark.read.parquet(args.values_parquet)
+        man = encode.delete_rows(spark, args.path, args.col, vals)
+        print(json.dumps({
+            "op": "delete",
+            "table": args.path,
+            "commit": man["delete_files"][-1],
+            "live_delete_files": len(man["delete_files"]),
+        }))
+    elif args.cmd == "upsert":
+        df = spark.read.parquet(args.input)
+        final = encode.upsert_rows(spark, df, args.path, args.key_col)
+        print(json.dumps({
+            "op": "upsert",
+            "table": args.path,
+            "num_rows": final["num_rows"],
+            "live_delete_files": len(final.get("delete_files", [])),
+        }))
+    elif args.cmd == "purge":
+        final = scan.purge_deletes(spark, args.path, args.output)
+        print(json.dumps({
+            "op": "purge",
+            "table": args.path,
+            "output": args.output,
+            "num_rows": final["num_rows"],
+            "enc_bytes": final["enc_bytes"],
+        }))
+    elif args.cmd == "expire":
+        out = encode.expire_snapshots(
+            spark, args.path, keep_last=args.keep_last
+        )
+        print(json.dumps({"op": "expire", "table": args.path, **out}))
+    elif args.cmd == "history":
+        _rows_out(scan.table_history(spark, args.path))
+    elif args.cmd == "changes":
+        cols = args.cols.split(",") if args.cols else None
+        _rows_out(
+            scan.read_changes(
+                spark,
+                args.path,
+                args.from_snapshot,
+                args.to_snapshot,
+                cols=cols,
+            ),
+            args.limit,
+        )
+    else:  # pragma: no cover
+        sys.exit(2)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
