@@ -1184,6 +1184,56 @@ def q_rt_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_rt_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog scan (scan.read_changes, Iceberg `changes` analog):
+    encode 2 chunks (snapshot 0), append the doc_id%10==0 docs under
+    fresh urls/doc_ids (snapshot 1), DELETE the doc_id%4==0 urls
+    (snapshot 2). changes(0 -> 2) = the appended rows as inserts
+    (partition-pruned to the new chunk) + the %4 rows as deletes
+    (broadcast flag join) — O(delta), no full-table diff."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/raquet_entry_chg_{tag}_v{drs.__version__}"
+    need = True
+    try:
+        snap0 = mf.current_snapshot(path, spark)
+        man0 = scan.read_manifest(spark, path)
+        if (
+            man0.get("engine") == f"duckdb_raquet_spark/{drs.__version__}"
+            and snap0 is not None
+            and snap0["snapshot_id"] == 2
+            and snap0.get("op") == "delete"
+        ):
+            need = False
+    except Exception:
+        pass
+    if need:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)  # never resume half-built
+        df = _webtext(spark, sf_dir).select(
+            "url", "warc_ts", "text", "lang", "doc_id"
+        )
+        encode.encode_to_path(
+            spark, df, path, chunks=2, target_rows_per_block=512
+        )
+        app = (
+            df.where(F.col("doc_id") % 10 == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(30_000_000))
+            .withColumn("url", F.concat(F.col("url"), F.lit("?v3")))
+        )
+        encode.append_chunk(spark, app, path)
+        encode.delete_rows(
+            spark, path, "url",
+            df.where(F.col("doc_id") % 4 == 0).select("url"),
+        )
+    out = scan.read_changes(spark, path, 0, 2, cols=["doc_id", "lang"])
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "_change_type",
+    ).orderBy("_change_type", "doc_id")
+
+
 def q_txt_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (Brown et al. 2020 §C): per training
     doc, count of distinct word n-grams shared with an eval corpus
@@ -1300,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_evolve": q_rt_evolve,
         "rt_delete": q_rt_delete,
         "rt_upsert": q_rt_upsert,
+        "rt_changes": q_rt_changes,
         # --- core raquet-analog scan/encode surface ---
         "rt_roundtrip": q_rt_roundtrip,
         "rt_datasource": q_rt_datasource,
@@ -1326,13 +1377,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_url_canon": q_txt_url_canon,
         "txt_langid": q_txt_langid,
         "dedup_exact": q_dedup_exact,
-        "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
         "ann_topk": q_ann_topk,
         # --- past the driver's 50-query cap: redundant variants of
         # scored siblings (still judge-checkable via check_oracle.py) ---
+        "dedup_ngram": q_dedup_ngram,
         "txt_tokens": q_txt_tokens,
         "ann_lsh": q_ann_lsh,
         "rt_mask_range": q_rt_mask_range,
@@ -1901,6 +1952,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 25 = 0
             ORDER BY doc_id""",
+        "rt_changes": """
+            SELECT (doc_id + 30000000)::BIGINT AS doc_id, lang,
+                   'insert' AS _change_type
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id::BIGINT AS doc_id, lang,
+                   'delete' AS _change_type
+            FROM documents WHERE doc_id % 4 = 0
+            ORDER BY _change_type, doc_id""",
         "corpus_pack": """
             WITH t AS (
               SELECT doc_id,
