@@ -312,7 +312,6 @@ class RaquetReader(DataSourceReader):
                 if chunk <= seq:
                     merged.setdefault(c, set()).update(vals)
             applicable = sorted(merged.items())
-        value_sets = {c: pa.array(sorted(vals)) for c, vals in applicable}
         dec_cols = self.cols
         if applicable and dec_cols is not None:
             dec_cols = list(
@@ -330,6 +329,12 @@ class RaquetReader(DataSourceReader):
         defaults = {c["name"]: c.get("default") for c in man["columns"]}
         need = ["block", "n_rows"] + present
         arrow_types = {f.name: f.type for f in _to_arrow(specs)}
+        # value arrays pre-cast to the decoded column type, once per
+        # partition — the per-block loop only does the is_in probe
+        value_sets = {
+            c: pa.array(sorted(vals)).cast(arrow_types[c])
+            for c, vals in applicable
+        }
         for rg in range(pf.metadata.num_row_groups):
             if self.env.ranges and bi >= 0:
                 st = pf.metadata.row_group(rg).column(bi).statistics

@@ -1077,8 +1077,12 @@ def rollback_to_snapshot(spark: SparkSession, path: str, snapshot_id: int) -> di
         raise FileNotFoundError(f"no committed manifest at {path}")
     # restore the delete-file list VISIBLE AT the target snapshot
     # (every commit since row-level deletes carries the live list; a
-    # snapshot without the key predates all deletes)
-    dl = target.get("delete_files", [])
+    # snapshot without the key predates all deletes), remapped through
+    # renames committed since — the rollback snapshot is NEW, so reads
+    # at it cannot replay those renames themselves
+    dl = mf.remap_delete_entries(
+        snaps, snapshot_id, target.get("delete_files", [])
+    )
     if dl:
         man["delete_files"] = dl
     else:
@@ -1483,7 +1487,14 @@ def delete_rows(spark: SparkSession, path: str, col: str, values) -> dict:
         arrow = to_arrow_schema(
             T.StructType.fromDDL(f"`{col}` {spec['spark_type']}")
         )
-        tbl = pa.table({col: pa.array(vals, type=arrow.field(col).type)})
+        want = arrow.field(col).type
+        try:
+            arr = pa.array(vals, type=want)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            # CLI callers pass string literals for numeric/timestamp
+            # columns (table_job --values 5,7) — cast instead of failing
+            arr = pa.array(vals).cast(want)
+        tbl = pa.table({col: arr})
         sink = pa.BufferOutputStream()
         pq.write_table(tbl, sink)
         fsio.write_bytes(spark, dest, "part-0.parquet", sink.getvalue().to_pybytes())
@@ -1548,6 +1559,8 @@ def upsert_rows(
             f"duplicate {key_col!r} keys within the upsert df — dedupe "
             "first (both copies would survive the merge)"
         )
+    if not df.take(1):
+        return man  # empty MERGE is a no-op, not an error
     delete_rows(spark, path, key_col, df.select(key_col))
     return append_chunk(
         spark,

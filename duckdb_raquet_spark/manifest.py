@@ -298,3 +298,31 @@ def make_snapshot(
     if extra:
         snap.update(extra)
     return snap
+
+
+def remap_delete_entries(
+    snaps: dict, after_id: int, entries: list[dict]
+) -> list[dict]:
+    """Replay rename-column ops committed AFTER snapshot ``after_id``
+    over equality-delete entries' logical column names, so entries
+    recorded under an old name resolve against the current manifest
+    (value files are read positionally; only the label moves). Used by
+    time-travel reads and by rollback, which copies a historical
+    snapshot's entries into a NEW snapshot id — past that point no
+    later rename op exists to fix them, so they must be remapped at
+    copy time."""
+    renames = [
+        (snaps[i]["from"], snaps[i]["to"])
+        for i in sorted(snaps)
+        if i > after_id and snaps[i].get("op") == "rename-column"
+    ]
+    if not renames or not entries:
+        return entries
+    out = []
+    for e in entries:
+        col = e["col"]
+        for old, new in renames:
+            if col == old:
+                col = new
+        out.append({**e, "col": col} if col != e["col"] else e)
+    return out

@@ -468,26 +468,13 @@ def read_delete_entries(
             raise KeyError(f"no snapshot at or before {as_of_unix} in {path}")
     else:
         snap = snaps[max(snaps)]
-    entries = list(snap.get("delete_files", []))
     # replay rename-column ops committed AFTER this snapshot so its
     # entries resolve against the CURRENT manifest's names (decoded
     # rows always carry current names; the value files themselves are
     # read positionally, so only the logical label needs updating)
-    renames = [
-        (snaps[i]["from"], snaps[i]["to"])
-        for i in sorted(snaps)
-        if i > snap["snapshot_id"] and snaps[i].get("op") == "rename-column"
-    ]
-    if renames and entries:
-        out = []
-        for e in entries:
-            col = e["col"]
-            for old, new in renames:
-                if col == old:
-                    col = new
-            out.append({**e, "col": col} if col != e["col"] else e)
-        entries = out
-    return entries
+    return mf.remap_delete_entries(
+        snaps, snap["snapshot_id"], list(snap.get("delete_files", []))
+    )
 
 
 def _apply_delete_entries(
@@ -622,7 +609,7 @@ def _clear_stale_table_meta(spark: SparkSession, src: str, dst: str) -> None:
     if os.path.abspath(src) == os.path.abspath(dst):
         raise ValueError("src and dst must differ (in-place rewrite "
                          "would read the files it is overwriting)")
-    for sub in ("_snapshots", "_deletes"):
+    for sub in ("_snapshots", "_deletes", "_lineage"):
         fsio.delete_dir(spark, os.path.join(dst, sub))
 
 
@@ -648,7 +635,6 @@ def purge_deletes(
             f"no delete files at {src}; use compact_to_path for plain "
             "compaction"
         )
-    _clear_stale_table_meta(spark, src, dst)
     blocks = read_blocks(spark, src)
     # delete sets are broadcast-sized by contract (delete_rows doc)
     sets: list[tuple[str, int, set]] = []
@@ -661,6 +647,10 @@ def purge_deletes(
     chunks = sorted(
         int(r["chunk"]) for r in blocks.select("chunk").distinct().collect()
     )
+    # clear the reused destination only after every src-side read above
+    # succeeded — failing earlier must leave dst's previous occupant
+    # intact, not half-stripped of its metadata
+    _clear_stale_table_meta(spark, src, dst)
     groups: dict[tuple, list[int]] = {}
     for c in chunks:
         key = tuple(i for i, (_, s, _) in enumerate(sets) if s >= c)
@@ -748,8 +738,12 @@ def read_changes(
     man = read_manifest(spark, path)
     names = [c["name"] for c in man["columns"]]
     want = list(cols) if cols is not None else names
-    entries_from = list(snaps[from_snapshot_id].get("delete_files", []))
-    entries_to = list(snaps[to_id].get("delete_files", []))
+    # via read_delete_entries so rename ops committed after either
+    # endpoint are replayed over the entries' column names
+    entries_from = read_delete_entries(
+        spark, path, snapshot_id=from_snapshot_id
+    )
+    entries_to = read_delete_entries(spark, path, snapshot_id=to_id)
     seen = {e["dir"] for e in entries_from}
     new_entries = [e for e in entries_to if e["dir"] not in seen]
     for e in entries_from + entries_to:
@@ -1711,7 +1705,6 @@ def compact_to_path(
             f"{src} has equality-delete files; use purge_deletes to "
             "compact with deletes applied"
         )
-    _clear_stale_table_meta(spark, src, dst)
     blocks = read_blocks(spark, src)
     compacted = compact_blocks(blocks, man, zlib_level, max_rows_per_block)
     base = {k: v for k, v in man.items() if k not in (
@@ -1723,6 +1716,8 @@ def compact_to_path(
         "enc_bytes": None, "codec_histogram": {}, "created_unix": None,
         "compacted_from": src, "shuffle": "hash",
     })
+    # clear the reused destination only right before the overwrite
+    _clear_stale_table_meta(spark, src, dst)
     final = enc.write_blocks(compacted, dst, base, man["columns"])
     mf.write_chunk_lineage(
         dst, 0,

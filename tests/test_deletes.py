@@ -484,3 +484,58 @@ def test_empty_dataframe_delete_set_rejected(spark, tmp_path):
             spark, path, "url", web.where(F.lit(False)).select("url")
         )
     assert not scan.read_manifest(spark, path).get("delete_files")
+
+
+def test_rollback_across_rename_remaps_delete_entries(spark, tmp_path):
+    """Review regression: rollback copies a historical snapshot's
+    delete entries into a NEW snapshot id — they must be remapped
+    through renames committed since, or the table becomes unreadable."""
+    path = str(tmp_path / "tbl")
+    web = _webtext(spark, n=20)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=16)
+    encode.delete_rows(spark, path, "lang", ["de"])
+    s_del = mf.current_snapshot(path, spark)["snapshot_id"]
+    n_del = scan.read_rows(spark, path).count()
+    encode.evolve_rename_column(spark, path, "lang", "language")
+    encode.rollback_to_snapshot(spark, path, s_del)
+    man = scan.read_manifest(spark, path)
+    assert [e["col"] for e in man["delete_files"]] == ["language"]
+    out = scan.read_rows(spark, path, ["doc_id", "language"])
+    assert out.count() == n_del
+    assert out.where(F.col("language") == "de").count() == 0
+
+
+def test_read_changes_across_rename(spark, tmp_path):
+    """Review regression: changelog endpoints before a rename resolve
+    their delete entries via the same rename replay as read_rows."""
+    path = str(tmp_path / "tbl")
+    web = _webtext(spark, n=20)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=16)
+    s0 = mf.current_snapshot(path, spark)["snapshot_id"]
+    encode.delete_rows(spark, path, "lang", ["de"])
+    s1 = mf.current_snapshot(path, spark)["snapshot_id"]
+    encode.evolve_rename_column(spark, path, "lang", "language")
+    ch = scan.read_changes(spark, path, s0, s1, cols=["doc_id"])
+    dels = {r["doc_id"] for r in ch.collect() if r["_change_type"] == "delete"}
+    assert dels == {r["doc_id"] for r in web.collect() if r["lang"] == "de"}
+
+
+def test_numeric_literal_delete_values(spark, tmp_path):
+    """Review regression: CLI-style string literals against a numeric
+    column cast instead of failing (table_job delete --values 5,7)."""
+    path = str(tmp_path / "tbl")
+    web = _webtext(spark, n=15)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=16)
+    encode.delete_rows(spark, path, "doc_id", ["3", "5"])
+    got = {r["doc_id"] for r in scan.read_rows(spark, path, ["doc_id"]).collect()}
+    assert got == {r["doc_id"] for r in web.collect()} - {3, 5}
+
+
+def test_upsert_empty_df_is_noop(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    web = _webtext(spark, n=10)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=16)
+    before = mf.current_snapshot(path, spark)["snapshot_id"]
+    encode.upsert_rows(spark, web.where(F.lit(False)), path, "url")
+    assert mf.current_snapshot(path, spark)["snapshot_id"] == before
+    assert scan.read_rows(spark, path).count() == 10
