@@ -936,8 +936,6 @@ def append_chunk(
     ``chunk=<k>`` directory. Only chunked-layout tables can append
     (a flat table's data files sit where partition discovery would put
     the chunk dirs) — encode with ``chunks>=1``? flat tables raise."""
-    import glob as _glob
-
     man = mf.read_sidecar(path, spark)
     if man is None:
         raise FileNotFoundError(f"no committed manifest at {path}")
@@ -945,7 +943,7 @@ def append_chunk(
     # flat (chunks=1) encode also writes a chunk-00000.json lineage
     # record, but its parquet files sit directly under data/ where a
     # chunk=<k> subdirectory would break partition discovery
-    if not _glob.glob(os.path.join(_data_path(path), "chunk=*")):
+    if not _is_chunked(spark, path):
         raise ValueError(
             "append_chunk needs a chunked-layout table (data/chunk=*/); "
             "this table was written flat — compact or re-encode chunked"
@@ -1194,10 +1192,18 @@ def expire_snapshots(
 # would resurface those stale payloads as the new column's data.
 
 
-def _meta_commit(spark, path, man, op: str, extra: dict) -> dict:
-    """Metadata-only commit: claim the next snapshot id
+def _meta_commit(spark, path, man, op: str, extra: dict, *, parent) -> dict:
+    """Metadata-only commit: claim snapshot id ``parent + 1``
     (exclusive-create = the concurrency gate), then rewrite manifest
-    row + sidecar. A writer crashing between the two leaves a
+    row + sidecar. ``parent`` is the snapshot observed when the CALLER
+    read the sidecar it mutated — claiming parent+1 (not
+    current_snapshot()+1 re-read here) makes the exclusive create a
+    true compare-and-swap on the caller's view: a concurrent commit
+    that advanced the log since the sidecar read already holds
+    parent+1, so this writer raises ConcurrentCommitError instead of
+    silently overwriting the other writer's manifest change (the
+    lost-update race between e.g. evolve_add_column and delete_rows).
+    A writer crashing between snapshot and sidecar writes leaves a
     metadata-op snapshot with an unchanged manifest — re-running the
     operation is safe (it claims a fresh id). Direct snapshot write,
     NOT _commit_snapshot: its resume-idempotency check (same chunks +
@@ -1209,12 +1215,15 @@ def _meta_commit(spark, path, man, op: str, extra: dict) -> dict:
     # reader at any snapshot (and expire_snapshots) never loses it
     if "delete_files" not in extra and man.get("delete_files"):
         extra["delete_files"] = man["delete_files"]
-    cur = mf.current_snapshot(path, spark)
+    if parent is not None:
+        chunks = [int(c) for c in parent["chunks"]]
+    else:
+        chunks = sorted(mf.read_chunk_lineage(path, spark))
     snap = mf.make_snapshot(
-        snapshot_id=(cur["snapshot_id"] + 1) if cur else 0,
-        chunks=_visible_chunks(spark, path),
+        snapshot_id=(parent["snapshot_id"] + 1) if parent else 0,
+        chunks=chunks,
         op=op,
-        parent_id=cur["snapshot_id"] if cur else None,
+        parent_id=parent["snapshot_id"] if parent else None,
         num_rows=man.get("num_rows"),
         enc_bytes=man.get("enc_bytes"),
         extra=extra,
@@ -1232,10 +1241,21 @@ def _meta_commit(spark, path, man, op: str, extra: dict) -> dict:
     return man, snap
 
 
-def _evolve_commit(spark, path, man, op: str, extra: dict) -> dict:
+def _evolve_commit(spark, path, man, op: str, extra: dict, *, parent) -> dict:
     man = dict(man)
     man["schema_evolved"] = True
-    return _meta_commit(spark, path, man, op, extra)
+    return _meta_commit(spark, path, man, op, extra, parent=parent)
+
+
+def _is_chunked(spark, path: str) -> bool:
+    """True iff the table uses the chunked layout (data/chunk=*/).
+    fsio listing, not a local glob — DML and schema evolution must
+    recognize chunked tables on object stores / HDFS too."""
+    from . import fsio
+
+    return any(
+        d.startswith("chunk=") for d in fsio.list_dirs(spark, _data_path(path))
+    )
 
 
 def _visible_chunks(spark, path) -> list[int]:
@@ -1261,12 +1281,10 @@ def evolve_add_column(
     payloads; the stats-proof mask fast paths assume materialized
     payloads and per-block stats — run ``compact_to_path`` first to
     physically backfill an added column before masking on it."""
-    import glob as _glob
-
     man = mf.read_sidecar(path, spark)
     if man is None:
         raise FileNotFoundError(f"no committed manifest at {path}")
-    if not _glob.glob(os.path.join(_data_path(path), "chunk=*")):
+    if not _is_chunked(spark, path):
         raise ValueError(
             "schema evolution needs a chunked-layout table (data/chunk=*/)"
         )
@@ -1294,7 +1312,8 @@ def evolve_add_column(
     man = dict(man)
     man["columns"] = list(man["columns"]) + [spec]
     man, _ = _evolve_commit(
-        spark, path, man, "add-column", {"column": name, "spark_type": spark_type}
+        spark, path, man, "add-column",
+        {"column": name, "spark_type": spark_type}, parent=cur,
     )
     return man
 
@@ -1312,6 +1331,7 @@ def evolve_rename_column(
     man = mf.read_sidecar(path, spark)
     if man is None:
         raise FileNotFoundError(f"no committed manifest at {path}")
+    cur = mf.current_snapshot(path, spark)
     names = [c["name"] for c in man["columns"]]
     physicals = {c.get("physical", c["name"]) for c in man["columns"]}
     if old not in names:
@@ -1355,7 +1375,7 @@ def evolve_rename_column(
             for e in man["delete_files"]
         ]
     man, _ = _evolve_commit(
-        spark, path, man, "rename-column", {"from": old, "to": new}
+        spark, path, man, "rename-column", {"from": old, "to": new}, parent=cur
     )
     return man
 
@@ -1369,6 +1389,7 @@ def evolve_drop_column(spark: SparkSession, path: str, name: str) -> dict:
     man = mf.read_sidecar(path, spark)
     if man is None:
         raise FileNotFoundError(f"no committed manifest at {path}")
+    cur = mf.current_snapshot(path, spark)
     names = [c["name"] for c in man["columns"]]
     if name not in names:
         raise ValueError(f"no column {name!r}; have {names}")
@@ -1396,7 +1417,9 @@ def evolve_drop_column(spark: SparkSession, path: str, name: str) -> dict:
         set(man.get("dropped_columns", []))
         | {name, spec.get("physical", name)}
     )
-    man, _ = _evolve_commit(spark, path, man, "drop-column", {"column": name})
+    man, _ = _evolve_commit(
+        spark, path, man, "drop-column", {"column": name}, parent=cur
+    )
     return man
 
 
@@ -1428,12 +1451,12 @@ def delete_rows(spark: SparkSession, path: str, col: str, values) -> dict:
     Returns the updated manifest. The delete applies to rows in chunks
     visible NOW (chunk id <= the recorded sequence number); chunks
     appended later are untouched."""
-    import glob as _glob
+    import uuid
 
     man = mf.read_sidecar(path, spark)
     if man is None:
         raise FileNotFoundError(f"no committed manifest at {path}")
-    if not _glob.glob(os.path.join(_data_path(path), "chunk=*")):
+    if not _is_chunked(spark, path):
         raise ValueError(
             "row-level deletes need a chunked-layout table (data/chunk=*/)"
         )
@@ -1442,11 +1465,20 @@ def delete_rows(spark: SparkSession, path: str, col: str, values) -> dict:
         raise ValueError(
             f"no column {col!r}; have {[c['name'] for c in man['columns']]}"
         )
-    visible = _visible_chunks(spark, path)
-    seq = max(visible) if visible else 0
     cur = mf.current_snapshot(path, spark)
+    visible = (
+        [int(c) for c in cur["chunks"]]
+        if cur is not None
+        else sorted(mf.read_chunk_lineage(path, spark))
+    )
+    seq = max(visible) if visible else 0
     snap_id = (cur["snapshot_id"] + 1) if cur else 0
-    rel = f"delete-{snap_id:05d}"
+    # UNIQUE dir token (not the contended snapshot id): two racing
+    # delete_rows would otherwise both write delete-<N> — the CAS loser
+    # overwrites the winner's value file, silently dropping its deletes
+    # even though the winner's commit stands. The snap-id prefix is
+    # kept for human readability only.
+    rel = f"delete-{snap_id:05d}-{uuid.uuid4().hex[:10]}"
     dest = os.path.join(path, DELETES_DIR, rel)
     if isinstance(values, DataFrame):
         vdf = values
@@ -1507,10 +1539,19 @@ def delete_rows(spark: SparkSession, path: str, col: str, values) -> dict:
     }
     man = dict(man)
     man["delete_files"] = list(man.get("delete_files", [])) + [entry]
-    man, _ = _meta_commit(
-        spark, path, man, "delete",
-        {"delete_files": man["delete_files"]},
-    )
+    try:
+        man, _ = _meta_commit(
+            spark, path, man, "delete",
+            {"delete_files": man["delete_files"]},
+            parent=cur,
+        )
+    except mf.ConcurrentCommitError:
+        # lost the CAS: our value file is unreferenced — reclaim it now
+        # instead of leaving an orphan for expire_snapshots
+        from . import fsio
+
+        fsio.delete_dir(spark, dest)
+        raise
     return man
 
 

@@ -80,13 +80,18 @@ def pack_sequences(
     The result is bit-identical to the global window (integer sums,
     associative regrouping).
     """
-    # narrow projection persisted so the (100 TB) text column is
-    # tokenized exactly once across the two passes — ~16 bytes/row on
-    # disk, vs re-reading the full text per pass
+    # narrow projection materialized once (localCheckpoint, lazy) so
+    # the (100 TB) text column is tokenized exactly once across the two
+    # passes — ~16 bytes/row of block storage, vs re-reading the full
+    # text per pass. localCheckpoint rather than persist(): checkpoint
+    # blocks are reclaimed by the ContextCleaner as soon as the caller
+    # drops the returned DataFrame, while an explicit persist() would
+    # pin them in the cache manager for the whole session (nothing here
+    # can unpersist after the caller's materialization).
     toks = df.select(
         F.col(id_col).alias("id"),
         F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     lo, hi = toks.agg(F.min("id"), F.max("id")).first()
     if lo is None:
         return toks.select(
@@ -205,12 +210,13 @@ def chunk_dedup_filter(
 
     Plan at 10^12 docs: the explode emits one 32-hex digest per
     passage (never text); the keeper per digest is a hash aggregate
-    (``min(packed)`` — map-side partial, no window, so a boilerplate
+    (``min(struct(id, pos))`` — structs compare lexicographically, and
+    struct min is still a map-side-partial aggregate, so a boilerplate
     passage shared by 10^8 docs costs one combiner row per partition,
-    not a 10^8-row window); the join back is digest-keyed.  Occurrence
-    order is packed as ``doc_id * 2^20 + position`` (positions fit 20
-    bits for any doc under ~20M tokens; doc ids up to 2^43 stay
-    overflow-free).
+    not a 10^8-row window); the join back is digest-keyed.  The struct
+    min replaces an earlier ``id * 2^20 + pos`` bit-pack whose overflow
+    (ids >= 2^43 or docs over ~20M tokens) silently corrupted
+    first-occurrence selection.
     """
     toks = tokens_col(F.col(text_col))
     n_chunks = F.floor(F.size(toks) / chunk_tokens).cast("int")
@@ -233,13 +239,12 @@ def chunk_dedup_filter(
             "id", F.posexplode("_d").alias("pos", "chunk_md5")
         )
         .withColumn(
-            "_packed",
-            F.col("id").cast("long") * F.lit(1 << 20) + F.col("pos"),
+            "_occ", F.struct(F.col("id").cast("long").alias("id"), F.col("pos"))
         )
     )
-    keepers = occ.groupBy("chunk_md5").agg(F.min("_packed").alias("_keep"))
+    keepers = occ.groupBy("chunk_md5").agg(F.min("_occ").alias("_keep"))
     marked = occ.join(keepers, "chunk_md5").withColumn(
-        "_kept", (F.col("_packed") == F.col("_keep")).cast("int")
+        "_kept", (F.col("_occ") == F.col("_keep")).cast("int")
     )
     per_doc = marked.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
