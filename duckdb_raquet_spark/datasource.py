@@ -89,7 +89,7 @@ class _TaskStats(WriterCommitMessage):
 
 
 def _load_manifest(path: str) -> dict:
-    man = mf.read_sidecar(path, None)
+    man, _ = mf.committed_manifest(path, None)
     if man is not None:
         return man
     # fall back to the block=0 manifest row via pyarrow (no Spark here:
@@ -168,19 +168,36 @@ class RaquetReader(DataSourceReader):
         self.env = _Envelope()
         # equality-delete files (encode.delete_rows): value sets load
         # driver-side and ship with the pickled reader — the same
-        # broadcast-sized contract as scan._apply_delete_entries
-        self.deletes: list[tuple[str, int, set]] = []
+        # broadcast-sized contract as scan._apply_delete_entries.
+        # Each element is (key columns, seq, value set) — scalars for
+        # single-column keys, tuples for composite keys; v2 files carry
+        # a per-ROW sequence, so one file can yield several groups.
+        self.deletes: list[tuple[tuple[str, ...], int, set]] = []
         for e in self.man.get("delete_files", []):
             import pyarrow.dataset as pa_ds
 
+            from .manifest import delete_entry_cols
+
+            cols = tuple(delete_entry_cols(e))
             tbl = pa_ds.dataset(
                 os.path.join(self.path, e["dir"]), format="parquet"
             ).to_table()
-            # column 0 positionally: the file's internal name may
-            # predate an evolve_rename_column of e["col"]
-            self.deletes.append(
-                (e["col"], int(e["seq"]), set(tbl.column(0).to_pylist()))
-            )
+            if e.get("v", 1) >= 2:
+                k = len(cols)
+                seqs = tbl.column("_dseq").to_pylist()
+                keys = [tbl.column(f"_k{i}").to_pylist() for i in range(k)]
+                by_seq: dict[int, set] = {}
+                for j, s in enumerate(seqs):
+                    v = keys[0][j] if k == 1 else tuple(kl[j] for kl in keys)
+                    by_seq.setdefault(int(s), set()).add(v)
+                for s, vals in sorted(by_seq.items()):
+                    self.deletes.append((cols, s, vals))
+            else:
+                # column 0 positionally: a v1 file's internal name may
+                # predate an evolve_rename_column of e["col"]
+                self.deletes.append(
+                    (cols, int(e["seq"]), set(tbl.column(0).to_pylist()))
+                )
 
     # ------------------------------------------------------ pushdown ----
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -289,6 +306,7 @@ class RaquetReader(DataSourceReader):
     # ---------------------------------------------------------- read ----
     def read(self, partition: _FilePart):
         import numpy as np
+        import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -299,7 +317,7 @@ class RaquetReader(DataSourceReader):
         # equality deletes applicable to THIS file's chunk (chunk <= the
         # delete's sequence number; data files of delete-bearing tables
         # always sit under chunk=N — delete_rows enforces the layout)
-        applicable: list[tuple[str, set]] = []
+        applicable: list[tuple[tuple[str, ...], set]] = []
         if self.deletes:
             import re as _re
 
@@ -307,15 +325,17 @@ class RaquetReader(DataSourceReader):
             # enclosing path may itself contain "chunk=<digits>"
             ms = _re.findall(r"chunk=(\d+)", partition.path)
             chunk = int(ms[-1]) if ms else 0
-            merged: dict[str, set] = {}
-            for c, seq, vals in self.deletes:
+            merged: dict[tuple, set] = {}
+            for kc, seq, vals in self.deletes:
                 if chunk <= seq:
-                    merged.setdefault(c, set()).update(vals)
+                    merged.setdefault(kc, set()).update(vals)
             applicable = sorted(merged.items())
         dec_cols = self.cols
         if applicable and dec_cols is not None:
             dec_cols = list(
-                dict.fromkeys(dec_cols + [c for c, _ in applicable])
+                dict.fromkeys(
+                    dec_cols + [c for kc, _ in applicable for c in kc]
+                )
             )
         specs = _colspecs(man, dec_cols)
         blob_names, payload_getter = _blob_plan(man, specs)
@@ -329,12 +349,28 @@ class RaquetReader(DataSourceReader):
         defaults = {c["name"]: c.get("default") for c in man["columns"]}
         need = ["block", "n_rows"] + present
         arrow_types = {f.name: f.type for f in _to_arrow(specs)}
-        # value arrays pre-cast to the decoded column type, once per
-        # partition — the per-block loop only does the is_in probe
-        value_sets = {
-            c: pa.array(sorted(vals)).cast(arrow_types[c])
-            for c, vals in applicable
-        }
+        # value arrays pre-cast to the decoded column types, once per
+        # partition — the per-block loop only probes. Composite keys
+        # become a pandas MultiIndex built from per-column Arrow casts:
+        # the cast normalizes dtype mismatches between the delete file
+        # and the decoded batch (e.g. Spark writes tz-aware parquet
+        # timestamps while decode yields naive epoch-us), which a raw
+        # python-tuple probe would silently miss.
+        value_sets = {}
+        multi_sets = {}
+        for kc, vals in applicable:
+            if len(kc) == 1:
+                value_sets[kc] = pa.array(sorted(vals)).cast(
+                    arrow_types[kc[0]]
+                )
+            else:
+                per_col = list(zip(*sorted(vals, key=repr)))
+                multi_sets[kc] = pd.MultiIndex.from_arrays(
+                    [
+                        pa.array(list(cl)).cast(arrow_types[c]).to_pandas()
+                        for cl, c in zip(per_col, kc)
+                    ]
+                )
         for rg in range(pf.metadata.num_row_groups):
             if self.env.ranges and bi >= 0:
                 st = pf.metadata.row_group(rg).column(bi).statistics
@@ -384,16 +420,27 @@ class RaquetReader(DataSourceReader):
 
                     names = batch.schema.names
                     drop = None
-                    for c, vals in applicable:
-                        col = batch.column(names.index(c))
-                        # value arrays built once per partition (read
-                        # prologue), not per block — only cast here
-                        vs = value_sets[c]
-                        if vs.type != col.type:
-                            vs = vs.cast(col.type)
-                        hit = pc.fill_null(
-                            pc.is_in(col, value_set=vs), False
-                        )
+                    for kc, vals in applicable:
+                        if len(kc) == 1:
+                            col = batch.column(names.index(kc[0]))
+                            # value arrays built once per partition
+                            # (read prologue), not per block — cast only
+                            vs = value_sets[kc]
+                            if vs.type != col.type:
+                                vs = vs.cast(col.type)
+                            hit = pc.fill_null(
+                                pc.is_in(col, value_set=vs), False
+                            )
+                        else:
+                            mi = pd.MultiIndex.from_arrays(
+                                [
+                                    batch.column(names.index(c)).to_pandas()
+                                    for c in kc
+                                ]
+                            )
+                            hit = pa.array(
+                                np.asarray(mi.isin(multi_sets[kc]))
+                            )
                         drop = hit if drop is None else pc.or_(drop, hit)
                     batch = batch.filter(pc.invert(drop))
                     if self.cols is not None and dec_cols != self.cols:

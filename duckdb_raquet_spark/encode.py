@@ -46,6 +46,10 @@ from . import selector
 BLOCK = "block"
 SALT = "salt"
 
+# "no CAS requested" sentinel for _commit_snapshot's expected_parent
+# (None is a real value there: "the caller saw an empty snapshot log")
+_NO_CAS = object()
+
 STATS_TYPE = T.StructType(
     [
         T.StructField("n_rows", T.LongType()),
@@ -626,18 +630,33 @@ def _commit_snapshot(
     op: str,
     final: dict,
     extra: dict | None = None,
+    expected_parent: dict | None = _NO_CAS,
 ) -> dict:
     """Append the next snapshot to the table's `_snapshots/` log
     (Iceberg-style history: every commit names its visible chunk set).
     Idempotent against re-finalization: a resumed encode that re-runs
     after completion sees an identical current snapshot and writes
-    nothing."""
+    nothing.
+
+    ``expected_parent`` (a snapshot dict, or None meaning "the caller
+    saw an empty log") turns the commit into a compare-and-swap on the
+    caller's base-manifest read: if another writer advanced the log
+    since, ConcurrentCommitError is raised instead of committing a
+    manifest that silently drops the concurrent change (e.g. an
+    append racing a delete_rows would otherwise re-finalize from a
+    base without the new delete entry). Pass the snapshot returned by
+    ``mf.committed_manifest``. The sentinel ``_NO_CAS`` (default)
+    keeps the legacy last-writer-wins behavior for single-writer
+    paths."""
     # carry the live delete-file list into EVERY snapshot so readers at
     # any snapshot id (and after expire_snapshots) resolve row-level
     # deletes without walking to an older commit
     if final.get("delete_files") and not (extra or {}).get("delete_files"):
         extra = dict(extra or {})
         extra["delete_files"] = final["delete_files"]
+    # the full manifest rides in the snapshot file (mf.committed_manifest)
+    extra = dict(extra or {})
+    extra.setdefault("manifest", final)
     cur = mf.current_snapshot(path, spark)
     if (
         cur is not None
@@ -654,6 +673,15 @@ def _commit_snapshot(
         and cur.get("delete_files") == (extra or {}).get("delete_files")
     ):
         return cur
+    if expected_parent is not _NO_CAS:
+        seen = expected_parent["snapshot_id"] if expected_parent else None
+        now = cur["snapshot_id"] if cur else None
+        if seen != now:
+            raise mf.ConcurrentCommitError(
+                f"snapshot log at {path} advanced from {seen} to {now} "
+                "since this writer read its base manifest; re-read and "
+                "retry the operation"
+            )
     snap = mf.make_snapshot(
         snapshot_id=(cur["snapshot_id"] + 1) if cur else 0,
         chunks=chunks,
@@ -935,8 +963,15 @@ def append_chunk(
     the appended chunk is an idempotent overwrite of its own
     ``chunk=<k>`` directory. Only chunked-layout tables can append
     (a flat table's data files sit where partition discovery would put
-    the chunk dirs) — encode with ``chunks>=1``? flat tables raise."""
-    man = mf.read_sidecar(path, spark)
+    the chunk dirs) — encode with ``chunks>=1``? flat tables raise.
+
+    Concurrency: the final commit is a CAS on the snapshot observed
+    here — if another writer (e.g. a delete_rows) commits in between,
+    ConcurrentCommitError is raised; the already-written chunk dir and
+    lineage record are harmless (the chunk id is burned, the dir is
+    unreferenced until expiry) and re-running the append succeeds
+    under a fresh id with the concurrent change folded in."""
+    man, base_snap = mf.committed_manifest(path, spark)
     if man is None:
         raise FileNotFoundError(f"no committed manifest at {path}")
     # layout check must look at the DATA directory, not lineage: the
@@ -954,7 +989,7 @@ def append_chunk(
     # leaves orphaned chunk dirs on disk that must not rejoin the table
     # through an append's re-finalization); pre-log tables see all
     # lineage chunks, exactly the old behavior
-    cur_snap = mf.current_snapshot(path, spark)
+    cur_snap = base_snap
     visible = cur_snap["chunks"] if cur_snap else sorted(done)
     # schema evolution: an appended frame may omit columns added after
     # the original encode — fill their recorded defaults, then align
@@ -1048,7 +1083,8 @@ def append_chunk(
         spark,
     )
     _commit_snapshot(
-        spark, path, chunks=list(visible) + [k], op="append", final=final
+        spark, path, chunks=list(visible) + [k], op="append", final=final,
+        expected_parent=base_snap,
     )
     return final
 
@@ -1070,9 +1106,10 @@ def rollback_to_snapshot(spark: SparkSession, path: str, snapshot_id: int) -> di
     target = snaps[snapshot_id]
     if target.get("layout") == "flat":
         raise ValueError("flat tables have a single snapshot; nothing to roll back")
-    man = mf.read_sidecar(path, spark)
+    man, base_snap = mf.committed_manifest(path, spark)
     if man is None:
         raise FileNotFoundError(f"no committed manifest at {path}")
+    man = dict(man)
     # restore the delete-file list VISIBLE AT the target snapshot
     # (every commit since row-level deletes carries the live list; a
     # snapshot without the key predates all deletes), remapped through
@@ -1106,6 +1143,7 @@ def rollback_to_snapshot(spark: SparkSession, path: str, snapshot_id: int) -> di
         op="rollback",
         final=final,
         extra={"rolled_back_to": snapshot_id},
+        expected_parent=base_snap,
     )
     return final
 
@@ -1215,6 +1253,14 @@ def _meta_commit(spark, path, man, op: str, extra: dict, *, parent) -> dict:
     # reader at any snapshot (and expire_snapshots) never loses it
     if "delete_files" not in extra and man.get("delete_files"):
         extra["delete_files"] = man["delete_files"]
+    # the FULL manifest rides in the snapshot file, so it commits
+    # atomically with the exclusive-create CAS (mf.committed_manifest)
+    extra["manifest"] = man
+    # metadata ops on a flat (chunks=1) table must keep the layout
+    # marker: read_all skips the chunk-visibility filter for flat
+    # tables, whose files carry no chunk partition column
+    if parent is not None and parent.get("layout") and "layout" not in extra:
+        extra["layout"] = parent["layout"]
     if parent is not None:
         chunks = [int(c) for c in parent["chunks"]]
     else:
@@ -1229,14 +1275,20 @@ def _meta_commit(spark, path, man, op: str, extra: dict, *, parent) -> dict:
         extra=extra,
     )
     mf.write_snapshot(path, snap, spark)
-    _append_manifest_row(
-        spark,
-        path,
-        man,
-        man["columns"],
-        target=os.path.join(_data_path(path), "chunk=-1"),
-        mode="overwrite",
-    )
+    if extra.get("layout") == "flat":
+        # flat tables keep the manifest row directly under data/ — a
+        # chunk=-1 subdir next to root-level parquet files would flip
+        # Spark's partition discovery and hide every data file
+        _append_manifest_row(spark, path, man, man["columns"])
+    else:
+        _append_manifest_row(
+            spark,
+            path,
+            man,
+            man["columns"],
+            target=os.path.join(_data_path(path), "chunk=-1"),
+            mode="overwrite",
+        )
     mf.write_sidecar(path, man, spark)
     return man, snap
 
@@ -1281,7 +1333,7 @@ def evolve_add_column(
     payloads; the stats-proof mask fast paths assume materialized
     payloads and per-block stats — run ``compact_to_path`` first to
     physically backfill an added column before masking on it."""
-    man = mf.read_sidecar(path, spark)
+    man, cur = mf.committed_manifest(path, spark)
     if man is None:
         raise FileNotFoundError(f"no committed manifest at {path}")
     if not _is_chunked(spark, path):
@@ -1300,7 +1352,6 @@ def evolve_add_column(
             "would resurface as the new column's values"
         )
     kind = selector.kind_of_spark_type(spark_type)
-    cur = mf.current_snapshot(path, spark)
     spec = {
         "name": name,
         "spark_type": spark_type,
@@ -1328,10 +1379,9 @@ def evolve_rename_column(
     through the ``physical`` mapping. The old logical name is tombstoned
     (its payload bytes live on under the physical name). Key columns
     (url/ts) and column-group members cannot be renamed."""
-    man = mf.read_sidecar(path, spark)
+    man, cur = mf.committed_manifest(path, spark)
     if man is None:
         raise FileNotFoundError(f"no committed manifest at {path}")
-    cur = mf.current_snapshot(path, spark)
     names = [c["name"] for c in man["columns"]]
     physicals = {c.get("physical", c["name"]) for c in man["columns"]}
     if old not in names:
@@ -1371,7 +1421,11 @@ def evolve_rename_column(
     # so the file's internal name staying `old` is immaterial)
     if man.get("delete_files"):
         man["delete_files"] = [
-            {**e, "col": new} if e["col"] == old else e
+            mf._entry_with_cols(
+                e, [new if c == old else c for c in mf.delete_entry_cols(e)]
+            )
+            if old in mf.delete_entry_cols(e)
+            else e
             for e in man["delete_files"]
         ]
     man, _ = _evolve_commit(
@@ -1386,10 +1440,9 @@ def evolve_drop_column(spark: SparkSession, path: str, name: str) -> dict:
     touches them; ``compact_to_path`` physically sheds them since it
     re-encodes through the manifest's column list). The name is
     tombstoned against reuse. Returns the updated manifest."""
-    man = mf.read_sidecar(path, spark)
+    man, cur = mf.committed_manifest(path, spark)
     if man is None:
         raise FileNotFoundError(f"no committed manifest at {path}")
-    cur = mf.current_snapshot(path, spark)
     names = [c["name"] for c in man["columns"]]
     if name not in names:
         raise ValueError(f"no column {name!r}; have {names}")
@@ -1402,7 +1455,10 @@ def evolve_drop_column(spark: SparkSession, path: str, name: str) -> dict:
             f"{in_group[name]!r}; drop is only supported for standalone "
             "columns (group payloads are one blob)"
         )
-    if any(e["col"] == name for e in man.get("delete_files", [])):
+    if any(
+        name in mf.delete_entry_cols(e)
+        for e in man.get("delete_files", [])
+    ):
         raise ValueError(
             f"column {name!r} is referenced by live equality-delete "
             "files; purge_deletes first (dropping it would strand "
@@ -1423,6 +1479,64 @@ def evolve_drop_column(spark: SparkSession, path: str, name: str) -> dict:
     return man
 
 
+# Iceberg's safe type promotions (spec §Schema Evolution): widening
+# never changes the column KIND here — every integral type already
+# encodes through the same 64-bit "int" kernels and float promotes to
+# the IEEE-754-as-int64 "double" view — so the change is purely the
+# manifest's declared logical type; decode's existing cast-to-schema
+# step re-types old payloads on the fly and appended chunks encode
+# identically. A mis-typed column no longer needs a rewrite.
+_WIDENINGS: dict[str, set[str]] = {
+    "tinyint": {"smallint", "int", "integer", "bigint", "long"},
+    "smallint": {"int", "integer", "bigint", "long"},
+    "int": {"bigint", "long"},
+    "integer": {"bigint", "long"},
+    "float": {"double"},
+}
+
+
+def evolve_widen_column(
+    spark: SparkSession, path: str, name: str, new_type: str
+) -> dict:
+    """ALTER TABLE ALTER COLUMN TYPE (metadata-only, Iceberg's safe
+    promotion set: int->bigint and float->double families). No data
+    file is rewritten — widening a 100 TB table costs two JSON writes;
+    old payloads decode straight to the widened type (the column kind
+    is unchanged, only the declared logical type moves) and any later
+    ``purge_deletes``/``transform_blocks`` compaction backfills the
+    physical payloads as a side effect of its rewrite."""
+    man, cur = mf.committed_manifest(path, spark)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest at {path}")
+    spec = next((c for c in man["columns"] if c["name"] == name), None)
+    if spec is None:
+        raise ValueError(
+            f"no column {name!r}; have {[c['name'] for c in man['columns']]}"
+        )
+    old_type = spec["spark_type"].lower()
+    new_type = new_type.lower()
+    if new_type == old_type:
+        return man  # no-op
+    if new_type not in _WIDENINGS.get(old_type, set()):
+        allowed = sorted(_WIDENINGS.get(old_type, set()))
+        raise ValueError(
+            f"cannot widen {name!r} from {old_type!r} to {new_type!r}; "
+            f"safe promotions from {old_type!r}: {allowed or 'none'} "
+            "(narrowing or cross-kind changes need a rewrite)"
+        )
+    assert selector.kind_of_spark_type(new_type) == spec["kind"]
+    man = dict(man)
+    man["columns"] = [
+        {**c, "spark_type": new_type} if c["name"] == name else c
+        for c in man["columns"]
+    ]
+    man, _ = _evolve_commit(
+        spark, path, man, "widen-column",
+        {"column": name, "from": old_type, "to": new_type}, parent=cur,
+    )
+    return man
+
+
 # ------------------------------------------------------ row-level deletes ----
 #
 # Iceberg-style EQUALITY DELETE FILES (merge-on-read): DELETE writes a
@@ -1439,33 +1553,62 @@ def evolve_drop_column(spark: SparkSession, path: str, name: str) -> dict:
 DELETES_DIR = "_deletes"
 
 
-def delete_rows(spark: SparkSession, path: str, col: str, values) -> dict:
-    """DELETE FROM <table> WHERE <col> IN (<values>) as an Iceberg
-    equality-delete commit. ``values`` is a list/tuple/set of literals
-    or a single-column DataFrame (e.g. a dedup pipeline's drop list —
-    the DataFrame is written distributed, never collected). Delete
-    files are broadcast to readers, so keep a single delete commit to
-    broadcast-able size (millions of keys, not billions); bigger
-    retention sweeps belong in ``scan.transform_blocks`` rewrites.
+def _delete_arrow_types(specs: list[dict]) -> list:
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow = to_arrow_schema(
+        T.StructType.fromDDL(
+            ", ".join(f"`k{i}` {s['spark_type']}" for i, s in enumerate(specs))
+        )
+    )
+    return [arrow.field(i).type for i in range(len(specs))]
+
+
+def delete_rows(spark: SparkSession, path: str, col, values) -> dict:
+    """DELETE FROM <table> WHERE (<cols>) IN (<values>) as an Iceberg
+    equality-delete commit. ``col`` is one column name or a LIST of
+    names — a composite key like a crawl table's natural ``(url,
+    warc_ts)`` — and ``values`` is a list/tuple/set of literals (tuples
+    for composite keys) or a DataFrame carrying the key columns (e.g.
+    a dedup pipeline's drop list — written distributed, never
+    collected). Delete files are broadcast to readers, so keep a
+    single delete commit to broadcast-able size (millions of keys, not
+    billions); bigger retention sweeps belong in
+    ``scan.transform_blocks`` rewrites.
+
+    The value file is the v2 layout: fixed internal columns
+    ``_k0.._k{n-1}`` (key values, entry-``cols`` order) + ``_dseq``
+    (the sequence number, PER ROW). Fixed names make every v2 file of
+    a key-set schema-identical — even across later column renames — so
+    the read path folds all of them into ONE multi-path parquet scan
+    instead of a per-file union chain, and a per-row sequence lets
+    ``compact_delete_files`` merge files from different commits without
+    losing each value's own visibility horizon.
 
     Returns the updated manifest. The delete applies to rows in chunks
     visible NOW (chunk id <= the recorded sequence number); chunks
     appended later are untouched."""
     import uuid
 
-    man = mf.read_sidecar(path, spark)
+    cols = [col] if isinstance(col, str) else list(col)
+    if not cols:
+        raise ValueError("need at least one key column")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate key columns in {cols}")
+    man, cur = mf.committed_manifest(path, spark)
     if man is None:
         raise FileNotFoundError(f"no committed manifest at {path}")
     if not _is_chunked(spark, path):
         raise ValueError(
             "row-level deletes need a chunked-layout table (data/chunk=*/)"
         )
-    spec = next((c for c in man["columns"] if c["name"] == col), None)
-    if spec is None:
-        raise ValueError(
-            f"no column {col!r}; have {[c['name'] for c in man['columns']]}"
-        )
-    cur = mf.current_snapshot(path, spark)
+    by_name = {c["name"]: c for c in man["columns"]}
+    specs = []
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"no column {c!r}; have {sorted(by_name)}")
+        specs.append(by_name[c])
     visible = (
         [int(c) for c in cur["chunks"]]
         if cur is not None
@@ -1480,21 +1623,27 @@ def delete_rows(spark: SparkSession, path: str, col: str, values) -> dict:
     # kept for human readability only.
     rel = f"delete-{snap_id:05d}-{uuid.uuid4().hex[:10]}"
     dest = os.path.join(path, DELETES_DIR, rel)
+    knames = [f"_k{i}" for i in range(len(cols))]
     if isinstance(values, DataFrame):
         vdf = values
-        if col not in vdf.columns:
-            if len(vdf.columns) == 1:
-                vdf = vdf.withColumnRenamed(vdf.columns[0], col)
+        if not set(cols) <= set(vdf.columns):
+            if len(vdf.columns) == len(cols):
+                # positional: a single-column drop list under any name
+                vdf = vdf.toDF(*cols)
             else:
                 raise ValueError(
-                    f"values DataFrame must have a {col!r} column or "
-                    f"exactly one column; has {vdf.columns}"
+                    f"values DataFrame must carry columns {cols} or "
+                    f"exactly {len(cols)} columns; has {vdf.columns}"
                 )
-        vdf = (
-            vdf.select(F.col(col).cast(spec["spark_type"]))
-            .where(F.col(col).isNotNull())
-            .distinct()
+        vdf = vdf.select(
+            *[
+                F.col(c).cast(s["spark_type"]).alias(k)
+                for c, s, k in zip(cols, specs, knames)
+            ]
         )
+        for k in knames:  # equality deletes never match NULL keys
+            vdf = vdf.where(F.col(k).isNotNull())
+        vdf = vdf.distinct().withColumn("_dseq", F.lit(int(seq)).cast("long"))
         vdf.coalesce(1).write.mode("overwrite").parquet(dest)
         n = spark.read.parquet(dest).count()
         if n == 0:
@@ -1508,35 +1657,45 @@ def delete_rows(spark: SparkSession, path: str, col: str, values) -> dict:
     else:
         import pyarrow as pa
         import pyarrow.parquet as pq
-        from pyspark.sql import types as T
-        from pyspark.sql.pandas.types import to_arrow_schema
 
         from . import fsio
 
-        vals = sorted(set(values))
-        if not vals:
+        rows = [
+            v if isinstance(v, tuple) else (v,) for v in values
+        ]
+        if any(len(r) != len(cols) for r in rows):
+            raise ValueError(
+                f"each delete value must have {len(cols)} elements "
+                f"(key columns {cols})"
+            )
+        rows = sorted(set(rows))
+        if not rows:
             raise ValueError("empty delete set")
-        arrow = to_arrow_schema(
-            T.StructType.fromDDL(f"`{col}` {spec['spark_type']}")
-        )
-        want = arrow.field(col).type
-        try:
-            arr = pa.array(vals, type=want)
-        except (pa.ArrowInvalid, pa.ArrowTypeError):
-            # CLI callers pass string literals for numeric/timestamp
-            # columns (table_job --values 5,7) — cast instead of failing
-            arr = pa.array(vals).cast(want)
-        tbl = pa.table({col: arr})
+        types = _delete_arrow_types(specs)
+        arrays = []
+        for i, want in enumerate(types):
+            col_vals = [r[i] for r in rows]
+            try:
+                arrays.append(pa.array(col_vals, type=want))
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                # CLI callers pass string literals for numeric/timestamp
+                # columns (table_job --values 5,7) — cast, don't fail
+                arrays.append(pa.array(col_vals).cast(want))
+        arrays.append(pa.array([int(seq)] * len(rows), type=pa.int64()))
+        tbl = pa.table(dict(zip(knames + ["_dseq"], arrays)))
         sink = pa.BufferOutputStream()
         pq.write_table(tbl, sink)
         fsio.write_bytes(spark, dest, "part-0.parquet", sink.getvalue().to_pybytes())
-        n = len(vals)
+        n = len(rows)
     entry = {
         "dir": f"{DELETES_DIR}/{rel}",
-        "col": col,
+        "cols": cols,
         "seq": int(seq),
         "n": int(n),
+        "v": 2,
     }
+    if len(cols) == 1:
+        entry["col"] = cols[0]  # readability + v1-reader compat
     man = dict(man)
     man["delete_files"] = list(man.get("delete_files", [])) + [entry]
     try:
@@ -1559,7 +1718,7 @@ def upsert_rows(
     spark: SparkSession,
     df: DataFrame,
     path: str,
-    key_col: str,
+    key_col,
     *,
     zlib_level: int = 6,
     effort: str = selector.EFFORT_MAX,
@@ -1567,13 +1726,14 @@ def upsert_rows(
 ) -> dict:
     """MERGE INTO <table> USING df ON table.key = df.key — matched rows
     replaced, unmatched rows inserted (Iceberg merge-on-read UPSERT,
-    the ``raquet_metadata.hpp`` table-mutation analog). Composed from
-    the two primitives so it inherits their cost model: one equality
-    delete on df's keys (O(|df|) — the delete's sequence number covers
-    only chunks visible NOW) plus one appended chunk carrying df's rows
-    (chunk id > seq, so the fresh versions survive the anti-join).
-    No existing data file is rewritten; a 100-row upsert into a 100 TB
-    table moves ~100 rows.
+    the ``raquet_metadata.hpp`` table-mutation analog). ``key_col`` is
+    one column name or a LIST for a composite natural key like
+    ``(url, warc_ts)``. Composed from the two primitives so it inherits
+    their cost model: one equality delete on df's keys (O(|df|) — the
+    delete's sequence number covers only chunks visible NOW) plus one
+    appended chunk carrying df's rows (chunk id > seq, so the fresh
+    versions survive the anti-join). No existing data file is
+    rewritten; a 100-row upsert into a 100 TB table moves ~100 rows.
 
     df must carry the table's full column set (this engine stores whole
     rows per block — partial-column UPDATE would need a read-modify
@@ -1581,28 +1741,31 @@ def upsert_rows(
     are an error: both copies would survive the merge.
 
     Returns the final manifest (after the append's re-finalization)."""
-    man = mf.read_sidecar(path, spark)
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    man, _ = mf.committed_manifest(path, spark)
     if man is None:
         raise FileNotFoundError(f"no committed manifest at {path}")
     names = [c["name"] for c in man["columns"]]
-    if key_col not in names:
-        raise ValueError(f"no column {key_col!r}; have {names}")
+    for k in keys:
+        if k not in names:
+            raise ValueError(f"no column {k!r}; have {names}")
     missing = [n for n in names if n not in df.columns]
     if missing:
         raise ValueError(
             f"upsert df must carry the full column set; missing {missing}"
         )
     dup = (
-        df.groupBy(key_col).count().where(F.col("count") > 1).limit(1).count()
+        df.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count()
     )
     if dup:
         raise ValueError(
-            f"duplicate {key_col!r} keys within the upsert df — dedupe "
+            f"duplicate {keys!r} keys within the upsert df — dedupe "
             "first (both copies would survive the merge)"
         )
     if not df.take(1):
         return man  # empty MERGE is a no-op, not an error
-    delete_rows(spark, path, key_col, df.select(key_col))
+    delete_rows(spark, path, keys if len(keys) > 1 else keys[0],
+                df.select(*keys))
     return append_chunk(
         spark,
         df.select(*names),
@@ -1611,3 +1774,102 @@ def upsert_rows(
         effort=effort,
         codec_overrides=codec_overrides,
     )
+
+
+def compact_delete_files(spark: SparkSession, path: str) -> dict:
+    """Iceberg ``rewrite_position_delete_files`` analog for equality
+    deletes: merge ALL live delete files of each key-column set into
+    ONE v2 parquet, committed as a metadata-only snapshot — no data
+    file is touched, so compacting a 100 TB table's delete backlog
+    costs O(total delete rows), which is broadcast-sized by contract.
+
+    Why it matters: ``streaming.upsert_stream`` commits one delete file
+    per micro-batch; without this step the read path opens O(#commits)
+    parquet files per scan (one multi-path scan node, but the file
+    count still grows). After compaction the broadcast side of
+    ``read_rows`` is exactly one file per key set, forever O(#key
+    sets). Per-VALUE sequence numbers (``_dseq``) are preserved by
+    max-merging, so the Iceberg sequence rule — a key re-inserted
+    after its delete stays visible — survives compaction bit-for-bit:
+    pre-merge a row is dropped iff chunk <= seq in ANY file, which
+    equals chunk <= max(seq) per value.
+
+    Old value files stay on disk for time travel (older snapshots still
+    reference them); ``expire_snapshots(delete_orphan_chunks=True)``
+    reclaims them once no retained snapshot does. Returns the updated
+    manifest; a no-op (already exactly one v2 file per key set) returns
+    it unchanged without committing."""
+    import uuid
+
+    from . import fsio
+
+    man, cur = mf.committed_manifest(path, spark)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest at {path}")
+    entries = list(man.get("delete_files") or [])
+    if not entries:
+        raise ValueError(f"no delete files to compact at {path}")
+    groups: dict[tuple, list[dict]] = {}
+    for e in entries:
+        groups.setdefault(tuple(mf.delete_entry_cols(e)), []).append(e)
+    if all(
+        len(es) == 1 and es[0].get("v", 1) >= 2 for es in groups.values()
+    ):
+        return man  # already compact
+    snap_id = (cur["snapshot_id"] + 1) if cur else 0
+    new_entries: list[dict] = []
+    written: list[str] = []
+    n_merged = 0
+    for cols, es in sorted(groups.items()):
+        if len(es) == 1 and es[0].get("v", 1) >= 2:
+            new_entries.append(es[0])
+            continue
+        knames = [f"_k{i}" for i in range(len(cols))]
+        v2_dirs = [
+            os.path.join(path, e["dir"]) for e in es if e.get("v", 1) >= 2
+        ]
+        dd = None
+        if v2_dirs:
+            dd = spark.read.parquet(*v2_dirs).select(*knames, "_dseq")
+        for e in es:
+            if e.get("v", 1) >= 2:
+                continue
+            d0 = spark.read.parquet(os.path.join(path, e["dir"]))
+            # v1 files: one value column (any internal name — it may
+            # predate a rename), constant per-file sequence
+            d = d0.select(
+                F.col(d0.columns[0]).alias("_k0"),
+                F.lit(int(e["seq"])).cast("long").alias("_dseq"),
+            )
+            dd = d if dd is None else dd.unionByName(d)
+        merged = dd.groupBy(*knames).agg(F.max("_dseq").alias("_dseq"))
+        rel = f"merged-{snap_id:05d}-{uuid.uuid4().hex[:10]}"
+        dest = os.path.join(path, DELETES_DIR, rel)
+        merged.coalesce(1).write.mode("overwrite").parquet(dest)
+        n = spark.read.parquet(dest).count()
+        entry = {
+            "dir": f"{DELETES_DIR}/{rel}",
+            "cols": list(cols),
+            "seq": max(int(e["seq"]) for e in es),
+            "n": int(n),
+            "v": 2,
+            "merged_from": len(es),
+        }
+        if len(cols) == 1:
+            entry["col"] = cols[0]
+        new_entries.append(entry)
+        written.append(dest)
+        n_merged += len(es)
+    man = dict(man)
+    man["delete_files"] = new_entries
+    try:
+        man, _ = _meta_commit(
+            spark, path, man, "compact-deletes",
+            {"delete_files": new_entries, "compacted_files": n_merged},
+            parent=cur,
+        )
+    except mf.ConcurrentCommitError:
+        for dest in written:  # lost the CAS: reclaim our orphans now
+            fsio.delete_dir(spark, dest)
+        raise
+    return man

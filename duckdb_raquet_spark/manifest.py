@@ -268,6 +268,26 @@ def current_snapshot(path: str, spark=None) -> dict | None:
     return snaps[max(snaps)] if snaps else None
 
 
+def committed_manifest(path: str, spark=None) -> tuple[dict | None, dict | None]:
+    """(base manifest, snapshot it came from) for a mutation or a
+    consistency-critical read. Snapshots written since round 5 embed
+    the full manifest in the snapshot file itself, so the manifest
+    travels ATOMICALLY with the exclusive-create CAS (Iceberg's
+    metadata-file-then-pointer-swap discipline): a writer that bases
+    its change on ``committed_manifest`` and passes the returned
+    snapshot as the CAS parent can never lose a concurrent commit —
+    the old read-sidecar-then-read-snapshot pair had a window where
+    the winner's snapshot existed but its sidecar write hadn't landed,
+    so the CAS loser's retry rebuilt from a stale manifest and
+    silently dropped the winner's change. The sidecar (and the
+    block=0 manifest row) remain as caches for pre-log tables and
+    cheap driver access."""
+    cur = current_snapshot(path, spark)
+    if cur is not None and isinstance(cur.get("manifest"), dict):
+        return normalize_manifest(cur["manifest"]), cur
+    return read_sidecar(path, spark), cur
+
+
 def snapshot_as_of(path: str, unix_ts: float, spark=None) -> dict | None:
     """Latest snapshot committed at or before ``unix_ts`` (Iceberg's
     FOR TIMESTAMP AS OF)."""
@@ -300,17 +320,36 @@ def make_snapshot(
     return snap
 
 
+def delete_entry_cols(e: dict) -> list[str]:
+    """Key column list of an equality-delete entry. v2 entries
+    (composite-key capable, written by encode.delete_rows since the
+    explicit-sequence format) carry ``cols``; v1 entries carry a
+    single ``col``. Every consumer goes through this helper so both
+    generations coexist in one table's entry list."""
+    cols = e.get("cols")
+    return list(cols) if cols else [e["col"]]
+
+
+def _entry_with_cols(e: dict, cols: list[str]) -> dict:
+    out = dict(e)
+    if e.get("cols"):
+        out["cols"] = cols
+    if "col" in e and len(cols) == 1:
+        out["col"] = cols[0]
+    return out
+
+
 def remap_delete_entries(
     snaps: dict, after_id: int, entries: list[dict]
 ) -> list[dict]:
     """Replay rename-column ops committed AFTER snapshot ``after_id``
     over equality-delete entries' logical column names, so entries
     recorded under an old name resolve against the current manifest
-    (value files are read positionally; only the label moves). Used by
-    time-travel reads and by rollback, which copies a historical
-    snapshot's entries into a NEW snapshot id — past that point no
-    later rename op exists to fix them, so they must be remapped at
-    copy time."""
+    (value files are read by fixed internal/positional names; only the
+    label moves). Used by time-travel reads and by rollback, which
+    copies a historical snapshot's entries into a NEW snapshot id —
+    past that point no later rename op exists to fix them, so they
+    must be remapped at copy time."""
     renames = [
         (snaps[i]["from"], snaps[i]["to"])
         for i in sorted(snaps)
@@ -320,9 +359,9 @@ def remap_delete_entries(
         return entries
     out = []
     for e in entries:
-        col = e["col"]
+        cols = delete_entry_cols(e)
+        mapped = list(cols)
         for old, new in renames:
-            if col == old:
-                col = new
-        out.append({**e, "col": col} if col != e["col"] else e)
+            mapped = [new if c == old else c for c in mapped]
+        out.append(_entry_with_cols(e, mapped) if mapped != cols else e)
     return out

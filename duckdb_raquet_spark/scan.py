@@ -56,7 +56,7 @@ def _read_raw(spark: SparkSession, path: str) -> DataFrame:
     files missing a payload column yield NULL (decoded downstream as the
     column's default) and dropped payloads are never read at all; the
     `chunk` partition column is still discovered and appended."""
-    man = mf.read_sidecar(path, spark)
+    man, _ = mf.committed_manifest(path, spark)
     if man is not None and man.get("schema_evolved"):
         sch = blocks_schema(man["columns"], man.get("column_groups"))
         return spark.read.schema(sch).parquet(_data_path(path))
@@ -190,11 +190,12 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_manifest(spark: SparkSession, path: str) -> dict:
-    """Manifest dict — read_raquet_metadata analog (:89-100). Prefers the
-    sidecar (local FS directly, object stores via the Hadoop FileSystem);
-    falls back to the block=0 row (latest if re-appended by a resumed
-    job)."""
-    side = mf.read_sidecar(path, spark)
+    """Manifest dict — read_raquet_metadata analog (:89-100). Prefers
+    the current snapshot's embedded manifest (atomic with the commit
+    CAS), then the sidecar (local FS directly, object stores via the
+    Hadoop FileSystem), then the block=0 row (latest if re-appended by
+    a resumed job)."""
+    side, _ = mf.committed_manifest(path, spark)
     if side is not None:
         return side
     rows = (
@@ -485,33 +486,59 @@ def _apply_delete_entries(
     chunk_col: str = "chunk",
 ) -> DataFrame:
     """Merge-on-read: anti-join decoded rows against each equality
-    delete column's (value, seq) set. Delete files are small by
+    delete key-set's (values, seq) rows. Delete files are small by
     contract, so the join is a BROADCAST hash anti-join — no shuffle of
     the data side; the residual ``chunk <= seq`` sequence predicate
     keeps rows appended AFTER a delete visible even when their key
-    matches (Iceberg's sequence-number rule)."""
-    by_col: dict[str, list[dict]] = {}
+    matches (Iceberg's sequence-number rule).
+
+    Plan size is O(#key sets), not O(#delete commits): v2 files of a
+    key set share one fixed schema (``_k0.., _dseq`` — sequence per
+    ROW), so all of them load through a single multi-path parquet
+    read; only legacy v1 files (constant per-file seq, arbitrary
+    internal name) still need a per-file union."""
+    for cols, dd in _delete_sides(spark, path, entries):
+        cond = F.col(chunk_col) <= F.col("_dseq")
+        for i, c in enumerate(cols):
+            cond = cond & (F.col(c) == F.col(f"_dv{i}"))
+        rows = rows.join(F.broadcast(dd), on=cond, how="left_anti")
+    return rows
+
+
+def _delete_sides(spark, path, entries):
+    """Group equality-delete entries by key-column set and build one
+    broadcast-side DataFrame per set with columns ``_dv0.._dv{k-1},
+    _dseq``. v2 entries fold into ONE multi-path parquet scan."""
+    groups: dict[tuple, list[dict]] = {}
     for e in entries:
-        by_col.setdefault(e["col"], []).append(e)
-    for col, es in sorted(by_col.items()):
+        groups.setdefault(tuple(mf.delete_entry_cols(e)), []).append(e)
+    out = []
+    for cols, es in sorted(groups.items()):
+        dvs = [F.col(f"_k{i}").alias(f"_dv{i}") for i in range(len(cols))]
+        v2_dirs = [
+            os.path.join(path, e["dir"]) for e in es if e.get("v", 1) >= 2
+        ]
         dd = None
+        if v2_dirs:
+            dd = spark.read.parquet(*v2_dirs).select(*dvs, "_dseq")
         for e in es:
+            if e.get("v", 1) >= 2:
+                continue
             d0 = spark.read.parquet(os.path.join(path, e["dir"]))
-            # POSITIONAL select of the single value column: a delete
-            # file written before evolve_rename_column keeps the old
-            # name internally while the entry's `col` follows the rename
+            # POSITIONAL select of the single value column: a v1 file
+            # written before evolve_rename_column keeps the old name
+            # internally while the entry's `col` follows the rename
             d = d0.select(
-                F.col(d0.columns[0]).alias("_dv"),
-                F.lit(int(e["seq"])).alias("_dseq"),
+                F.col(d0.columns[0]).alias("_dv0"),
+                F.lit(int(e["seq"])).cast("long").alias("_dseq"),
             )
             dd = d if dd is None else dd.unionByName(d)
-        rows = rows.join(
-            F.broadcast(dd),
-            on=(F.col(col) == F.col("_dv"))
-            & (F.col(chunk_col) <= F.col("_dseq")),
-            how="left_anti",
-        )
-    return rows
+        out.append((cols, dd))
+    return out
+
+
+def _dcols_of(entries) -> set[str]:
+    return {c for e in entries for c in mf.delete_entry_cols(e)}
 
 
 def _delete_flag_join(
@@ -523,37 +550,28 @@ def _delete_flag_join(
 ):
     """Broadcast LEFT joins that FLAG (not drop) rows matching the
     given equality-delete entries. Returns ``(flagged_df, any_match)``;
-    the right side is uniqued per value with max(seq), so the join can
-    never fan out. Used where the matching rows themselves are the
+    the right side is uniqued per key tuple with max(seq), so the join
+    can never fan out. Used where the matching rows themselves are the
     result (changelog deletes/resurrections) — the read path's
     anti-join stays :func:`_apply_delete_entries`."""
     from functools import reduce
 
-    by_col: dict[str, list[dict]] = {}
-    for e in entries:
-        by_col.setdefault(e["col"], []).append(e)
     conds = []
-    for i, (col, es) in enumerate(sorted(by_col.items())):
-        dd = None
-        for e in es:
-            d0 = spark.read.parquet(os.path.join(path, e["dir"]))
-            d = d0.select(
-                F.col(d0.columns[0]).alias("_dv"),
-                F.lit(int(e["seq"])).alias("_ds"),
-            )
-            dd = d if dd is None else dd.unionByName(d)
+    for gi, (cols, dd) in enumerate(_delete_sides(spark, path, entries)):
+        dvs = [f"_dv{i}" for i in range(len(cols))]
         dd = (
-            dd.groupBy("_dv")
-            .agg(F.max("_ds").alias("_ds"))
-            .select(F.col("_dv").alias(f"_dv{i}"), F.col("_ds").alias(f"_ds{i}"))
+            dd.groupBy(*dvs)
+            .agg(F.max("_dseq").alias("_dseq"))
+            .select(
+                *[F.col(v).alias(f"_g{gi}{v}") for v in dvs],
+                F.col("_dseq").alias(f"_g{gi}_ds"),
+            )
         )
-        rows = rows.join(
-            F.broadcast(dd),
-            on=(F.col(col) == F.col(f"_dv{i}"))
-            & (F.col(chunk_col) <= F.col(f"_ds{i}")),
-            how="left",
-        )
-        conds.append(F.col(f"_dv{i}").isNotNull())
+        cond = F.col(chunk_col) <= F.col(f"_g{gi}_ds")
+        for i, c in enumerate(cols):
+            cond = cond & (F.col(c) == F.col(f"_g{gi}_dv{i}"))
+        rows = rows.join(F.broadcast(dd), on=cond, how="left")
+        conds.append(F.col(f"_g{gi}_dv0").isNotNull())
     return rows, reduce(lambda a, b: a | b, conds)
 
 
@@ -586,7 +604,7 @@ def read_rows(
         return decode_blocks(blocks, man, cols)
     names = [c["name"] for c in man["columns"]]
     want = list(cols) if cols is not None else names
-    dcols = sorted({e["col"] for e in entries})
+    dcols = sorted(_dcols_of(entries))
     unknown = set(dcols) - set(names)
     if unknown:
         raise ValueError(
@@ -636,14 +654,26 @@ def purge_deletes(
             "compaction"
         )
     blocks = read_blocks(spark, src)
-    # delete sets are broadcast-sized by contract (delete_rows doc)
-    sets: list[tuple[str, int, set]] = []
+    # delete sets are broadcast-sized by contract (delete_rows doc).
+    # v2 files carry a PER-ROW sequence (compact_delete_files merges
+    # commits with different horizons into one file), so one file can
+    # yield several (key-set, seq, values) groups — a value deleted at
+    # seq 2 must NOT purge a matching row re-inserted in chunk 3 just
+    # because a different value in the same file has seq 5.
+    sets: list[tuple[tuple[str, ...], int, set]] = []
     for e in entries:
-        vals = {
-            r[0]
-            for r in spark.read.parquet(os.path.join(src, e["dir"])).collect()
-        }
-        sets.append((e["col"], int(e["seq"]), vals))
+        cols = tuple(mf.delete_entry_cols(e))
+        drows = spark.read.parquet(os.path.join(src, e["dir"])).collect()
+        if e.get("v", 1) >= 2:
+            k = len(cols)
+            by_seq: dict[int, set] = {}
+            for r in drows:
+                key = r[0] if k == 1 else tuple(r[i] for i in range(k))
+                by_seq.setdefault(int(r["_dseq"]), set()).add(key)
+            for s, vals in sorted(by_seq.items()):
+                sets.append((cols, s, vals))
+        else:
+            sets.append((cols, int(e["seq"]), {r[0] for r in drows}))
     chunks = sorted(
         int(r["chunk"]) for r in blocks.select("chunk").distinct().collect()
     )
@@ -664,21 +694,32 @@ def purge_deletes(
         if not key:
             parts.append(sub.select(*out_names))  # payloads untouched
             continue
-        by_col: dict[str, set] = {}
+        by_key: dict[tuple, set] = {}
         for i in key:
-            col, _, vals = sets[i]
-            by_col.setdefault(col, set()).update(vals)
+            kc, _, vals = sets[i]
+            by_key.setdefault(kc, set()).update(vals)
+        # materialize each key set's probe values ONCE per chunk group
+        # (they ship in the closure, converted per executor at
+        # deserialization) — not rebuilt on every per-block call
+        preds = [
+            (list(kc), sorted(vals) if len(kc) == 1 else set(vals))
+            for kc, vals in sorted(by_key.items())
+        ]
 
-        def row_filter(frame, by_col=by_col):
+        def row_filter(frame, preds=preds):
             keep = np.ones(len(frame), dtype=bool)
-            for col, vals in by_col.items():
-                keep &= ~frame[col].isin(list(vals)).to_numpy(dtype=bool)
+            for kc, vals in preds:
+                if len(kc) == 1:
+                    keep &= ~frame[kc[0]].isin(vals).to_numpy(dtype=bool)
+                else:  # composite: tuple-membership via MultiIndex
+                    mi = pd.MultiIndex.from_frame(frame[kc])
+                    keep &= ~np.asarray(mi.isin(vals))
             return keep
 
         parts.append(
             transform_blocks(
                 sub, man, row_filter, zlib_level,
-                filter_cols=sorted(by_col),
+                filter_cols=sorted({c for kc, _ in preds for c in kc}),
             )
         )
     merged = reduce(DataFrame.unionByName, parts)
@@ -747,11 +788,12 @@ def read_changes(
     seen = {e["dir"] for e in entries_from}
     new_entries = [e for e in entries_to if e["dir"] not in seen]
     for e in entries_from + entries_to:
-        if e["col"] not in names:
-            raise ValueError(
-                f"delete file {e['dir']} references missing column "
-                f"{e['col']!r} (renamed or dropped after the range?)"
-            )
+        for c in mf.delete_entry_cols(e):
+            if c not in names:
+                raise ValueError(
+                    f"delete file {e['dir']} references missing column "
+                    f"{c!r} (renamed or dropped after the range?)"
+                )
     chunks_from = set(snaps[from_snapshot_id]["chunks"])
     chunks_to = set(snaps[to_id]["chunks"])
     added = sorted(chunks_to - chunks_from)
@@ -763,7 +805,7 @@ def read_changes(
         blocks_new = read_blocks_at(spark, path, snapshot_id=to_id).where(
             F.col("chunk").isin(added)
         )
-        dcols = sorted({e["col"] for e in entries_to})
+        dcols = sorted(_dcols_of(entries_to))
         dec = list(dict.fromkeys(want + dcols))
         rows_new = decode_blocks(blocks_new, man, dec, with_chunk=True)
         if entries_to:
@@ -775,9 +817,7 @@ def read_changes(
         blocks_old = read_blocks_at(
             spark, path, snapshot_id=from_snapshot_id
         ).where(F.col("chunk").isin(surviving))
-        dcols = sorted(
-            {e["col"] for e in entries_from} | {e["col"] for e in new_entries}
-        )
+        dcols = sorted(_dcols_of(entries_from) | _dcols_of(new_entries))
         rows_old = decode_blocks(
             blocks_old, man, list(dict.fromkeys(want + dcols)), with_chunk=True
         )
@@ -800,9 +840,7 @@ def read_changes(
         blocks_srv = read_blocks_at(spark, path, snapshot_id=to_id).where(
             F.col("chunk").isin(surviving)
         )
-        dcols = sorted(
-            {e["col"] for e in entries_to} | {e["col"] for e in removed_entries}
-        )
+        dcols = sorted(_dcols_of(entries_to) | _dcols_of(removed_entries))
         rows_srv = decode_blocks(
             blocks_srv, man, list(dict.fromkeys(want + dcols)), with_chunk=True
         )
@@ -819,7 +857,7 @@ def read_changes(
         blocks_rm = read_blocks_at(
             spark, path, snapshot_id=from_snapshot_id
         ).where(F.col("chunk").isin(removed))
-        dcols = sorted({e["col"] for e in entries_from})
+        dcols = sorted(_dcols_of(entries_from))
         rows_rm = decode_blocks(
             blocks_rm, man, list(dict.fromkeys(want + dcols)), with_chunk=True
         )
@@ -867,7 +905,7 @@ def point_lookup(
     if entries and "chunk" in blocks.columns:
         # row-level deletes: decode the delete columns too, anti-join
         # per sequence rule, then project back down
-        dcols = sorted({e["col"] for e in entries})
+        dcols = sorted(_dcols_of(entries))
         dec_cols = (
             None if want is None else list(dict.fromkeys(want + dcols))
         )
@@ -977,7 +1015,7 @@ def range_scan_ts(
     if entries and "chunk" in blocks.columns:
         # merge-on-read: decode delete columns too, anti-join per the
         # sequence rule, project back down (mirrors point_lookup)
-        dcols = sorted({e["col"] for e in entries})
+        dcols = sorted(_dcols_of(entries))
         dec_cols = None if want is None else list(dict.fromkeys(want + dcols))
         decoded = decode_blocks(blocks, man, dec_cols, with_chunk=True)
         decoded = _apply_delete_entries(spark, path, decoded, entries)

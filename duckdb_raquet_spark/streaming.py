@@ -154,7 +154,7 @@ def encode_stream(
 def upsert_stream(
     stream_df: DataFrame,
     path: str,
-    key_col: str,
+    key_col,
     *,
     order_col: str | None = None,
     zlib_level: int = 6,
@@ -166,8 +166,10 @@ def upsert_stream(
     """Streaming MERGE (CDC ingest): each micro-batch upserts into an
     EXISTING committed table via :func:`encode.upsert_rows` — one
     equality delete on the batch's keys plus one appended chunk, no
-    existing data file rewritten. The table must be created first
-    (``encode_to_path``); its manifest pins the key geometry.
+    existing data file rewritten. ``key_col`` is one column name or a
+    LIST (composite natural key, e.g. ``["url", "warc_ts"]``). The
+    table must be created first (``encode_to_path``); its manifest
+    pins the key geometry.
 
     ``order_col`` collapses duplicate keys WITHIN a micro-batch to the
     row with the greatest ``order_col`` (CDC streams routinely carry
@@ -190,7 +192,8 @@ def upsert_stream(
         if order_col is not None:
             from pyspark.sql import Window
 
-            w = Window.partitionBy(key_col).orderBy(
+            keys = [key_col] if isinstance(key_col, str) else list(key_col)
+            w = Window.partitionBy(*keys).orderBy(
                 F.col(order_col).desc_nulls_last()
             )
             b = (

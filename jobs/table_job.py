@@ -9,8 +9,9 @@ they cost the same on a 100 TB table as on the test fixtures.
 
     spark-submit --py-files dist/duckdb_raquet_spark.zip jobs/table_job.py \
         <table> delete --col lang --values de,fr
-    ... delete --col url --values-parquet /path/droplist.parquet
-    ... upsert --key-col url --input /path/new_rows.parquet
+    ... delete --col url,warc_ts --values-parquet /path/droplist.parquet
+    ... upsert --key-col url --input /path/new_rows.parquet   # or url,warc_ts
+    ... compact-deletes                      # merge delete files, metadata-only
     ... purge --output /path/purged          # apply deletes physically
     ... expire --keep-last 3                 # snapshots + orphan chunks/deletes
     ... history                              # one JSON line per snapshot
@@ -40,7 +41,8 @@ def main() -> None:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("delete")
-    p.add_argument("--col", required=True)
+    p.add_argument("--col", required=True,
+                   help="key column, or comma list for a composite key")
     p.add_argument("--values", default=None, help="comma-separated literals")
     p.add_argument(
         "--values-parquet", default=None,
@@ -50,6 +52,8 @@ def main() -> None:
     p = sub.add_parser("upsert")
     p.add_argument("--key-col", required=True)
     p.add_argument("--input", required=True, help="parquet of full rows")
+
+    sub.add_parser("compact-deletes")
 
     p = sub.add_parser("purge")
     p.add_argument("--output", required=True)
@@ -75,11 +79,17 @@ def main() -> None:
     if args.cmd == "delete":
         if (args.values is None) == (args.values_parquet is None):
             sys.exit("delete needs exactly one of --values / --values-parquet")
+        cols = args.col.split(",")
         if args.values is not None:
+            if len(cols) > 1:
+                sys.exit("composite-key deletes need --values-parquet "
+                         "(literal tuples are ambiguous on a CLI)")
             vals = args.values.split(",")
         else:
             vals = spark.read.parquet(args.values_parquet)
-        man = encode.delete_rows(spark, args.path, args.col, vals)
+        man = encode.delete_rows(
+            spark, args.path, cols if len(cols) > 1 else cols[0], vals
+        )
         print(json.dumps({
             "op": "delete",
             "table": args.path,
@@ -88,12 +98,23 @@ def main() -> None:
         }))
     elif args.cmd == "upsert":
         df = spark.read.parquet(args.input)
-        final = encode.upsert_rows(spark, df, args.path, args.key_col)
+        keys = args.key_col.split(",")
+        final = encode.upsert_rows(
+            spark, df, args.path, keys if len(keys) > 1 else keys[0]
+        )
         print(json.dumps({
             "op": "upsert",
             "table": args.path,
             "num_rows": final["num_rows"],
             "live_delete_files": len(final.get("delete_files", [])),
+        }))
+    elif args.cmd == "compact-deletes":
+        man = encode.compact_delete_files(spark, args.path)
+        print(json.dumps({
+            "op": "compact-deletes",
+            "table": args.path,
+            "live_delete_files": len(man.get("delete_files", [])),
+            "entries": man.get("delete_files", []),
         }))
     elif args.cmd == "purge":
         final = scan.purge_deletes(spark, args.path, args.output)
