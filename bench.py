@@ -508,6 +508,33 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
             scan.read_rows(spark, del_path, ["url", "text", "lang"])
         ),
     )
+    # CDC path, measured (not just plan-claimed): a ~2% append commit
+    # (the O(delta) write — compare against `encode`, the O(table)
+    # one), then the changelog scan. read_changes(1->2) prunes to the
+    # appended chunk's partition — O(delta) rows touched; the 0->2
+    # variant also emits the delete's rows, which costs one key-column
+    # decode of the surviving chunks + a broadcast flag join (the
+    # documented floor for emitting deleted ROWS, not just keys)
+    cdc_delta = (
+        spark.read.parquet(input_path)
+        .where(F.xxhash64("url", F.lit(7)) % 50 == 0)
+        .withColumn("url", F.concat(F.col("url"), F.lit("#refetch")))
+    )
+    timed(
+        timings,
+        "cdc_append",
+        lambda: _enc.append_chunk(spark, cdc_delta, del_path, effort="fast"),
+    )
+    timed(
+        timings,
+        "read_changes",
+        lambda: force(scan.read_changes(spark, del_path, 1, cols=["url", "lang"])),
+    )
+    timed(
+        timings,
+        "read_changes_withdel",
+        lambda: force(scan.read_changes(spark, del_path, 0, cols=["url", "lang"])),
+    )
 
     # pipeline queries over the driver's sf tables (shared op surface);
     # ann_lsh probes the persisted sig-sorted index — build it untimed

@@ -108,6 +108,23 @@ def probe_signatures(qsig: int, n_planes: int, probe_hamming: int) -> list[int]:
     return sorted(out)
 
 
+def _sig_dense_file_count(spark, df: DataFrame, dim: int, n_planes: int) -> int:
+    """File count for a sig-sorted index such that footer pruning bites
+    at EVERY scale. Spark's parquet writer never flushes a row group
+    under ~100 records, so at small N one file = one row group and the
+    file's [sig_min, sig_max] span is the pruning unit: split the
+    sorted table until each file covers ~8 of the 2^n_planes
+    signatures (a 79-sig multi-probe then touches ~79*8/2^n of the
+    index instead of most of it). At scale the 128 MB size term takes
+    over — each file spans <1 signature on its own and the density
+    term is already saturated, so this collapses to the normal
+    size-driven layout."""
+    n_rows = df.count()
+    size_files = n_rows * (dim * 5 + 24) // (128 << 20) + 1
+    dense_files = min(n_rows // 2 + 1, (1 << n_planes) // 8)
+    return max(2, spark.sparkContext.defaultParallelism, size_files, dense_files)
+
+
 def build_ann_index(
     df: DataFrame,
     id_col: str,
@@ -139,7 +156,7 @@ def build_ann_index(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
     )
-    n_files = num_files or max(2, spark.sparkContext.defaultParallelism)
+    n_files = num_files or _sig_dense_file_count(spark, df, dim, n_planes)
     (
         sig.repartitionByRange(n_files, "sig")
         .sortWithinPartitions("sig")

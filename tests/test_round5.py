@@ -467,6 +467,78 @@ def test_widen_rejects_unsafe(spark, tmp_path):
 # ------------------------------------------------- concurrent writers ----
 
 
+def test_concurrent_append_vs_delete(spark, tmp_path):
+    """An append_chunk races a delete_rows over the same parent
+    snapshot. Both ops now commit through a CAS on the snapshot they
+    based their manifest on (the manifest rides IN the snapshot file,
+    so the loser's retry rebuilds from the winner's committed state,
+    never a lagging sidecar): exactly one wins, the loser retries and
+    succeeds, and the final table shows BOTH effects — the appended
+    rows and the delete. A losing append's first-attempt chunk dir is
+    orphaned (its id burned) and reclaimed by expiry."""
+    base = _webtext(spark, n=60)
+    path = str(tmp_path / "tbl")
+    encode.encode_to_path(spark, base, path, chunks=2, target_rows_per_block=32)
+    victim = base.select("lang").distinct().collect()[0]["lang"]
+    app = (
+        base.where(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("lang", F.lit("zz"))
+    )
+
+    barrier = threading.Barrier(2)
+    results: dict[str, list] = {"ok": [], "err": []}
+    lock = threading.Lock()
+
+    def run(tag, fn):
+        barrier.wait()
+        try:
+            try:
+                fn()
+            except mf.ConcurrentCommitError:
+                fn()  # one retry must suffice with only two writers
+            with lock:
+                results["ok"].append(tag)
+        except Exception as e:  # pragma: no cover - diagnostic
+            with lock:
+                results["err"].append((tag, repr(e)))
+
+    t1 = threading.Thread(
+        target=run, args=("app", lambda: encode.append_chunk(spark, app, path))
+    )
+    t2 = threading.Thread(
+        target=run,
+        args=("del", lambda: encode.delete_rows(spark, path, "lang", [victim])),
+    )
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+
+    assert not results["err"], results["err"]
+    assert sorted(results["ok"]) == ["app", "del"]
+    snaps = mf.read_snapshots(path, spark)
+    assert sorted(snaps) == list(range(len(snaps)))  # contiguous ids
+    rows = scan.read_rows(spark, path, ["doc_id", "lang"]).collect()
+    got = {(r["doc_id"], r["lang"]) for r in rows}
+    # the delete's sequence covers at least the original chunks; the
+    # appended rows carry lang='zz' so they survive either commit order
+    want = {
+        (r["doc_id"], r["lang"]) for r in base.collect() if r["lang"] != victim
+    } | {(r["doc_id"] + 1_000_000, "zz") for r in base.collect() if r["doc_id"] % 5 == 0}
+    assert got == want
+    # expiry reclaims any orphan chunk dir a losing append left behind
+    encode.expire_snapshots(spark, path, keep_last=1)
+    cur = mf.current_snapshot(path, spark)
+    live = {f"chunk={c}" for c in cur["chunks"]} | {"chunk=-1"}
+    on_disk = {
+        d for d in os.listdir(os.path.join(path, "data"))
+        if d.startswith("chunk=")
+    }
+    assert on_disk == live
+    assert got == {
+        (r["doc_id"], r["lang"])
+        for r in scan.read_rows(spark, path, ["doc_id", "lang"]).collect()
+    }
+
+
 def test_concurrent_writer_race(spark, tmp_path):
     """Two real writers race the same parent snapshot: exactly one
     wins the CAS, the loser raises ConcurrentCommitError, retries, and
@@ -514,3 +586,37 @@ def test_concurrent_writer_race(spark, tmp_path):
     encode.expire_snapshots(spark, path, keep_last=1)
     live = {os.path.basename(e["dir"]) for e in man["delete_files"]}
     assert set(os.listdir(os.path.join(path, encode.DELETES_DIR))) == live
+
+
+# ------------------------------------------- sig-dense index layout ----
+
+
+def test_lsh_index_sig_dense_layout(spark, tmp_path):
+    """The default (adaptive) LSH index layout must keep row groups
+    sig-dense even at toy scale, so footer pruning bites: a standard
+    79-sig multi-probe touches < 30% of index rows (VERDICT r4 item 5;
+    the fixed-n_files layout measured 62% at sf0.1). Results must be
+    identical to the full-scan path — layout only changes what's READ."""
+    import numpy as np
+
+    from duckdb_raquet_spark.functions import similarity
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = rows[0][1]
+
+    path = str(tmp_path / "lsh_dense")
+    similarity.build_ann_index(df, "vec_id", "embedding", path, n_planes=12)
+    st = similarity.lsh_probe_stats(spark, path, query, probe_hamming=2)
+    assert st["frac"]["rows"] < 0.30, st["frac"]
+    got = similarity.ann_probe_index(
+        spark, path, query, 10, probe_hamming=2, exclude_id=0
+    ).collect()
+    want = similarity.ann_lsh(
+        df, "vec_id", "embedding", query, 10,
+        n_planes=12, probe_hamming=2, exclude_id=0,
+    ).collect()
+    assert [(r["vec_id"], round(r["score"], 9)) for r in got] == [
+        (r["vec_id"], round(r["score"], 9)) for r in want
+    ]
