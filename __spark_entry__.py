@@ -465,6 +465,34 @@ def q_mm_img_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_mm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoder-coverage report over a four-way image column: per
+    container format (sniffed JVM-side from magic bytes), payload /
+    decoded / counted-skip counts. doc_id%4 renders 0=PNG (decoded),
+    1=lossless WebP VP8L (decoded from scratch), 2=LOSSY WebP VP8 —
+    the documented format gap, which must surface as marked rows, not
+    vanish (reference decodes it via libwebp,
+    /root/reference/src/raster/band_decoder.cpp:129-154) — and
+    3=missing payload. The oracle is closed-form in the doc_id
+    classes, so a silently-dropped lossy payload is a hash mismatch."""
+    from duckdb_raquet_spark.functions import multimodal as mm
+
+    docs = _webtext(spark, sf_dir).select("doc_id")
+
+    def cell(row):
+        k = int(row[0])
+        if k % 4 == 0:
+            return mm.synth_png_bytes(k)
+        if k % 4 == 1:
+            return mm.synth_webp_bytes(k)
+        if k % 4 == 2:
+            return mm.synth_webp_lossy_bytes(k)
+        return None
+
+    imgs = mm._append_column(docs, "img", "binary", cell)
+    return mm.media_coverage(imgs, "doc_id", "img")
+
+
 def q_mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio pipeline over REAL WAV payloads: render a deterministic
     RIFF/WAVE PCM file per document, parse it with the from-scratch WAV
@@ -1441,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_region_stats": q_rt_region_stats,
         "rt_rollup": q_rt_rollup,
         "mm_img_features": q_mm_img_features,
+        "mm_coverage": q_mm_coverage,
         "mm_audio_rms": q_mm_audio_rms,
         "mm_binary_stats": q_mm_binary_stats,
         "enc_metrics": q_enc_metrics,
@@ -1884,6 +1913,18 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'src1' THEN 0.25 ELSE 0.1 END""",
         "txt_langid": _langid_oracle(),
         "mm_img_features": _IMG_FEATURES_ORACLE,
+        "mm_coverage": """
+            WITH c AS (
+              SELECT doc_id % 4 AS k, count(*)::BIGINT AS n
+              FROM documents GROUP BY 1
+            )
+            SELECT
+              CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'webp:VP8L'
+                     WHEN 2 THEN 'webp:VP8' ELSE 'missing' END AS fmt,
+              n AS n_payloads,
+              (CASE WHEN k IN (0, 1) THEN n ELSE 0 END)::BIGINT AS n_decoded,
+              (CASE WHEN k IN (2, 3) THEN n ELSE 0 END)::BIGINT AS n_marked
+            FROM c ORDER BY fmt""",
         "mm_audio_rms": """
             WITH p AS (
               SELECT doc_id, 384 + (doc_id % 3) * 128 AS n FROM documents

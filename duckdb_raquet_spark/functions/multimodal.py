@@ -280,6 +280,94 @@ def synth_webp_column(df: DataFrame, id_col: str, out_col: str = "webp") -> Data
     )
 
 
+def synth_webp_lossy_bytes(key: int) -> bytes:
+    """Structurally valid LOSSY (VP8) WebP: correct RIFF container,
+    frame tag, 9d 01 2a start code and dims — but an undecodable
+    frame body, standing in for real-crawl lossy webp, which this
+    engine detects and counts-skips rather than decodes (the VP8
+    coefficient-probability tables of RFC 6386 aren't available
+    offline; the reference links libwebp instead —
+    /root/reference/src/raster/band_decoder.cpp:129-154). Header-only
+    metadata (dims, format) still parses, so the payload is fully
+    observable even though pixels aren't."""
+    import struct as _struct
+
+    w = _SYNTH_DIMS[key % 3]
+    h = _SYNTH_DIMS[(key // 3) % 3]
+    frame = (
+        bytes([0x10 | ((key % 8) << 5), 0x00, 0x00])  # keyframe tag
+        + b"\x9d\x01\x2a"
+        + _struct.pack("<HH", w, h)
+        + bytes((key + i) % 256 for i in range(24))  # opaque body
+    )
+    if len(frame) % 2:
+        frame += b"\x00"
+    return (
+        b"RIFF"
+        + _struct.pack("<I", 12 + len(frame))
+        + b"WEBP"
+        + b"VP8 "
+        + _struct.pack("<I", len(frame))
+        + frame
+    )
+
+
+def media_format_col(c: Column) -> Column:
+    """Container format of a binary payload from its magic bytes, as a
+    pure JVM Column (no Python in the plan): png / jpeg / gif / bmp /
+    webp:VP8L (lossless) / webp:VP8 (lossy) / webp:VP8X (extended) /
+    wav / missing / unknown. The webp variant matters operationally:
+    VP8L decodes from scratch here, VP8 is a documented counted-skip."""
+    head4 = F.substring(c, 1, 4)
+    return (
+        F.when(c.isNull(), F.lit("missing"))
+        .when(head4 == F.lit(b"\x89PNG"), F.lit("png"))
+        .when(F.substring(c, 1, 3) == F.lit(b"\xff\xd8\xff"), F.lit("jpeg"))
+        .when(head4 == F.lit(b"GIF8"), F.lit("gif"))
+        .when(
+            (head4 == F.lit(b"RIFF"))
+            & (F.substring(c, 9, 4) == F.lit(b"WEBP")),
+            F.concat(
+                F.lit("webp:"),
+                F.trim(F.substring(c, 13, 4).cast("string")),
+            ),
+        )
+        .when(
+            (head4 == F.lit(b"RIFF"))
+            & (F.substring(c, 9, 4) == F.lit(b"WAVE")),
+            F.lit("wav"),
+        )
+        .when(F.substring(c, 1, 2) == F.lit(b"BM"), F.lit("bmp"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def media_coverage(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """Decoder-coverage report for a crawl's image column: per
+    container format (sniffed JVM-side), how many payloads exist, how
+    many the from-scratch decoders produced features for, and how many
+    were counted-skipped (``image_features`` with ``on_error='mark'``).
+    Output: (fmt, n_payloads, n_decoded, n_marked) ordered by fmt.
+    This is the operational answer to 'what fraction of the crawl do
+    we actually decode' — lossy-VP8 webp shows up as webp:VP8 with
+    n_marked == n_payloads, never silently vanishing."""
+    fmt = df.select(
+        F.col(id_col).alias("id"),
+        media_format_col(F.col(binary_col)).alias("fmt"),
+    )
+    feats = image_features(df, id_col, binary_col, on_error="mark")
+    return (
+        fmt.join(feats.select("id", "features"), "id", "left")
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.count("features").alias("n_decoded"),
+            (F.count(F.lit(1)) - F.count("features")).alias("n_marked"),
+        )
+        .orderBy("fmt")
+    )
+
+
 def image_features(
     df: DataFrame,
     id_col: str,

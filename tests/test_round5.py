@@ -620,3 +620,51 @@ def test_lsh_index_sig_dense_layout(spark, tmp_path):
     assert [(r["vec_id"], round(r["score"], 9)) for r in got] == [
         (r["vec_id"], round(r["score"], 9)) for r in want
     ]
+
+
+# ------------------------------------------- lossy-VP8 operational story ----
+
+
+def test_lossy_vp8_counted_not_dropped(spark):
+    """The documented lossy-VP8 gap must be operationally airtight
+    (VERDICT r4 item 8): a structurally-valid VP8 payload flows
+    through image_features(on_error='mark') as a counted NULL-feature
+    row (never silently dropped), its header metadata (dims, format)
+    still parses, and media_coverage reports it per-format."""
+    from duckdb_raquet_spark.functions import multimodal as mm
+    from duckdb_raquet_spark.functions import webpcodec as wc
+
+    lossy = mm.synth_webp_lossy_bytes(5)
+    hdr = wc.parse_webp_header(lossy)
+    assert (hdr["width"], hdr["height"]) == (16, 13)  # observable dims
+    with pytest.raises(ValueError, match="lossy"):
+        wc.decode_webp(lossy)
+
+    rows = [
+        (0, mm.synth_png_bytes(0)),
+        (1, mm.synth_webp_bytes(1)),
+        (2, mm.synth_webp_lossy_bytes(2)),
+        (3, mm.synth_webp_lossy_bytes(3)),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, img binary")
+    feats = mm.image_features(df, "doc_id", "img", on_error="mark")
+    got = {r["id"]: r for r in feats.collect()}
+    assert sorted(got) == [0, 1, 2, 3, 4]  # every payload accounted for
+    assert got[2]["features"] is None and got[3]["features"] is None
+    assert got[0]["features"] is not None and got[1]["features"] is not None
+
+    cov = {r["fmt"]: r for r in mm.media_coverage(df, "doc_id", "img").collect()}
+    assert cov["webp:VP8"]["n_payloads"] == 2
+    assert cov["webp:VP8"]["n_marked"] == 2 and cov["webp:VP8"]["n_decoded"] == 0
+    assert cov["webp:VP8L"]["n_decoded"] == 1
+    assert cov["png"]["n_decoded"] == 1
+    assert cov["missing"]["n_marked"] == 1
+    # the JVM-side sniff and the Python header parser agree on format
+    from pyspark.sql import functions as SF
+    fmts = df.select(
+        "doc_id", mm.media_format_col(SF.col("img")).alias("fmt")
+    ).collect()
+    assert {r["doc_id"]: r["fmt"] for r in fmts} == {
+        0: "png", 1: "webp:VP8L", 2: "webp:VP8", 3: "webp:VP8", 4: "missing",
+    }
