@@ -429,14 +429,27 @@ def kring_col(block: Column, res: int, k: int = 1) -> Column:
     xr = hash_cell_col(block, res).cast("long")
     yr = ts_bucket_col(block, res).cast("long")
     n = 1 << res
-    entries = []
-    for dy in range(-k, k + 1):
-        for dx in range(-k, k + 1):
-            nx = xr + F.lit(dx)
-            ny = yr + F.lit(dy)
-            ok = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
-            entries.append(F.when(ok, _key_from_cells_col(nx, ny, res)))
-    return F.array_sort(F.array_distinct(F.array_compact(F.array(*entries))))
+    # one transform() lambda instead of (2k+1)^2 inlined when() entries:
+    # the spread/compact bit-twiddle trees appear ONCE in the plan and
+    # are re-evaluated per array element at runtime, so plan size (and
+    # Catalyst analysis time, ~1.6 s/k-ring the old way) stays O(1) in k
+    deltas = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dy in range(-k, k + 1)
+            for dx in range(-k, k + 1)
+        ]
+    )
+
+    def neighbor(d: Column) -> Column:
+        nx = xr + d["dx"]
+        ny = yr + d["dy"]
+        ok = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+        return F.when(ok, _key_from_cells_col(nx, ny, res))
+
+    return F.array_sort(
+        F.array_distinct(F.array_compact(F.transform(deltas, neighbor)))
+    )
 
 
 def choose_resolution(est_rows: int, target_rows_per_block: int = 65536) -> int:
