@@ -668,3 +668,21 @@ def test_lossy_vp8_counted_not_dropped(spark):
     assert {r["doc_id"]: r["fmt"] for r in fmts} == {
         0: "png", 1: "webp:VP8L", 2: "webp:VP8", 3: "webp:VP8", 4: "missing",
     }
+
+
+# ------------------------------------------------------- plan size ----
+def test_kring_plan_size_bounded(spark):
+    """kring_col builds ONE transform() lambda, not (2k+1)^2 inlined
+    entries: _spread26_col doubles its input subtree per fold stage, so
+    per-neighbor inlining made the k=1 plan ~9x larger (~1,100 shiftleft
+    nodes) and cost ~15 s of Catalyst analysis on a 1-row query."""
+    from duckdb_raquet_spark import blockkey as bk
+
+    df = spark.range(1).select(F.lit(5274722208119750655).alias("block"))
+    plan = (
+        df.select(bk.kring_col(F.col("block"), 6, 1).alias("kr"))
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert plan.count("shiftleft") <= 300
