@@ -89,7 +89,16 @@ class _TaskStats(WriterCommitMessage):
 
 
 def _load_manifest(path: str) -> dict:
-    man, _ = mf.committed_manifest(path, None)
+    from . import fsio
+
+    if fsio.is_remote(path):
+        # no session is available here and the snapshot-log listing
+        # needs the JVM gateway for remote schemes — fall back to the
+        # sidecar cache (rewritten on every commit) rather than
+        # dereferencing a None session inside committed_manifest
+        man = mf.read_sidecar(path, None)
+    else:
+        man, _ = mf.committed_manifest(path, None)
     if man is not None:
         return man
     # fall back to the block=0 manifest row via pyarrow (no Spark here:

@@ -984,7 +984,29 @@ def append_chunk(
             "this table was written flat — compact or re-encode chunked"
         )
     done = mf.read_chunk_lineage(path, spark)
-    k = max(done, default=-1) + 1
+    claimed = mf.read_chunk_lineage(path, spark, include_claims=True)
+    k = max(claimed, default=-1) + 1
+    # claim the chunk id EXCLUSIVELY before any data write: two racing
+    # appenders that both saw max(done)=k-1 would otherwise both
+    # overwrite data/chunk=<k> — the snapshot CAS protects metadata,
+    # but the loser's in-flight overwrite could clobber the winner's
+    # committed files. The claim is the lineage filename itself
+    # (create-or-fail, like the snapshot CAS); it is overwritten with
+    # the real record after the data lands, and a crash in between
+    # burns the id exactly like a lost snapshot CAS does.
+    from . import fsio as _fsio
+
+    while True:
+        try:
+            _fsio.write_bytes_exclusive(
+                spark,
+                mf.lineage_dir(path),
+                f"chunk-{k:05d}.json",
+                json.dumps({"chunk": k, "claimed": True}).encode(),
+            )
+            break
+        except FileExistsError:
+            k += 1
     # visible set comes from the snapshot log when present (a rollback
     # leaves orphaned chunk dirs on disk that must not rejoin the table
     # through an append's re-finalization); pre-log tables see all
@@ -1258,9 +1280,15 @@ def _meta_commit(spark, path, man, op: str, extra: dict, *, parent) -> dict:
     extra["manifest"] = man
     # metadata ops on a flat (chunks=1) table must keep the layout
     # marker: read_all skips the chunk-visibility filter for flat
-    # tables, whose files carry no chunk partition column
-    if parent is not None and parent.get("layout") and "layout" not in extra:
-        extra["layout"] = parent["layout"]
+    # tables, whose files carry no chunk partition column. A pre-log
+    # table has no parent to inherit it from, so probe the data dir —
+    # writing chunk=-1 next to a flat table's root-level files would
+    # flip partition discovery and hide every data file
+    if "layout" not in extra:
+        if parent is not None and parent.get("layout"):
+            extra["layout"] = parent["layout"]
+        elif parent is None and not _is_chunked(spark, path):
+            extra["layout"] = "flat"
     if parent is not None:
         chunks = [int(c) for c in parent["chunks"]]
     else:
@@ -1766,14 +1794,27 @@ def upsert_rows(
         return man  # empty MERGE is a no-op, not an error
     delete_rows(spark, path, keys if len(keys) > 1 else keys[0],
                 df.select(*keys))
-    return append_chunk(
-        spark,
-        df.select(*names),
-        path,
-        zlib_level=zlib_level,
-        effort=effort,
-        codec_overrides=codec_overrides,
-    )
+    # the MERGE is two commits; once the delete has landed, a CAS loss
+    # on the append leg (a writer slipped in between) must NOT leave
+    # the table with matched rows deleted and no replacements — retry
+    # the append, which its contract makes safe ("re-running the
+    # append succeeds under a fresh id with the concurrent change
+    # folded in"). The delete leg needs no such care: if IT loses the
+    # CAS nothing has happened yet and the caller simply re-runs.
+    last: Exception | None = None
+    for _ in range(5):
+        try:
+            return append_chunk(
+                spark,
+                df.select(*names),
+                path,
+                zlib_level=zlib_level,
+                effort=effort,
+                codec_overrides=codec_overrides,
+            )
+        except mf.ConcurrentCommitError as e:
+            last = e
+    raise last
 
 
 def compact_delete_files(spark: SparkSession, path: str) -> dict:
@@ -1830,7 +1871,14 @@ def compact_delete_files(spark: SparkSession, path: str) -> dict:
         ]
         dd = None
         if v2_dirs:
-            dd = spark.read.parquet(*v2_dirs).select(*knames, "_dseq")
+            # widening-robust grouped read (scan._read_v2_delete_dirs):
+            # post-widen int64 key files can sit next to pre-widen
+            # int32 ones in the same key set
+            from . import scan as _scan
+
+            dd = _scan._read_v2_delete_dirs(spark, v2_dirs).select(
+                *knames, "_dseq"
+            )
         for e in es:
             if e.get("v", 1) >= 2:
                 continue
@@ -1846,16 +1894,26 @@ def compact_delete_files(spark: SparkSession, path: str) -> dict:
         rel = f"merged-{snap_id:05d}-{uuid.uuid4().hex[:10]}"
         dest = os.path.join(path, DELETES_DIR, rel)
         merged.coalesce(1).write.mode("overwrite").parquet(dest)
-        n = spark.read.parquet(dest).count()
+        stats = spark.read.parquet(dest).agg(
+            F.count("*").alias("n"),
+            F.min("_dseq").alias("smin"),
+            F.max("_dseq").alias("smax"),
+        ).collect()[0]
         entry = {
             "dir": f"{DELETES_DIR}/{rel}",
             "cols": list(cols),
             "seq": max(int(e["seq"]) for e in es),
-            "n": int(n),
+            "n": int(stats["n"]),
             "v": 2,
             "merged_from": len(es),
         }
-        if len(cols) == 1:
+        # the single-column `col` alias lets a v1-era reader apply this
+        # entry — but such a reader uses the ENTRY seq for every row,
+        # which over-deletes re-inserted keys when the merged per-row
+        # _dseq values differ. Stamp it only when they are homogeneous
+        # (entry seq == every row's seq); otherwise a legacy reader
+        # fails loud on the missing key instead of silently mis-reading
+        if len(cols) == 1 and stats["smin"] == stats["smax"]:
             entry["col"] = cols[0]
         new_entries.append(entry)
         written.append(dest)

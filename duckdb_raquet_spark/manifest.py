@@ -194,14 +194,24 @@ def write_chunk_lineage(
     )
 
 
-def read_chunk_lineage(path: str, spark=None) -> dict[int, dict]:
+def read_chunk_lineage(
+    path: str, spark=None, include_claims: bool = False
+) -> dict[int, dict]:
+    """Lineage records by chunk id. A record with ``claimed: True`` is
+    an appender's exclusive chunk-id CLAIM (written before its data,
+    overwritten with the real record after) — not a completed chunk, so
+    it is hidden unless ``include_claims`` (the id-selection path wants
+    to see claims so racing appenders skip past each other)."""
     from . import fsio
 
     d = lineage_dir(path)
     out: dict[int, dict] = {}
     for fn in fsio.list_files(spark, d):
         if fn.startswith("chunk-") and fn.endswith(".json"):
-            out[int(fn[6:-5])] = json.loads(fsio.read_bytes(spark, d, fn))
+            rec = json.loads(fsio.read_bytes(spark, d, fn))
+            if rec.get("claimed") and not include_claims:
+                continue
+            out[int(fn[6:-5])] = rec
     return out
 
 
@@ -264,8 +274,25 @@ def read_snapshots(path: str, spark=None) -> dict[int, dict]:
 
 
 def current_snapshot(path: str, spark=None) -> dict | None:
-    snaps = read_snapshots(path, spark)
-    return snaps[max(snaps)] if snaps else None
+    # the id is numeric in the filename, so finding the tip is one dir
+    # listing + ONE file read — snapshots embed the full manifest, so
+    # parsing the whole log here would cost O(#commits x manifest size)
+    # on every read/mutation of a long-lived streaming table
+    from . import fsio
+
+    d = snapshots_dir(path)
+    best: tuple[int, str] | None = None
+    for fn in fsio.list_files(spark, d):
+        if fn.startswith("snap-") and fn.endswith(".json"):
+            try:
+                sid = int(fn[len("snap-"):-len(".json")])
+            except ValueError:
+                continue
+            if best is None or sid > best[0]:
+                best = (sid, fn)
+    if best is None:
+        return None
+    return json.loads(fsio.read_bytes(spark, d, best[1]))
 
 
 def committed_manifest(path: str, spark=None) -> tuple[dict | None, dict | None]:

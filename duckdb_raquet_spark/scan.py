@@ -505,6 +505,29 @@ def _apply_delete_entries(
     return rows
 
 
+def _read_v2_delete_dirs(spark, dirs: list[str]) -> DataFrame:
+    """One DataFrame over many v2 delete dirs, robust to key-column
+    type WIDENING between commits: a multi-path parquet scan takes its
+    schema from one arbitrary footer, so an int32 ``_k0`` file next to
+    a post-widen int64 one fails (or silently mis-reads) at scan time.
+    Dirs are grouped by footer schema — one multi-path scan per group
+    (O(#widens+1) groups, not O(#commits)) — and the groups union;
+    Spark's set-operation widening coerces the key types to the widest
+    member, matching the table's evolved logical type."""
+    by_schema: dict[tuple, list[str]] = {}
+    for d in dirs:
+        key = tuple(
+            (f.name, f.dataType.simpleString())
+            for f in spark.read.parquet(d).schema.fields
+        )
+        by_schema.setdefault(key, []).append(d)
+    parts = [spark.read.parquet(*ds) for ds in by_schema.values()]
+    dd = parts[0]
+    for p in parts[1:]:
+        dd = dd.unionByName(p)
+    return dd
+
+
 def _delete_sides(spark, path, entries):
     """Group equality-delete entries by key-column set and build one
     broadcast-side DataFrame per set with columns ``_dv0.._dv{k-1},
@@ -520,7 +543,7 @@ def _delete_sides(spark, path, entries):
         ]
         dd = None
         if v2_dirs:
-            dd = spark.read.parquet(*v2_dirs).select(*dvs, "_dseq")
+            dd = _read_v2_delete_dirs(spark, v2_dirs).select(*dvs, "_dseq")
         for e in es:
             if e.get("v", 1) >= 2:
                 continue

@@ -686,3 +686,179 @@ def test_kring_plan_size_bounded(spark):
         .toString()
     )
     assert plan.count("shiftleft") <= 300
+
+
+# ------------------------------------- review fixes (round-5 finale) ----
+def test_widen_then_delete_multipath_read(spark, tmp_path):
+    """A post-widen delete file carries int64 keys next to a pre-widen
+    int32 file in the SAME key set; the multi-path v2 scan must group
+    by footer schema (one arbitrary footer would fail or mis-read) and
+    both the read path and compact_delete_files must stay correct."""
+    path = str(tmp_path / "wd")
+    web = _webtext(spark, n=80).withColumn(
+        "doc_id", F.col("doc_id").cast("int")
+    )
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=32)
+    encode.delete_rows(spark, path, "doc_id", [1, 2, 3])
+    man = encode.evolve_widen_column(spark, path, "doc_id", "bigint")
+    assert next(
+        c for c in man["columns"] if c["name"] == "doc_id"
+    )["spark_type"] == "bigint"
+    encode.delete_rows(spark, path, "doc_id", [4, 5])
+    want = sorted(d for d in range(80) if d not in (1, 2, 3, 4, 5))
+    got = sorted(
+        r["doc_id"] for r in scan.read_rows(spark, path, ["doc_id"]).collect()
+    )
+    assert got == want
+    man = encode.compact_delete_files(spark, path)
+    (entry,) = man["delete_files"]
+    assert entry["merged_from"] == 2 and entry["n"] == 5
+    got = sorted(
+        r["doc_id"] for r in scan.read_rows(spark, path, ["doc_id"]).collect()
+    )
+    assert got == want
+
+
+def test_widen_prelog_flat_table_keeps_layout(spark, tmp_path):
+    """Widening a PRE-LOG flat table (no _snapshots dir, so _meta_commit
+    has no parent to inherit the layout marker from) must probe the data
+    dir and keep the flat layout — writing the manifest row into a
+    chunk=-1 subdir next to root-level parquet files would flip partition
+    discovery and hide every data file."""
+    import shutil
+
+    path = str(tmp_path / "flat")
+    web = _webtext(spark, n=40).withColumn(
+        "doc_id", F.col("doc_id").cast("int")
+    )
+    encode.encode_to_path(spark, web, path, chunks=1, target_rows_per_block=32)
+    shutil.rmtree(mf.snapshots_dir(path))  # simulate a 1.0-era table
+    man = encode.evolve_widen_column(spark, path, "doc_id", "bigint")
+    assert next(
+        c for c in man["columns"] if c["name"] == "doc_id"
+    )["spark_type"] == "bigint"
+    assert not os.path.isdir(os.path.join(path, "data", "chunk=-1"))
+    out = scan.read_rows(spark, path, ["doc_id"])
+    assert dict(out.dtypes)["doc_id"] == "bigint"
+    assert out.count() == 40  # every data file still discoverable
+
+
+def test_concurrent_append_append_race(spark, tmp_path):
+    """Two appenders racing the same lineage view must NOT both write
+    data/chunk=<k> (the loser's overwrite would clobber the winner's
+    committed files): the exclusive lineage CLAIM forces distinct chunk
+    ids, and both row sets land."""
+    path = str(tmp_path / "aa")
+    base = _webtext(spark, n=40)
+    encode.encode_to_path(spark, base, path, chunks=2, target_rows_per_block=32)
+
+    barrier = threading.Barrier(2)
+    errs: list = []
+
+    def appender(shift):
+        df = _webtext(spark, n=40, shift=shift)
+        barrier.wait()
+        try:
+            encode.append_chunk(spark, df, path)
+        except mf.ConcurrentCommitError:
+            encode.append_chunk(spark, df, path)  # documented retry
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(repr(e))
+
+    t1 = threading.Thread(target=appender, args=(1000,))
+    t2 = threading.Thread(target=appender, args=(2000,))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errs, errs
+    got = sorted(
+        r["doc_id"] for r in scan.read_rows(spark, path, ["doc_id"]).collect()
+    )
+    want = sorted(
+        list(range(40)) + list(range(1000, 1040)) + list(range(2000, 2040))
+    )
+    assert got == want  # neither appender's rows were clobbered
+    lin = mf.read_chunk_lineage(path, spark)
+    appended = [c for c, r in lin.items() if r.get("appended")]
+    assert len(appended) == len(set(appended)) >= 2
+
+
+def test_upsert_retries_append_cas_loss(spark, tmp_path, monkeypatch):
+    """Once upsert's delete leg has committed, a CAS loss on the append
+    leg must not strand the table with matched rows deleted and no
+    replacements — the append retries internally."""
+    path = str(tmp_path / "ur")
+    base = _webtext(spark, n=40)
+    encode.encode_to_path(spark, base, path, chunks=2, target_rows_per_block=32)
+
+    orig = encode.append_chunk
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise mf.ConcurrentCommitError("injected race")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(encode, "append_chunk", flaky)
+    up = base.where(F.col("doc_id") < 3).withColumn("lang", F.lit("xx"))
+    encode.upsert_rows(spark, up, path, "doc_id")
+    assert calls["n"] == 2
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in scan.read_rows(spark, path, ["doc_id", "lang"])
+        .where(F.col("doc_id") < 3)
+        .collect()
+    }
+    assert len(langs) == 3 and set(langs.values()) == {"xx"}
+
+
+def test_compact_col_alias_only_when_seq_homogeneous(spark, tmp_path):
+    """A merged delete file whose per-row _dseq values differ must NOT
+    carry the v1 single-column alias: a v1-era reader applies the ENTRY
+    seq to every row and would over-delete re-inserted keys. Homogeneous
+    merges keep the alias (entry seq == every row's seq, safe)."""
+    path = str(tmp_path / "alias")
+    web = _webtext(spark, n=40)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=32)
+    encode.delete_rows(spark, path, "doc_id", [1])       # seq = 1
+    encode.append_chunk(spark, _webtext(spark, n=10, shift=500), path)
+    encode.delete_rows(spark, path, "doc_id", [2])       # seq = 2
+    man = encode.compact_delete_files(spark, path)
+    (entry,) = man["delete_files"]
+    assert entry["merged_from"] == 2
+    assert "col" not in entry  # heterogeneous seqs: fail loud for v1
+    # and the sequence rule survives the merge
+    got = {
+        r["doc_id"]
+        for r in scan.read_rows(spark, path, ["doc_id"]).collect()
+    }
+    assert 1 not in got and 2 not in got and 505 in got
+
+
+def test_current_snapshot_reads_one_file(spark, tmp_path, monkeypatch):
+    """current_snapshot must read exactly ONE snapshot file (the tip by
+    filename), not parse the whole log — snapshots embed the full
+    manifest, so a long-lived streaming table would otherwise pay
+    O(#commits x manifest size) on every read or mutation."""
+    path = str(tmp_path / "tip")
+    web = _webtext(spark, n=40)
+    encode.encode_to_path(spark, web, path, chunks=2, target_rows_per_block=32)
+    for langs in (["de"], ["fr"]):
+        try:
+            encode.delete_rows(spark, path, "lang", langs)
+        except ValueError:
+            pass
+    from duckdb_raquet_spark import fsio
+
+    reads: list[str] = []
+    orig = fsio.read_bytes
+
+    def counting(spark_, dir_uri, filename):
+        if filename.startswith("snap-"):
+            reads.append(filename)
+        return orig(spark_, dir_uri, filename)
+
+    monkeypatch.setattr(fsio, "read_bytes", counting)
+    cur = mf.current_snapshot(path, spark)
+    assert len(reads) == 1
+    all_snaps = mf.read_snapshots(path, spark)
+    assert cur["snapshot_id"] == max(all_snaps)
