@@ -598,3 +598,63 @@ def cosine_pairs(
         cosine_col(F.col("_v"), F.col("_nextv")).alias("cos"),
     )
     return pairs_small.unionByName(pairs_big).where(F.col("cos") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_centroids: int = 8,
+    threshold: float = 0.95,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    seed: int = 42,
+    max_group: int | None = 1000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = cluster the embedding space with a trained coarse
+    quantizer, then exact cosine near-duplicate detection ONLY within
+    each cluster — the cluster is the blocking key, so the quadratic
+    all-pairs term is bounded per cluster instead of per corpus (the
+    paper's point: semantically unrelated regions never compare).
+
+    Keep rule (deterministic, SQL-replayable like the rest of this
+    module): within a cluster, a row is dropped iff some SMALLER id in
+    the same cluster matches it at >= ``threshold`` — the repo's
+    keep-first convention (chunk_dedup_filter, exact_dedup).
+
+    ``centroids`` accepts a pre-trained quantizer (e.g. the persisted
+    IVF index's — then an independent SQL engine can replay cluster
+    assignment from the SAME centroids); otherwise deterministic
+    sampled spherical k-means trains one (seed pinned).
+
+    100 TB posture: training samples a bounded set driver-side;
+    assignment is one pure-Column pass (no shuffle); the within-cluster
+    join inherits :func:`cosine_pairs`' hot-group cap, so one giant
+    semantic cluster (the "English news article" blob) degrades to
+    linear chaining instead of an O(n^2) straggler.
+
+    Returns every input row as ``(id_col, cluster_id, keep)``.
+    """
+    from . import similarity as sim
+
+    if centroids is None:
+        centroids = sim.ivf_kmeans_centroids(
+            df, id_col, vec_col, n_centroids, seed=seed
+        )
+    assigned = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        sim.ivf_assign_col(F.col(vec_col), centroids).alias("cluster_id"),
+    )
+    pairs = cosine_pairs(
+        assigned, "_id", "_v", "cluster_id", threshold, max_group=max_group
+    )
+    drops = pairs.select(F.col("b").alias("_id")).distinct().withColumn(
+        "_dup", F.lit(True)
+    )
+    return assigned.join(drops, on="_id", how="left").select(
+        F.col("_id").alias(id_col),
+        "cluster_id",
+        F.col("_dup").isNull().alias("keep"),
+    )

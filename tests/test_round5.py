@@ -862,3 +862,46 @@ def test_current_snapshot_reads_one_file(spark, tmp_path, monkeypatch):
     assert len(reads) == 1
     all_snaps = mf.read_snapshots(path, spark)
     assert cur["snapshot_id"] == max(all_snaps)
+
+
+# ---------------------------------------------------------- SemDeDup ----
+def test_semantic_dedup(spark):
+    """SemDeDup: cluster-blocked exact near-dup, keep-first. Two tight
+    clusters + one singleton; near-identical vectors within a cluster
+    dedupe to the smallest id, cross-cluster near-dups are never even
+    compared (the blocking property that bounds the quadratic term)."""
+    from duckdb_raquet_spark.functions import dedup as dd
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # dup of 1 (same cluster)
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.01, 0.999, 0.0]),   # dup of 3
+        (5, [0.0, 0.0, 1.0]),      # singleton cluster
+        (6, [0.98, 0.05, 0.05]),   # dup of 1 and 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])]
+    out = dd.semantic_dedup(
+        df, "vec_id", "embedding", centroids=cents, threshold=0.95,
+        max_group=None,
+    ).collect()
+    got = {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in out}
+    assert got == {
+        1: (0, True), 2: (0, False), 6: (0, False),
+        3: (1, True), 4: (1, False),
+        5: (2, True),
+    }
+    # trained-quantizer path: deterministic k-means, every row returned
+    out2 = dd.semantic_dedup(
+        df, "vec_id", "embedding", n_centroids=3, threshold=0.95
+    )
+    assert out2.count() == 6
+    # hot-group cap degrades to chaining but keep-first still holds for
+    # consecutive dups
+    out3 = dd.semantic_dedup(
+        df, "vec_id", "embedding", centroids=cents, threshold=0.95,
+        max_group=1,
+    ).collect()
+    k3 = {r["vec_id"]: r["keep"] for r in out3}
+    assert k3[1] and not k3[2] and k3[5]
