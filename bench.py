@@ -604,6 +604,7 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "corpus_pack",
         "domain_quota",
         "dedup_chunk_filter",
+        "dedup_semantic",
     ):
         timed(timings, name, lambda n=name: force(qs[n](spark, sf_dir)))
 
