@@ -1380,6 +1380,44 @@ def q_txt_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_txt_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML text extraction, the front door of a crawl pipeline: each
+    doc is wrapped into a full HTML page (title with entities, a
+    <script> whose body contains a bare '<', a <style> block, an
+    entity-heavy footer) plus a 16-byte invalid-UTF-8 binary tail
+    (unhex(md5(doc_id)) — the WARC detritus real payloads carry), then
+    `text.html_extract` recovers (title, body_text, doc_bytes). The
+    byte-level truncation at '</html>' runs on a hex view (lazy
+    byte-pair regex, JVM-side), so the oracle replays every step —
+    including the binary tail — verbatim in DuckDB."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    page = F.concat(
+        F.lit("<html><head><title>doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit(" &amp; "),
+        F.col("source"),
+        F.lit('</title></head><body><script type="text/javascript">'),
+        F.lit('if (1 < 2) { x = "&amp;"; }</script><p>'),
+        F.col("text"),
+        F.lit("</p><style>p { color: red; }</style>"),
+        F.lit('<div class="footer">&copy; &lt;f&gt; &quot;q&quot; '),
+        F.lit("&#39;z&#39;</div></body></html>"),
+    )
+    web = docs.select(
+        "doc_id",
+        F.concat(
+            F.encode(page, "UTF-8"),
+            F.unhex(F.md5(F.col("doc_id").cast("string"))),
+        ).alias("html"),
+    )
+    out = tx.html_extract(web, "doc_id", "html")
+    return out.select(
+        F.col("id").alias("doc_id"), "title", "body_text", "doc_bytes"
+    ).orderBy("doc_id")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of the streaming
     applyInPandasWithState operator, streaming.py:167): gaps-and-islands
@@ -1516,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all-green scored 50 undisturbed; judge-verifiable via
         # tools/check_oracle.py like every other parked entry
         "dedup_semantic": q_dedup_semantic,
+        "txt_html_extract": q_txt_html_extract,
         "ann_quantized": q_ann_quantized,
         "dedup_ngram": q_dedup_ngram,
         "txt_tokens": q_txt_tokens,
@@ -2462,6 +2501,45 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 97 <> 0
             ORDER BY doc_id""",
+        "txt_html_extract": r"""
+            WITH web AS (
+              SELECT doc_id,
+                encode('<html><head><title>doc-' || doc_id || ' &amp; '
+                  || source
+                  || '</title></head><body><script type="text/javascript">'
+                  || 'if (1 < 2) { x = "&amp;"; }</script><p>' || text
+                  || '</p><style>p { color: red; }</style>'
+                  || '<div class="footer">&copy; &lt;f&gt; &quot;q&quot; '
+                  || '&#39;z&#39;</div></body></html>')
+                || unhex(md5(doc_id::VARCHAR)) AS html
+              FROM documents
+            ), d AS (
+              SELECT doc_id, octet_length(html)::BIGINT AS doc_bytes,
+                decode(unhex(regexp_extract(hex(html),
+                  '^((?:..)*?3C2F68746D6C3E)', 1))) AS doc
+              FROM web
+            ), s AS (
+              SELECT doc_id, doc_bytes,
+                regexp_extract(doc, '<title>([^<]*)</title>', 1) AS t0,
+                regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(doc,
+                    '(?s)<head>.*?</head>', ' ', 'g'),
+                    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                    '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                    '<[^>]*>', ' ', 'g') AS b0
+              FROM d
+            )
+            SELECT doc_id,
+              replace(replace(replace(replace(replace(t0,
+                '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),
+                '&amp;','&') AS title,
+              trim(regexp_replace(
+                replace(replace(replace(replace(replace(b0,
+                  '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),
+                  '&amp;','&'),
+                '\s+', ' ', 'g')) AS body_text,
+              doc_bytes
+            FROM s ORDER BY doc_id""",
         "sessionize": """
             WITH m AS (
               SELECT user_id, ts, event_id, value,

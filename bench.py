@@ -605,6 +605,7 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "domain_quota",
         "dedup_chunk_filter",
         "dedup_semantic",
+        "txt_html_extract",
     ):
         timed(timings, name, lambda n=name: force(qs[n](spark, sf_dir)))
 

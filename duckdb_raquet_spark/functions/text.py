@@ -512,3 +512,93 @@ def ngram_decontaminate(
         F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
         (F.coalesce("n_hit", F.lit(0)) > 0).cast("int").alias("contaminated"),
     )
+
+
+# --------------------------------------------- HTML text extraction ----
+
+# the five predefined XML entities; '&amp;' is unescaped LAST so the
+# escaped form '&amp;lt;' yields the literal text '&lt;', not '<'
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+# b"</html>" hex-encoded, uppercase to match F.hex / DuckDB hex()
+_HTML_END_HEX = "3C2F68746D6C3E"
+# lazy pair steps guarantee the marker match starts on a byte boundary,
+# so a misaligned hex coincidence inside multi-byte data can't truncate
+# mid-byte; no marker -> empty capture -> empty document
+_HTML_DOC_RE = "^((?:..)*?" + _HTML_END_HEX + ")"
+
+
+def html_unescape_col(text: Column | str) -> Column:
+    """Unescape the five predefined XML/HTML entities (JVM replace
+    chain, one pass per entity)."""
+    out = F.col(text) if isinstance(text, str) else text
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def html_doc_col(html: Column | str) -> Column:
+    """Document text of a raw crawl payload: the bytes up to and
+    including the first ``</html>`` close tag, UTF-8 decoded.
+
+    Real WARC payloads carry trailing bytes after the document —
+    truncated responses, padding, charset detritus — that are not
+    valid UTF-8, so the truncation must happen at the BYTE level,
+    before any decode. Spark has no binary search function, so the
+    scan runs on a hex view of the blob (``hex -> regexp_extract ->
+    unhex -> decode``, all JVM Column ops inside whole-stage codegen):
+    a lazy two-chars-per-step regex finds the first byte-aligned
+    ``</html>`` and keeps everything before it. The hex detour doubles
+    the scanned bytes but stays linear, shuffle-free, and — unlike
+    ``decode`` on the raw blob — replays bit-identically in any
+    engine with hex/unhex (the DuckDB oracle runs the same regex),
+    with no dependence on a decoder's invalid-byte replacement policy.
+    Payloads with no close tag yield the empty string.
+    """
+    h = F.col(html) if isinstance(html, str) else html
+    return F.decode(F.unhex(F.regexp_extract(F.hex(h), _HTML_DOC_RE, 1)), "UTF-8")
+
+
+def html_title_col(html: Column | str) -> Column:
+    """Entity-unescaped contents of the first ``<title>`` element
+    (empty string when absent)."""
+    return html_unescape_col(
+        F.regexp_extract(html_doc_col(html), "<title>([^<]*)</title>", 1)
+    )
+
+
+def html_text_col(html: Column | str) -> Column:
+    """Visible text of an HTML payload: drop ``<head>``/``<script>``/
+    ``<style>`` subtrees, replace every remaining tag with a space,
+    unescape entities, collapse whitespace. The regex subset ('(?s)',
+    lazy quantifiers, character classes) is shared by Java regex and
+    RE2 so the DuckDB oracle replays it verbatim."""
+    doc = html_doc_col(html)
+    for pat in (
+        "(?s)<head>.*?</head>",
+        "(?s)<script[^>]*>.*?</script>",
+        "(?s)<style[^>]*>.*?</style>",
+        "<[^>]*>",
+    ):
+        doc = F.regexp_replace(doc, pat, " ")
+    return F.trim(F.regexp_replace(html_unescape_col(doc), r"\s+", " "))
+
+
+def html_extract(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Per payload: ``(id, title, body_text, doc_bytes)`` — the
+    text-extraction front of a crawl pipeline (the reference ingests
+    pre-extracted text; raquet tables carry the raw ``html`` binary
+    alongside, reference schema convention raquet_metadata.hpp). Pure
+    Column plan: one projection, no shuffle, no Python."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        html_title_col(html_col).alias("title"),
+        html_text_col(html_col).alias("body_text"),
+        F.length(F.col(html_col)).cast("bigint").alias("doc_bytes"),
+    )

@@ -905,3 +905,65 @@ def test_semantic_dedup(spark):
     ).collect()
     k3 = {r["vec_id"]: r["keep"] for r in out3}
     assert k3[1] and not k3[2] and k3[5]
+
+
+# ------------------------------------------------ HTML text extraction ----
+
+
+def test_html_extract_binary_tail_and_entities(spark):
+    """Byte-level truncation at </html> must discard an invalid-UTF-8
+    tail before any decode; head/script/style subtrees are dropped from
+    the body; the five predefined entities unescape with &amp; last."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    page = (
+        b'<html><head><title>A &amp;lt; B</title>'
+        b'<style>h1 { x: 1; }</style></head>'
+        b'<body><script>if (1 < 2) { a = "&amp;"; }</script>'
+        b'<p>hello   <b>world</b></p>&lt;tag&gt; &quot;q&quot; &#39;z&#39;'
+        b"</body></html>"
+    )
+    tail = bytes(range(200, 256))  # invalid UTF-8, like WARC detritus
+    rows = [
+        (1, page + tail),
+        (2, b"no close tag at all" + tail),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, html binary")
+    out = {
+        r["id"]: r
+        for r in tx.html_extract(df, "id", "html").collect()
+    }
+    # &amp;lt; unescapes to the literal '&lt;' (amp last), not '<'
+    assert out[1]["title"] == "A &lt; B"
+    assert out[1]["body_text"] == 'hello world <tag> "q" \'z\''
+    assert out[1]["doc_bytes"] == len(page) + len(tail)
+    # no marker -> empty document -> empty outputs, bytes still counted
+    assert out[2]["title"] == "" and out[2]["body_text"] == ""
+    assert out[2]["doc_bytes"] == len(rows[1][1])
+    assert out[3]["title"] is None and out[3]["doc_bytes"] is None
+
+
+def test_html_extract_aligned_marker_only(spark):
+    """A hex coincidence of '</html>' spanning a byte boundary must not
+    truncate mid-byte: the byte-pair-lazy regex only accepts aligned
+    matches."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    # 0x33 0xC2 0xF6 ... embeds '3c2f6...' at an ODD hex offset; the
+    # real marker follows later, byte-aligned
+    decoy = bytes([0x33, 0xC2, 0xF6, 0x87, 0x46, 0xD6, 0xC3, 0xE0])
+    page = b"<html><body><p>ok</p></body></html>"
+    df = spark.createDataFrame([(1, decoy + page)], "id long, html binary")
+    row = tx.html_extract(df, "id", "html").collect()[0]
+    assert row["body_text"].endswith("ok")
+
+
+def test_html_extract_plan_is_pure_column(spark):
+    """One projection, no shuffle, no Python eval in the plan."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    df = spark.createDataFrame([(1, b"<html></html>")], "id long, html binary")
+    plan = tx.html_extract(df, "id", "html")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
