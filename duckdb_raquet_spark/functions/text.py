@@ -559,10 +559,14 @@ def html_doc_col(html: Column | str) -> Column:
     ``decode`` on the raw blob — replays bit-identically in any
     engine with hex/unhex (the DuckDB oracle runs the same regex),
     with no dependence on a decoder's invalid-byte replacement policy.
-    Payloads with no close tag yield the empty string.
+    Payloads with no close tag yield the empty string. Invalid bytes
+    INSIDE the kept document (rare: mislabeled charsets) become U+FFFD
+    via ``make_valid_utf8`` — ANSI ``decode`` would abort the whole
+    scan on the first bad payload, which a crawl pipeline can't afford.
     """
     h = F.col(html) if isinstance(html, str) else html
-    return F.decode(F.unhex(F.regexp_extract(F.hex(h), _HTML_DOC_RE, 1)), "UTF-8")
+    doc = F.unhex(F.regexp_extract(F.hex(h), _HTML_DOC_RE, 1))
+    return F.make_valid_utf8(doc.cast("string"))
 
 
 def html_title_col(html: Column | str) -> Column:
