@@ -424,3 +424,44 @@ def sessionize_batch(
         )
         .drop("_sid")
     )
+
+
+def dedup_exact_stream(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Online exact dedup: keep the FIRST arrival of each content
+    digest across micro-batches — the streaming twin of
+    ``functions.dedup.exact_dedup``, on the SAME 192-bit composite
+    digest ``(length, md5, xxhash64)``, so the stream filter and the
+    batch sweep agree on document identity bit-for-bit.
+
+    Plan shape: the digest is three JVM expressions; duplicate
+    elimination is Spark's state-store dedup operator — per-batch
+    shuffle on the ~45-byte digest (never the document body), then a
+    state-store probe, no Python anywhere. With ``ts_col`` the state
+    is WATERMARK-BOUNDED (``dropDuplicatesWithinWatermark``): a
+    digest's entry is evicted once the watermark passes its event
+    time, so at 10^12 docs the store holds only the crawl window's
+    digests instead of growing without bound — re-crawls inside the
+    window are dropped online, ancient re-crawls re-enter and are
+    left to the batch sweep (``jobs/dedup_job.py``), which is the
+    standard split of labor in a streaming+batch pipeline. Without
+    ``ts_col`` it is a global ``dropDuplicates`` — exact forever,
+    unbounded state, fine for bounded backfills. The same expression
+    tree runs on a batch DataFrame (state-free dedup), so the
+    operator is verifiable without a cluster."""
+    keys = ["_dd_len", "_dd_md5", "_dd_xx"]
+    d = (
+        df.withColumn("_dd_len", F.length(text_col))
+        .withColumn("_dd_md5", F.md5(F.col(text_col).cast("binary")))
+        .withColumn("_dd_xx", F.xxhash64(text_col))
+    )
+    if ts_col is not None and df.isStreaming:
+        out = d.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    else:
+        out = d.dropDuplicates(keys)
+    return out.drop(*keys)

@@ -226,3 +226,56 @@ def test_upsert_stream_cdc_merge(spark, tmp_path):
     for r in base.collect():
         want = "v2" if r["doc_id"] % 3 == 0 else r["lang"]
         assert out[f"https://d/{r['doc_id']}"] == want
+
+
+def test_dedup_exact_stream_cross_batch(spark, tmp_path):
+    """Online exact dedup drops a re-crawl arriving in a LATER
+    micro-batch (watermark-bounded state), and the same expression
+    tree dedups a bounded batch input identically."""
+    import time
+
+    src = str(tmp_path / "docs_src")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(1704067200 + F.col("doc_id")).alias("ts"),
+        )
+    )
+    docs.coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # distinct mtime -> the re-crawl lands in batch 2
+    docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        "text",
+        F.timestamp_seconds(1704070800 + F.col("doc_id")).alias("ts"),
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    n_distinct = docs.select("text").distinct().count()
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming.dedup_exact_stream(
+        stream, text_col="text", ts_col="ts", watermark="7 days"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from dedup_stream_out").collect()
+    assert len(rows) == n_distinct
+    assert len({r["text"] for r in rows}) == n_distinct
+    # survivors keep full rows (digest helper columns dropped)
+    assert set(rows[0].asDict()) == {"doc_id", "text", "ts"}
+    # batch twin: state-free dedup over the same bounded input
+    b = streaming.dedup_exact_stream(spark.read.parquet(src), text_col="text")
+    assert b.count() == n_distinct
