@@ -1418,6 +1418,55 @@ def q_txt_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_txt_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2): each doc is
+    rebuilt as a deterministic 7-line page exercising every rule — a
+    no-terminal-punctuation line, a 2-word line, a javascript line
+    (doc_id%7), a 'lorem ipsum' page-kill (doc_id%13), a curly-brace
+    page-kill (doc_id%11) — then `text.c4_clean` drops bad lines,
+    flags dropped pages, and keeps per-page counts. One projection,
+    no shuffle; the oracle replays the rules with DuckDB list
+    lambdas."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    page = F.concat_ws(
+        "\n",
+        F.concat(
+            F.lit("This page is about "),
+            F.col("source"),
+            F.lit(" topic number "),
+            F.col("doc_id").cast("string"),
+            F.lit("."),
+        ),
+        F.substring("text", 1, 60),
+        F.lit("Too short."),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("Enable javascript to view this page."),
+        ).otherwise(F.lit("A perfectly fine sentence with enough words!")),
+        F.lit("Is this a question with many words?"),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("Lorem ipsum dolor sit amet consectetur."),
+        ).otherwise(F.lit("Final line of the page.")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("code { display: none; }"),
+        ).otherwise(F.lit("Closing remark sentence here.")),
+    )
+    out = tx.c4_clean(
+        docs.select("doc_id", page.alias("page")), "doc_id", "page"
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "clean_text",
+        "n_kept",
+        "n_dropped",
+        "page_kept",
+    ).orderBy("doc_id")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of the streaming
     applyInPandasWithState operator, streaming.py:167): gaps-and-islands
@@ -1555,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_oracle.py like every other parked entry
         "dedup_semantic": q_dedup_semantic,
         "txt_html_extract": q_txt_html_extract,
+        "txt_c4_filter": q_txt_c4_filter,
         "ann_quantized": q_ann_quantized,
         "dedup_ngram": q_dedup_ngram,
         "txt_tokens": q_txt_tokens,
@@ -2540,6 +2590,42 @@ def oracle_sql() -> dict[str, str]:
                 '\s+', ' ', 'g')) AS body_text,
               doc_bytes
             FROM s ORDER BY doc_id""",
+        "txt_c4_filter": r"""
+            WITH web AS (
+              SELECT doc_id,
+                'This page is about ' || source || ' topic number '
+                  || doc_id || '.'
+                || chr(10) || substr(text, 1, 60)
+                || chr(10) || 'Too short.'
+                || chr(10) || CASE WHEN doc_id % 7 = 0
+                    THEN 'Enable javascript to view this page.'
+                    ELSE 'A perfectly fine sentence with enough words!' END
+                || chr(10) || 'Is this a question with many words?'
+                || chr(10) || CASE WHEN doc_id % 13 = 0
+                    THEN 'Lorem ipsum dolor sit amet consectetur.'
+                    ELSE 'Final line of the page.' END
+                || chr(10) || CASE WHEN doc_id % 11 = 0
+                    THEN 'code { display: none; }'
+                    ELSE 'Closing remark sentence here.' END AS page
+              FROM documents
+            ), k AS (
+              SELECT doc_id, page,
+                list_filter(string_split(page, chr(10)),
+                  l -> regexp_matches(trim(l), '[.!?"]$')
+                       AND len(list_filter(string_split(trim(l), ' '),
+                               w -> w <> '')) >= 3
+                       AND NOT contains(lower(l), 'javascript')) AS kept,
+                len(string_split(page, chr(10))) AS n_lines
+              FROM web
+            )
+            SELECT doc_id,
+              array_to_string(kept, chr(10)) AS clean_text,
+              len(kept)::BIGINT AS n_kept,
+              (n_lines - len(kept))::BIGINT AS n_dropped,
+              (len(kept) >= 3
+               AND NOT contains(lower(page), 'lorem ipsum')
+               AND NOT contains(page, '{'))::INT AS page_kept
+            FROM k ORDER BY doc_id""",
         "sessionize": """
             WITH m AS (
               SELECT user_id, ts, event_id, value,

@@ -606,3 +606,57 @@ def html_extract(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
         html_text_col(html_col).alias("body_text"),
         F.length(F.col(html_col)).cast("bigint").alias("doc_bytes"),
     )
+
+
+# --------------------------------------------------- C4-style cleaning ----
+
+
+def c4_line_keep_col(line: Column, min_words: int = 3) -> Column:
+    """C4's line-retention predicate (Raffel et al. 2020 §2.2): keep a
+    line only if it ends in terminal punctuation, has at least
+    ``min_words`` whitespace words, and does not mention javascript."""
+    t = F.trim(line)
+    words = F.size(F.filter(F.split(t, " "), lambda w: w != F.lit("")))
+    return (
+        t.rlike('[.!?"]$')
+        & (words >= F.lit(min_words))
+        & ~F.contains(F.lower(line), F.lit("javascript"))
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 3,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2), the standard
+    webtext pre-training scrub: per document, drop lines that don't
+    end in terminal punctuation / have < ``min_words`` words / mention
+    javascript; drop the whole PAGE when fewer than ``min_lines``
+    lines survive or the raw text contains 'lorem ipsum' or a curly
+    brace (code). Returns ``(id, clean_text, n_kept, n_dropped,
+    page_kept)`` — dropped pages keep their counts so filter-rate
+    monitoring is one aggregate over the output.
+
+    Plan shape: one projection — split / higher-order filter /
+    array_join are all JVM Column expressions inside whole-stage
+    codegen; no explode, no shuffle, no Python. At 100 TB this is a
+    single map-side pass over the text column."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, lambda l: c4_line_keep_col(l, min_words))
+    raw_lower = F.lower(F.col(text_col))
+    page_kept = (
+        (F.size(kept) >= F.lit(min_lines))
+        & ~F.contains(raw_lower, F.lit("lorem ipsum"))
+        & ~F.contains(F.col(text_col), F.lit("{"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        (F.size(lines) - F.size(kept)).cast("bigint").alias("n_dropped"),
+        page_kept.cast("int").alias("page_kept"),
+    )

@@ -967,3 +967,42 @@ def test_html_extract_plan_is_pure_column(spark):
     plan = tx.html_extract(df, "id", "html")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_c4_clean_rules(spark):
+    """Every C4 rule: line-level terminal punct / min words /
+    javascript; page-level lorem ipsum / curly brace / min kept
+    lines. Counts survive page drops so filter-rate monitoring is one
+    aggregate."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    good = (
+        "Good line number one is here.\n"
+        "Good line two also here today!\n"
+        "Good line three also here now?"
+    )
+    rows = [
+        (1, "Fine sentence one is good.\nno punct here\nTiny.\n" + good),
+        (2, "Enable javascript to view this.\n" + good),
+        (3, "Lorem ipsum dolor sit amet.\n" + good),
+        (4, "code { x: 1; }\n" + good),
+        (5, "Only one good line stays here."),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in tx.c4_clean(df, "id", "text").collect()}
+    assert (out[1]["n_kept"], out[1]["n_dropped"], out[1]["page_kept"]) == (4, 2, 1)
+    assert "no punct" not in out[1]["clean_text"]
+    assert (out[2]["n_kept"], out[2]["page_kept"]) == (3, 1)
+    assert "javascript" not in out[2]["clean_text"]
+    # lorem line is a VALID line shape (kept) but kills the page
+    assert (out[3]["n_kept"], out[3]["page_kept"]) == (4, 0)
+    assert (out[4]["n_kept"], out[4]["page_kept"]) == (3, 0)
+    assert (out[5]["n_kept"], out[5]["page_kept"]) == (1, 0)
+    # pure Column plan: no shuffle, no Python
+    plan = (
+        tx.c4_clean(df, "id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
