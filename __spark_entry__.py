@@ -2570,12 +2570,13 @@ def oracle_sql() -> dict[str, str]:
               FROM web
             ), s AS (
               SELECT doc_id, doc_bytes,
-                regexp_extract(doc, '<title>([^<]*)</title>', 1) AS t0,
+                regexp_extract(doc, '(?i)<title[^>]*>([^<]*)</title>', 1)
+                  AS t0,
                 regexp_replace(regexp_replace(regexp_replace(
                     regexp_replace(doc,
-                    '(?s)<head>.*?</head>', ' ', 'g'),
-                    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-                    '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                    '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+                    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
                     '<[^>]*>', ' ', 'g') AS b0
               FROM d
             )
@@ -2611,8 +2612,11 @@ def oracle_sql() -> dict[str, str]:
             ), k AS (
               SELECT doc_id, page,
                 list_filter(string_split(page, chr(10)),
-                  l -> regexp_matches(trim(l), '[.!?"]$')
-                       AND len(list_filter(string_split(trim(l), ' '),
+                  l -> regexp_matches(trim(replace(l, chr(13), '')),
+                                      '[.!?"]\z')
+                       AND len(list_filter(
+                               string_split_regex(
+                                 trim(replace(l, chr(13), '')), '\s+'),
                                w -> w <> '')) >= 3
                        AND NOT contains(lower(l), 'javascript')) AS kept,
                 len(string_split(page, chr(10))) AS n_lines

@@ -63,6 +63,20 @@ def jaccard_col(a: Column, b: Column) -> Column:
 # ------------------------------------------------------------------- exact ----
 
 
+def exact_digest_cols(text_col: Column | str) -> list[Column]:
+    """THE document-identity digest: ``(length, md5, xxhash64)`` as
+    three JVM Column expressions. Single definition shared by the
+    batch sweep (:func:`exact_dedup`) and the streaming filter
+    (``streaming.dedup_exact_stream``) so both sides agree on identity
+    bit-for-bit by construction, not by parallel copies."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return [
+        F.length(c).alias("_len"),
+        F.md5(c.cast("binary")).alias("_md5"),
+        F.xxhash64(c).alias("_xx"),
+    ]
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep the smallest id per identical text — one hash aggregate on a
     192-bit composite digest ``(length, md5, xxhash64)``, all JVM-side.
@@ -74,12 +88,7 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     any non-adversarial corpus (independent-hash collision P ~ 2^-128 at
     10^12 docs), and an adversarially md5-colliding pair still differs
     in xxhash64. Returns (keep_id, n_copies) — the dedup decision list."""
-    d = df.select(
-        F.col(id_col).alias("_id"),
-        F.length(text_col).alias("_len"),
-        F.md5(F.col(text_col).cast("binary")).alias("_md5"),
-        F.xxhash64(text_col).alias("_xx"),
-    )
+    d = df.select(F.col(id_col).alias("_id"), *exact_digest_cols(text_col))
     return (
         d.groupBy("_len", "_md5", "_xx")
         .agg(F.min("_id").alias("keep_id"), F.count("*").alias("n_copies"))
@@ -609,7 +618,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     centroids: list[tuple[int, list[float]]] | None = None,
     seed: int = 42,
-    max_group: int | None = 1000,
+    max_group: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication = cluster the embedding space with a trained coarse
@@ -629,10 +638,19 @@ def semantic_dedup(
     sampled spherical k-means trains one (seed pinned).
 
     100 TB posture: training samples a bounded set driver-side;
-    assignment is one pure-Column pass (no shuffle); the within-cluster
-    join inherits :func:`cosine_pairs`' hot-group cap, so one giant
-    semantic cluster (the "English news article" blob) degrades to
-    linear chaining instead of an O(n^2) straggler.
+    assignment is one pure-Column pass (no shuffle) materialized ONCE
+    (localCheckpoint — the self-join and the keep join would otherwise
+    re-scan the corpus and re-run the k-centroid assignment three
+    times). ``max_group`` defaults to ``None`` (exact all-pairs within
+    every cluster) because the keep flag is a ONE-SHOT decision: under
+    a cap, an oversized cluster degrades to consecutive-id chaining,
+    which only finds duplicates whose chain-adjacent neighbor clears
+    the threshold — fine for the transitive connected-component
+    consumers ``cosine_pairs`` defaults for, wrong for keep-first.
+    Pass a cap only to accept that documented recall loss on clusters
+    larger than the cap; the scale-correct way to bound the quadratic
+    term is more centroids (smaller clusters), which is the SemDeDup
+    paper's own knob.
 
     Returns every input row as ``(id_col, cluster_id, keep)``.
     """
@@ -646,7 +664,7 @@ def semantic_dedup(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         sim.ivf_assign_col(F.col(vec_col), centroids).alias("cluster_id"),
-    )
+    ).localCheckpoint(eager=False)
     pairs = cosine_pairs(
         assigned, "_id", "_v", "cluster_id", threshold, max_group=max_group
     )

@@ -571,23 +571,28 @@ def html_doc_col(html: Column | str) -> Column:
 
 def html_title_col(html: Column | str) -> Column:
     """Entity-unescaped contents of the first ``<title>`` element
-    (empty string when absent)."""
+    (empty string when absent). Case-insensitive, attribute-tolerant —
+    real crawl HTML writes ``<TITLE>`` and ``<title lang=..>``."""
     return html_unescape_col(
-        F.regexp_extract(html_doc_col(html), "<title>([^<]*)</title>", 1)
+        F.regexp_extract(
+            html_doc_col(html), "(?i)<title[^>]*>([^<]*)</title>", 1
+        )
     )
 
 
 def html_text_col(html: Column | str) -> Column:
     """Visible text of an HTML payload: drop ``<head>``/``<script>``/
     ``<style>`` subtrees, replace every remaining tag with a space,
-    unescape entities, collapse whitespace. The regex subset ('(?s)',
-    lazy quantifiers, character classes) is shared by Java regex and
-    RE2 so the DuckDB oracle replays it verbatim."""
+    unescape entities, collapse whitespace. Subtree patterns are
+    case-insensitive and attribute-tolerant (``<SCRIPT>``,
+    ``<head lang="en">`` are routine crawl inputs). The regex subset
+    ('(?is)', lazy quantifiers, character classes) is shared by Java
+    regex and RE2 so the DuckDB oracle replays it verbatim."""
     doc = html_doc_col(html)
     for pat in (
-        "(?s)<head>.*?</head>",
-        "(?s)<script[^>]*>.*?</script>",
-        "(?s)<style[^>]*>.*?</style>",
+        "(?is)<head[^>]*>.*?</head>",
+        "(?is)<script[^>]*>.*?</script>",
+        "(?is)<style[^>]*>.*?</style>",
         "<[^>]*>",
     ):
         doc = F.regexp_replace(doc, pat, " ")
@@ -614,11 +619,19 @@ def html_extract(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
 def c4_line_keep_col(line: Column, min_words: int = 3) -> Column:
     """C4's line-retention predicate (Raffel et al. 2020 §2.2): keep a
     line only if it ends in terminal punctuation, has at least
-    ``min_words`` whitespace words, and does not mention javascript."""
-    t = F.trim(line)
-    words = F.size(F.filter(F.split(t, " "), lambda w: w != F.lit("")))
+    ``min_words`` whitespace words, and does not mention javascript.
+
+    CRLF-safe: stray ``\\r`` is stripped before testing (a ``\\n``
+    split leaves it as the last char) and the end anchor is ``\\z``
+    (absolute end — Java's ``$`` matches BEFORE a trailing line
+    terminator while RE2's does not, so ``$`` would make the Spark
+    predicate and its SQL replay disagree on CRLF text). Words are
+    whitespace runs (``\\s+``), not single spaces, so tab-separated
+    lines count correctly."""
+    t = F.trim(F.regexp_replace(line, "\r", ""))
+    words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != F.lit("")))
     return (
-        t.rlike('[.!?"]$')
+        t.rlike('[.!?"]\\z')
         & (words >= F.lit(min_words))
         & ~F.contains(F.lower(line), F.lit("javascript"))
     )

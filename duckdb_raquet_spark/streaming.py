@@ -454,12 +454,12 @@ def dedup_exact_stream(
     unbounded state, fine for bounded backfills. The same expression
     tree runs on a batch DataFrame (state-free dedup), so the
     operator is verifiable without a cluster."""
-    keys = ["_dd_len", "_dd_md5", "_dd_xx"]
-    d = (
-        df.withColumn("_dd_len", F.length(text_col))
-        .withColumn("_dd_md5", F.md5(F.col(text_col).cast("binary")))
-        .withColumn("_dd_xx", F.xxhash64(text_col))
-    )
+    from .functions.dedup import exact_digest_cols
+
+    # ONE digest definition with the batch sweep — agreement by
+    # construction, not by parallel copies
+    keys = ["_len", "_md5", "_xx"]
+    d = df.select("*", *exact_digest_cols(text_col))
     if ts_col is not None and df.isStreaming:
         out = d.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     else:

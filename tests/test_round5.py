@@ -1006,3 +1006,40 @@ def test_c4_clean_rules(spark):
         .toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_html_extract_case_and_attributes(spark):
+    """Real-crawl tag forms: uppercase SCRIPT, attributed head/title —
+    subtree stripping and title extraction are case-insensitive and
+    attribute-tolerant."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    page = (
+        b'<html><HEAD lang="en"><TITLE id="t">Up Title</TITLE>'
+        b"<meta x=1></HEAD>"
+        b"<body><SCRIPT type=module>var secret = 1;</SCRIPT>"
+        b"<STYLE media=all>b { x: 1; }</STYLE>"
+        b"<p>visible text only.</p></body></html>"
+    )
+    df = spark.createDataFrame([(1, page)], "id long, html binary")
+    row = tx.html_extract(df, "id", "html").collect()[0]
+    assert row["title"] == "Up Title"
+    assert row["body_text"] == "visible text only."
+    assert "secret" not in row["body_text"]
+
+
+def test_c4_clean_crlf_and_tabs(spark):
+    """CRLF text must not diverge from the SQL replay (\\z anchor +
+    \\r strip), and tab-separated words count as words."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    rows = [
+        # CRLF page: \n-split leaves \r on every line
+        (1, "Line one is fine.\r\nLine two is fine.\r\nLine three is fine.\r"),
+        # tab-separated 3-word line with terminal punct
+        (2, "One\ttwo\tthree.\nGood line number two here.\nGood line number three here."),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in tx.c4_clean(df, "id", "text").collect()}
+    assert (out[1]["n_kept"], out[1]["page_kept"]) == (3, 1)
+    assert (out[2]["n_kept"], out[2]["page_kept"]) == (3, 1)
