@@ -1467,6 +1467,20 @@ def q_txt_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document (smoothed idf, scores
+    rounded before ranking so the DuckDB replay ranks identically;
+    ties broken by term). tf aggregates on the doc-scoped (doc, term)
+    key; df collapses Zipf-hot terms in map-side partials."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tx.tfidf_topk(docs, "doc_id", "text", k=3)
+    return out.select(
+        F.col("id").alias("doc_id"), "term", "rank", "score"
+    ).orderBy("doc_id", "rank")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of the streaming
     applyInPandasWithState operator, streaming.py:167): gaps-and-islands
@@ -1605,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "txt_html_extract": q_txt_html_extract,
         "txt_c4_filter": q_txt_c4_filter,
+        "txt_tfidf": q_txt_tfidf,
         "ann_quantized": q_ann_quantized,
         "dedup_ngram": q_dedup_ngram,
         "txt_tokens": q_txt_tokens,
@@ -2630,6 +2645,32 @@ def oracle_sql() -> dict[str, str]:
                AND NOT contains(lower(page), 'lorem ipsum')
                AND NOT contains(page, '{'))::INT AS page_kept
             FROM k ORDER BY doc_id""",
+        "txt_tfidf": """
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '),
+                       w -> w <> '')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*)::BIGINT AS tf
+              FROM toks GROUP BY doc_id, term
+            ), dfq AS (
+              SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+            ), n AS (
+              SELECT count(DISTINCT doc_id) AS n FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.term,
+                round(tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0), 6)
+                  AS score
+              FROM tf JOIN dfq USING (term) CROSS JOIN n
+            ), ranked AS (
+              SELECT doc_id, term, score,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, term ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, term, rank::INT AS rank, score
+            FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
         "sessionize": """
             WITH m AS (
               SELECT user_id, ts, event_id, value,

@@ -607,6 +607,7 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "dedup_semantic",
         "txt_html_extract",
         "txt_c4_filter",
+        "txt_tfidf",
     ):
         timed(timings, name, lambda n=name: force(qs[n](spark, sf_dir)))
 

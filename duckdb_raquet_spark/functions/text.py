@@ -673,3 +673,63 @@ def c4_clean(
         (F.size(lines) - F.size(kept)).cast("bigint").alias("n_dropped"),
         page_kept.cast("int").alias("page_kept"),
     )
+
+
+# --------------------------------------------------- tf-idf keywords ----
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` tf-idf keywords per document — the classic corpus
+    characterization / keyword-extraction pass. ``score = tf *
+    (ln((N+1)/(df+1)) + 1)`` (smoothed idf), rounded to 6 decimals
+    BEFORE ranking so the ranking an independent SQL engine computes
+    from the same counts is identical (ties broken by term asc).
+    Returns ``(id, term, rank, score)``.
+
+    Plan shape at corpus scale: tf is a map-side-combining aggregate
+    on the DOC-scoped ``(doc, term)`` key (never a corpus-wide hot
+    key); df counts over those already-distinct pairs collapse
+    Zipf-hot terms in per-partition partials before the exchange; the
+    tf<->df join ships one row per distinct (doc, term) — the hot
+    term's fan-out equals its df and AQE's skew-join splitting applies
+    — and the df side is (term, df), pruned to terms that appear (a
+    broadcast when the vocab fits, a shuffle join beyond); the final
+    top-k window partitions by doc id, bounded by the doc's own
+    distinct-term count."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(tokens_col(text_col), lambda w: w != F.lit(""))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "id",
+        "term",
+        F.round(
+            F.col("tf")
+            * (
+                F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+                + 1.0
+            ),
+            6,
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "term", F.col("rank").cast("int").alias("rank"), "score")
+    )

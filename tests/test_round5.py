@@ -1043,3 +1043,28 @@ def test_c4_clean_crlf_and_tabs(spark):
     out = {r["id"]: r for r in tx.c4_clean(df, "id", "text").collect()}
     assert (out[1]["n_kept"], out[1]["page_kept"]) == (3, 1)
     assert (out[2]["n_kept"], out[2]["page_kept"]) == (3, 1)
+
+
+def test_tfidf_topk_known_values(spark):
+    """Closed-form tf-idf check: smoothed idf, rounded-before-rank,
+    term-asc tiebreak."""
+    import math
+
+    from duckdb_raquet_spark.functions import text as tx
+
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "apple date date date"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = tx.tfidf_topk(df, "id", "text", k=2).collect()
+    got = {(r["id"], r["rank"]): (r["term"], r["score"]) for r in out}
+    idf2 = math.log(4 / 3) + 1  # df=2 terms (apple, banana)
+    idf1 = math.log(4 / 2) + 1  # df=1 terms (cherry, date)
+    assert got[(1, 1)] == ("apple", round(2 * idf2, 6))
+    assert got[(1, 2)] == ("banana", round(1 * idf2, 6))
+    assert got[(2, 1)] == ("cherry", round(1 * idf1, 6))
+    # banana (idf2) scores below cherry (idf1) in doc 2
+    assert got[(2, 2)] == ("banana", round(1 * idf2, 6))
+    assert got[(3, 1)] == ("date", round(3 * idf1, 6))
