@@ -1481,6 +1481,25 @@ def q_txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "rank")
 
 
+def q_txt_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity partitioning: exact global rank by the
+    integer-exact unigram rarity score via the two-pass bucket trick
+    (never a single-partition window), cut into head/middle/tail
+    tiles. The oracle replays rank and tile from the same counts with
+    one SQL window."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tx.perplexity_buckets(docs, "doc_id", "text", n_tiles=3)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.round("mean_rarity_bits", 4).alias("mean_rarity_bits"),
+        "rank",
+        "tile",
+    ).orderBy("doc_id")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of the streaming
     applyInPandasWithState operator, streaming.py:167): gaps-and-islands
@@ -1620,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_html_extract": q_txt_html_extract,
         "txt_c4_filter": q_txt_c4_filter,
         "txt_tfidf": q_txt_tfidf,
+        "txt_perplexity": q_txt_perplexity,
         "ann_quantized": q_ann_quantized,
         "dedup_ngram": q_dedup_ngram,
         "txt_tokens": q_txt_tokens,
@@ -2671,6 +2691,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, rank::INT AS rank, score
             FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+        "txt_perplexity": """
+            WITH t AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ),
+            c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+            tot AS (SELECT sum(c)::BIGINT AS total FROM c),
+            s AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                sum(length(bin(total // c)) - 1)::DOUBLE / count(*) AS m
+              FROM t JOIN c USING (tok), tot GROUP BY doc_id
+            ),
+            n AS (SELECT count(*) AS n FROM s),
+            r AS (
+              SELECT doc_id, n_tokens, m,
+                row_number() OVER (ORDER BY m ASC, doc_id ASC) AS rank
+              FROM s
+            )
+            SELECT doc_id, n_tokens, round(m, 4) AS mean_rarity_bits,
+              rank::BIGINT AS rank,
+              floor((rank - 1) * 3 / n.n)::INT AS tile
+            FROM r, n ORDER BY doc_id""",
         "sessionize": """
             WITH m AS (
               SELECT user_id, ts, event_id, value,

@@ -608,6 +608,7 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "txt_html_extract",
         "txt_c4_filter",
         "txt_tfidf",
+        "txt_perplexity",
     ):
         timed(timings, name, lambda n=name: force(qs[n](spark, sf_dir)))
 

@@ -733,3 +733,94 @@ def tfidf_topk(
         .where(F.col("rank") <= k)
         .select("id", "term", F.col("rank").cast("int").alias("rank"), "score")
     )
+
+
+# ------------------------------------------- perplexity partitioning ----
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_tiles: int = 3,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """CCNet-style perplexity partitioning (Wenzek et al. 2020 §4.3):
+    rank every document by its language-model score and cut the corpus
+    into ``n_tiles`` equal tiles — head (most fluent) / middle / tail.
+    The score is :func:`unigram_logprob_scores`' integer-exact mean
+    rarity (the in-repo KenLM stand-in); the rank is the EXACT global
+    rank under ``(mean_rarity_bits ASC, id ASC)``. Returns ``(id,
+    n_tokens, mean_rarity_bits, rank, tile)`` with ``tile`` 0-based
+    (0 = head); ``tile = floor((rank-1) * n_tiles / N)``.
+
+    Plan at 10^12 docs: a global ``row_number() OVER (ORDER BY score)``
+    is a single-partition window — a non-starter. Same two-pass trick
+    as :func:`corpus.pack_sequences`, keyed by SCORE range instead of
+    id range: (1) range-bucket docs on the score, per-bucket counts
+    come back to the driver (O(n_buckets) state), which prefix-sums
+    exclusive rank offsets; (2) a window ranks WITHIN each bucket only
+    and the broadcast offset join lifts it to the global rank. Buckets
+    are non-overlapping ascending score ranges and equal scores land
+    in the same bucket, so the per-bucket order composes to exactly
+    the global order (ties broken by id inside the bucket). Bucket
+    balance follows the score distribution — raise ``n_buckets`` for
+    spiky distributions; correctness never depends on balance. The
+    mean is one double division of two exact integers, so the sort
+    key is bit-identical in any IEEE engine and the ranking replays
+    exactly in SQL."""
+    s = unigram_logprob_scores(df, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    n = s.count()
+    if n == 0:
+        return s.select(
+            "id",
+            "n_tokens",
+            "mean_rarity_bits",
+            F.lit(0).cast("long").alias("rank"),
+            F.lit(0).cast("int").alias("tile"),
+        )
+    lo, hi = s.agg(
+        F.min("mean_rarity_bits"), F.max("mean_rarity_bits")
+    ).first()
+    width = (float(hi) - float(lo)) / n_buckets
+    if width <= 0.0:
+        bucketed = s.withColumn("_b", F.lit(0).cast("long"))
+    else:
+        bucketed = s.withColumn(
+            "_b",
+            F.least(
+                F.floor(
+                    (F.col("mean_rarity_bits") - F.lit(float(lo)))
+                    / F.lit(width)
+                ),
+                F.lit(n_buckets - 1),
+            ).cast("long"),
+        )
+    counts = {
+        r["_b"]: r["c"]
+        for r in bucketed.groupBy("_b").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(counts):
+        offsets.append((b, acc))
+        acc += int(counts[b])
+    off_df = df.sparkSession.createDataFrame(offsets, "_b long, _roff long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_b").orderBy(
+        F.col("mean_rarity_bits").asc(), F.col("id").asc()
+    )
+    return (
+        bucketed.join(F.broadcast(off_df), "_b")
+        .withColumn(
+            "rank", (F.row_number().over(w) + F.col("_roff")).cast("long")
+        )
+        .withColumn(
+            "tile",
+            F.floor((F.col("rank") - 1) * n_tiles / F.lit(n)).cast("int"),
+        )
+        .select("id", "n_tokens", "mean_rarity_bits", "rank", "tile")
+    )

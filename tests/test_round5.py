@@ -1068,3 +1068,35 @@ def test_tfidf_topk_known_values(spark):
     # banana (idf2) scores below cherry (idf1) in doc 2
     assert got[(2, 2)] == ("banana", round(1 * idf2, 6))
     assert got[(3, 1)] == ("date", round(3 * idf1, 6))
+
+
+def test_perplexity_buckets_match_naive_window(spark):
+    """Two-pass bucketed global rank == the naive single-partition
+    window, tiles balanced to within one doc."""
+    from pyspark.sql import Window
+
+    from duckdb_raquet_spark.functions import text as tx
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+    )
+    out = tx.perplexity_buckets(
+        docs, "doc_id", "text", n_tiles=3, n_buckets=7
+    )
+    got = {r["id"]: (r["rank"], r["tile"]) for r in out.collect()}
+    s = tx.unigram_logprob_scores(docs, "doc_id", "text")
+    w = Window.orderBy(F.col("mean_rarity_bits").asc(), F.col("id").asc())
+    naive = {
+        r["id"]: r["rank"]
+        for r in s.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == naive
+    n = len(got)
+    sizes = [sum(1 for v in got.values() if v[1] == t) for t in range(3)]
+    assert sum(sizes) == n and max(sizes) - min(sizes) <= 1
+    # head = lowest rarity: every head rank precedes every tail rank
+    assert max(r for r, t in got.values() if t == 0) < min(
+        r for r, t in got.values() if t == 2
+    )
