@@ -1468,10 +1468,13 @@ def q_txt_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 tf-idf keywords per document (smoothed idf, scores
-    rounded before ranking so the DuckDB replay ranks identically;
-    ties broken by term). tf aggregates on the doc-scoped (doc, term)
-    key; df collapses Zipf-hot terms in map-side partials."""
+    """Top-3 tf-idf keywords per document. The idf is quantized to
+    whole bits (score = tf * bit_length(N div df), exact BIGINT) so
+    the DuckDB replay ranks bit-identically — a float ln differs by
+    an ulp between libm implementations, which an exact value-hash
+    cannot tolerate. Ties broken by term. tf aggregates on the
+    doc-scoped (doc, term) key; df collapses Zipf-hot terms in
+    map-side partials."""
     from duckdb_raquet_spark.functions import text as tx
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1491,10 +1494,15 @@ def q_txt_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     out = tx.perplexity_buckets(docs, "doc_id", "text", n_tiles=3)
+    # (sum*10000) div n — integer-exact scaled mean; a round()ed double
+    # can disagree across engines at a decimal half-boundary (Spark
+    # rounds the shortest decimal repr, DuckDB the binary value)
     return out.select(
         F.col("id").alias("doc_id"),
         "n_tokens",
-        F.round("mean_rarity_bits", 4).alias("mean_rarity_bits"),
+        F.expr("(sum_rarity_bits * 10000) div n_tokens").alias(
+            "mean_rarity_mbits"
+        ),
         "rank",
         "tile",
     ).orderBy("doc_id")
@@ -2680,8 +2688,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT count(DISTINCT doc_id) AS n FROM documents
             ), scored AS (
               SELECT tf.doc_id, tf.term,
-                round(tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0), 6)
-                  AS score
+                (tf.tf * length(bin(n.n // dfq.df)))::BIGINT AS score
               FROM tf JOIN dfq USING (term) CROSS JOIN n
             ), ranked AS (
               SELECT doc_id, term, score,
@@ -2700,16 +2707,18 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT sum(c)::BIGINT AS total FROM c),
             s AS (
               SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                sum(length(bin(total // c)) - 1)::BIGINT AS sr,
                 sum(length(bin(total // c)) - 1)::DOUBLE / count(*) AS m
               FROM t JOIN c USING (tok), tot GROUP BY doc_id
             ),
             n AS (SELECT count(*) AS n FROM s),
             r AS (
-              SELECT doc_id, n_tokens, m,
+              SELECT doc_id, n_tokens, sr,
                 row_number() OVER (ORDER BY m ASC, doc_id ASC) AS rank
               FROM s
             )
-            SELECT doc_id, n_tokens, round(m, 4) AS mean_rarity_bits,
+            SELECT doc_id, n_tokens,
+              (sr * 10000 // n_tokens)::BIGINT AS mean_rarity_mbits,
               rank::BIGINT AS rank,
               floor((rank - 1) * 3 / n.n)::INT AS tile
             FROM r, n ORDER BY doc_id""",

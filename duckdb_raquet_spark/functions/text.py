@@ -280,6 +280,10 @@ def unigram_logprob_scores(
             (F.col("_sum_rarity").cast("double") / F.col("n_tokens")).alias(
                 "mean_rarity_bits"
             ),
+            # the exact integer numerator, for consumers that must
+            # avoid float rounding entirely (perplexity_buckets' query
+            # emits (sum*10000) div n — integer-exact in any engine)
+            F.col("_sum_rarity").cast("long").alias("sum_rarity_bits"),
         )
     )
 
@@ -686,11 +690,20 @@ def tfidf_topk(
     k: int = 3,
 ) -> DataFrame:
     """Top-``k`` tf-idf keywords per document — the classic corpus
-    characterization / keyword-extraction pass. ``score = tf *
-    (ln((N+1)/(df+1)) + 1)`` (smoothed idf), rounded to 6 decimals
-    BEFORE ranking so the ranking an independent SQL engine computes
-    from the same counts is identical (ties broken by term asc).
-    Returns ``(id, term, rank, score)``.
+    characterization / keyword-extraction pass, with the idf QUANTIZED
+    to whole bits: ``score = tf * bit_length(N div df)`` (= ``tf *
+    (floor(log2(N/df)) + 1)``). Integer math end to end — same
+    convention as :func:`unigram_logprob_scores` and for the same
+    reason: a float ``ln`` differs by an ulp between libm
+    implementations, which can flip a rounded 6th decimal and with it
+    a rank, so an exact value-hash oracle would be flaky; the
+    bit-quantized score is exact in ANY engine (``length(bin(N //
+    df))`` in DuckDB), ranks identically everywhere, and preserves the
+    idf's rare-term ordering at whole-bit granularity. Ties broken by
+    term asc. Rows with a NULL id are excluded (they are not a
+    document; a SQL ``count(DISTINCT id)`` would skip them too).
+    Returns ``(id, term, rank, score)`` with ``score`` an exact
+    BIGINT.
 
     Plan shape at corpus scale: tf is a map-side-combining aggregate
     on the DOC-scoped ``(doc, term)`` key (never a corpus-wide hot
@@ -702,26 +715,30 @@ def tfidf_topk(
     broadcast when the vocab fits, a shuffle join beyond); the final
     top-k window partitions by doc id, bounded by the doc's own
     distinct-term count."""
-    toks = df.select(
+    base = df.where(F.col(id_col).isNotNull())
+    toks = base.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.filter(tokens_col(text_col), lambda w: w != F.lit(""))
         ).alias("term"),
     )
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    n_docs = df.select(F.col(id_col)).distinct().count()
+    n_docs = base.select(F.col(id_col)).distinct().count()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # bit_length(N div df) via base-2 string length — exact BIGINT
+    # everywhere (df >= 1 and df <= N, so the ratio is >= 1; integer
+    # `div` so a double quotient can never round across a bit boundary)
+    idf_bits = F.length(
+        F.conv(
+            F.expr(f"CAST({int(n_docs)} AS BIGINT) div df").cast("string"),
+            10,
+            2,
+        )
+    )
     scored = tf.join(dfreq, "term").select(
         "id",
         "term",
-        F.round(
-            F.col("tf")
-            * (
-                F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
-                + 1.0
-            ),
-            6,
-        ).alias("score"),
+        (F.col("tf") * idf_bits).cast("long").alias("score"),
     )
     from pyspark.sql import Window
 
@@ -752,69 +769,67 @@ def perplexity_buckets(
     The score is :func:`unigram_logprob_scores`' integer-exact mean
     rarity (the in-repo KenLM stand-in); the rank is the EXACT global
     rank under ``(mean_rarity_bits ASC, id ASC)``. Returns ``(id,
-    n_tokens, mean_rarity_bits, rank, tile)`` with ``tile`` 0-based
-    (0 = head); ``tile = floor((rank-1) * n_tiles / N)``.
+    n_tokens, mean_rarity_bits, sum_rarity_bits, rank, tile)`` with
+    ``tile`` 0-based (0 = head); ``tile = floor((rank-1) * n_tiles /
+    N)``; ``sum_rarity_bits`` is the exact integer numerator so
+    downstream emitters can avoid float rounding entirely.
 
     Plan at 10^12 docs: a global ``row_number() OVER (ORDER BY score)``
-    is a single-partition window — a non-starter. Same two-pass trick
-    as :func:`corpus.pack_sequences`, keyed by SCORE range instead of
-    id range: (1) range-bucket docs on the score, per-bucket counts
-    come back to the driver (O(n_buckets) state), which prefix-sums
-    exclusive rank offsets; (2) a window ranks WITHIN each bucket only
-    and the broadcast offset join lifts it to the global rank. Buckets
-    are non-overlapping ascending score ranges and equal scores land
-    in the same bucket, so the per-bucket order composes to exactly
-    the global order (ties broken by id inside the bucket). Bucket
-    balance follows the score distribution — raise ``n_buckets`` for
-    spiky distributions; correctness never depends on balance. The
-    mean is one double division of two exact integers, so the sort
-    key is bit-identical in any IEEE engine and the ranking replays
-    exactly in SQL."""
-    s = unigram_logprob_scores(df, id_col, text_col).localCheckpoint(
-        eager=False
+    is a single-partition window — a non-starter. Instead the COMPOSITE
+    sort key drives a range repartition (``repartitionByRange(score,
+    id)`` — Spark's range partitioner samples the composite key and
+    assigns contiguous (score, id) ranges), per-partition counts come
+    back to the driver (O(n_buckets) state) for an exclusive prefix
+    sum, and a window ranks WITHIN each range partition only; the
+    broadcast offset join lifts it to the global rank. Because the
+    partitioner splits on the composite key, even a corpus-scale group
+    of EQUAL scores (mass-duplicated boilerplate, empty pages) is
+    spread across partitions by id — no tie group can recreate the
+    single-partition window (the failure mode of bucketing on the
+    score alone). Partition boundaries never affect the result: any
+    contiguous split of the total order composes to the same global
+    rank. The mean is one double division of two exact integers, so
+    the sort key is bit-identical in any IEEE engine and the ranking
+    replays exactly in SQL."""
+    s = unigram_logprob_scores(df, id_col, text_col)
+    empty = s.select(
+        "id",
+        "n_tokens",
+        "mean_rarity_bits",
+        "sum_rarity_bits",
+        F.lit(0).cast("long").alias("rank"),
+        F.lit(0).cast("int").alias("tile"),
+    ).limit(0)
+    ranged = (
+        s.repartitionByRange(
+            n_buckets, F.col("mean_rarity_bits").asc(), F.col("id").asc()
+        )
+        .withColumn("_p", F.spark_partition_id().cast("long"))
+        .localCheckpoint(eager=False)
     )
-    n = s.count()
-    if n == 0:
-        return s.select(
-            "id",
-            "n_tokens",
-            "mean_rarity_bits",
-            F.lit(0).cast("long").alias("rank"),
-            F.lit(0).cast("int").alias("tile"),
-        )
-    lo, hi = s.agg(
-        F.min("mean_rarity_bits"), F.max("mean_rarity_bits")
-    ).first()
-    width = (float(hi) - float(lo)) / n_buckets
-    if width <= 0.0:
-        bucketed = s.withColumn("_b", F.lit(0).cast("long"))
-    else:
-        bucketed = s.withColumn(
-            "_b",
-            F.least(
-                F.floor(
-                    (F.col("mean_rarity_bits") - F.lit(float(lo)))
-                    / F.lit(width)
-                ),
-                F.lit(n_buckets - 1),
-            ).cast("long"),
-        )
+    # pass 1: per-range-partition counts -> exclusive rank offsets
+    # (driver state is O(n_buckets), bounded regardless of table size);
+    # total N falls out of the same pass — no extra count() job
     counts = {
-        r["_b"]: r["c"]
-        for r in bucketed.groupBy("_b").agg(F.count("*").alias("c")).collect()
+        r["_p"]: r["c"]
+        for r in ranged.groupBy("_p").agg(F.count("*").alias("c")).collect()
     }
+    n = sum(int(c) for c in counts.values())
+    if n == 0:
+        return empty
     offsets, acc = [], 0
     for b in sorted(counts):
         offsets.append((b, acc))
         acc += int(counts[b])
-    off_df = df.sparkSession.createDataFrame(offsets, "_b long, _roff long")
+    off_df = df.sparkSession.createDataFrame(offsets, "_p long, _roff long")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("_b").orderBy(
+    # pass 2: window within one range partition only + broadcast lift
+    w = Window.partitionBy("_p").orderBy(
         F.col("mean_rarity_bits").asc(), F.col("id").asc()
     )
     return (
-        bucketed.join(F.broadcast(off_df), "_b")
+        ranged.join(F.broadcast(off_df), "_p")
         .withColumn(
             "rank", (F.row_number().over(w) + F.col("_roff")).cast("long")
         )
@@ -822,5 +837,12 @@ def perplexity_buckets(
             "tile",
             F.floor((F.col("rank") - 1) * n_tiles / F.lit(n)).cast("int"),
         )
-        .select("id", "n_tokens", "mean_rarity_bits", "rank", "tile")
+        .select(
+            "id",
+            "n_tokens",
+            "mean_rarity_bits",
+            "sum_rarity_bits",
+            "rank",
+            "tile",
+        )
     )

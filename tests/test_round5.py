@@ -1046,28 +1046,27 @@ def test_c4_clean_crlf_and_tabs(spark):
 
 
 def test_tfidf_topk_known_values(spark):
-    """Closed-form tf-idf check: smoothed idf, rounded-before-rank,
-    term-asc tiebreak."""
-    import math
-
+    """Closed-form tf-idf check: whole-bit idf (integer-exact), term
+    tiebreak, NULL ids excluded from N and output."""
     from duckdb_raquet_spark.functions import text as tx
 
     rows = [
         (1, "apple banana apple"),
         (2, "banana cherry"),
         (3, "apple date date date"),
+        (None, "apple apple apple"),  # not a document
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     out = tx.tfidf_topk(df, "id", "text", k=2).collect()
     got = {(r["id"], r["rank"]): (r["term"], r["score"]) for r in out}
-    idf2 = math.log(4 / 3) + 1  # df=2 terms (apple, banana)
-    idf1 = math.log(4 / 2) + 1  # df=1 terms (cherry, date)
-    assert got[(1, 1)] == ("apple", round(2 * idf2, 6))
-    assert got[(1, 2)] == ("banana", round(1 * idf2, 6))
-    assert got[(2, 1)] == ("cherry", round(1 * idf1, 6))
-    # banana (idf2) scores below cherry (idf1) in doc 2
-    assert got[(2, 2)] == ("banana", round(1 * idf2, 6))
-    assert got[(3, 1)] == ("date", round(3 * idf1, 6))
+    # N=3 (null id excluded). idf_bits: df=2 -> bit_length(3//2)=1,
+    # df=1 -> bit_length(3//1)=2
+    assert got[(1, 1)] == ("apple", 2)  # tf 2 x 1 bit
+    assert got[(1, 2)] == ("banana", 1)
+    assert got[(2, 1)] == ("cherry", 2)  # rare term outranks common
+    assert got[(2, 2)] == ("banana", 1)
+    assert got[(3, 1)] == ("date", 6)  # tf 3 x 2 bits
+    assert None not in {i for i, _ in got}
 
 
 def test_perplexity_buckets_match_naive_window(spark):
