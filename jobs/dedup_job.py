@@ -65,13 +65,9 @@ def main() -> None:
     )
 
     # 1. exact dedup on the 192-bit digest — collapses byte-identical
-    #    copies before any tokenization
-    d = docs.select(
-        "doc_id",
-        F.length("text").alias("_len"),
-        F.md5(F.col("text").cast("binary")).alias("_md5"),
-        F.xxhash64("text").alias("_xx"),
-    )
+    #    copies before any tokenization (ONE digest definition shared
+    #    with exact_dedup and the streaming filter)
+    d = docs.select("doc_id", *dedup.exact_digest_cols("text"))
     w_exact = d.groupBy("_len", "_md5", "_xx").agg(
         F.min("doc_id").alias("exact_keep"), F.collect_list("doc_id").alias("_ids")
     )
