@@ -1566,6 +1566,53 @@ def q_join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-line removal (RefinedWeb "line-wise
+    corrections", Penedo et al. 2023): each doc is rebuilt as a
+    deterministic 5-line page carrying corpus-wide boilerplate (a
+    newsletter banner in every page, a per-source footer), a unique
+    headline, a text slice, and a pair-shared group line; then
+    `dedup.line_dedup` strips every line whose corpus-wide count
+    reaches 2. Counting shuffles 192-bit digests only; the rebuild is
+    one higher-order filter. The oracle replays the page construction
+    and the count-and-drop with DuckDB zipped unnests."""
+    from duckdb_raquet_spark.functions import dedup as dd
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    page = F.concat_ws(
+        "\n",
+        F.lit("Subscribe to our newsletter today"),
+        F.concat(
+            F.lit("Document "),
+            F.col("doc_id").cast("string"),
+            F.lit(" unique headline"),
+        ),
+        F.concat(F.lit("Shared across source "), F.col("source")),
+        F.substring("text", 1, 40),
+        F.concat(F.lit("Group "), (F.col("doc_id") % 250).cast("string")),
+    )
+    out = dd.line_dedup(
+        docs.select("doc_id", page.alias("page")), "doc_id", "page", min_count=2
+    )
+    return out.orderBy("doc_id")
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing with fractional epochs (GPT-3 / Pile
+    recipe): src0 weighted 2.5 (every doc twice + a deterministic 50%
+    slice a third time), src1 subsampled to 0.25, everything else 1.0.
+    Pure Column plan — one scan, a bounded sequence explode, no
+    shuffle; membership is the md5-bucket convention shared with
+    text.hash_sample, so the DuckDB oracle replays it exactly."""
+    from duckdb_raquet_spark.functions import corpus as cp
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    out = cp.mix_epochs(
+        docs, "doc_id", "source", {"src0": 2.5, "src1": 0.25}, default_weight=1.0
+    )
+    return out.orderBy("doc_id", "epoch")
+
+
 # --------------------------------------------------------- driver hooks ----
 
 
@@ -1669,6 +1716,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_tokens_bpe": q_txt_tokens_bpe,
         "txt_fp_rolling": q_txt_fp_rolling,
         "txt_sample": q_txt_sample,
+        # round-5 tail: RefinedWeb line-wise dedup + GPT-3-style
+        # weighted epoch mixing (parked like the rest of the >50 tail)
+        "dedup_lines": q_dedup_lines,
+        "corpus_mix": q_corpus_mix,
     }
 
 
@@ -2758,4 +2809,55 @@ def oracle_sql() -> dict[str, str]:
               FROM orders GROUP BY o_custkey) r
             JOIN customer ON r.o_custkey = c_custkey
             ORDER BY revenue DESC, c_custkey ASC LIMIT 10""",
+        "dedup_lines": """
+            WITH pages AS (
+              SELECT doc_id,
+                'Subscribe to our newsletter today'
+                || chr(10) || 'Document ' || doc_id || ' unique headline'
+                || chr(10) || 'Shared across source ' || source
+                || chr(10) || substr(text, 1, 40)
+                || chr(10) || 'Group ' || (doc_id % 250) AS page
+              FROM documents
+            ), ls AS (
+              SELECT doc_id, string_split(page, chr(10)) AS arr FROM pages
+            ), lines AS (
+              SELECT doc_id, unnest(arr) AS line,
+                     unnest(range(1, len(arr) + 1)) AS pos
+              FROM ls
+            ), cnt AS (
+              SELECT line, count(*) AS n FROM lines GROUP BY line
+            ), keep AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM lines l JOIN cnt c ON l.line = c.line
+              WHERE c.n < 2
+            ), agg AS (
+              SELECT doc_id,
+                string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                count(*) AS n_kept
+              FROM keep GROUP BY doc_id
+            )
+            SELECT l.doc_id,
+              coalesce(a.clean_text, '') AS clean_text,
+              (len(l.arr) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+              len(l.arr)::BIGINT AS n_lines
+            FROM ls l LEFT JOIN agg a USING (doc_id)
+            ORDER BY doc_id""",
+        "corpus_mix": """
+            WITH w AS (
+              SELECT doc_id, source,
+                CASE source WHEN 'src0' THEN 2.5
+                            WHEN 'src1' THEN 0.25 ELSE 1.0 END AS wt,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                  / 1152921504606846976.0 AS u
+              FROM documents
+            ), n AS (
+              SELECT doc_id, source,
+                (floor(wt)::INT
+                 + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END) AS nc
+              FROM w
+            )
+            SELECT doc_id, source,
+              unnest(range(0, nc))::INT AS epoch
+            FROM n WHERE nc > 0
+            ORDER BY doc_id, epoch""",
     }

@@ -1,7 +1,7 @@
 """Corpus-assembly operators: the steps between "filtered documents"
 and "training batches" in an LLM data pipeline.
 
-Three operators, all pure DataFrame plans (no Python UDFs):
+Four operators, all pure DataFrame plans (no Python UDFs):
 
 * :func:`pack_sequences` — concat-and-chunk training-sequence packing
   (every doc's tokens land at a global offset; sequences are ``ctx_len``
@@ -20,6 +20,9 @@ Three operators, all pure DataFrame plans (no Python UDFs):
   report per-document kept/dropped counts.  The application step of
   Lee et al. 2022-style chunk dedup (detection lives in
   :func:`duckdb_raquet_spark.functions.dedup.chunk_dedup`).
+* :func:`mix_epochs` — weighted source mixing with fractional epochs
+  (the GPT-3 / Pile recipe: curated sources repeat >1 epoch, bulk
+  crawl subsamples to <1), deterministic and engine-reproducible.
 
 Reference parity: the reference engine stops at scan/encode analytics
 (``/root/reference/src``); these mirror the downstream pipeline the
@@ -33,7 +36,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import tokens_col
 
-__all__ = ["pack_sequences", "domain_quota", "chunk_dedup_filter"]
+__all__ = [
+    "pack_sequences",
+    "domain_quota",
+    "chunk_dedup_filter",
+    "mix_epochs",
+]
 
 
 def _md5_priority(col: Column) -> Column:
@@ -261,4 +269,47 @@ def chunk_dedup_filter(
                 F.coalesce("n_chunks", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
             ).cast("long").alias("n_dropped"),
         )
+    )
+
+
+def mix_epochs(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Weighted source mixing with fractional epochs — the GPT-3 /
+    Pile training-mix recipe (Brown et al. 2020 table 2.2: curated
+    sources repeat for >1 epoch while bulk crawl subsamples to <1).
+    Every document is emitted ``floor(w)`` times, plus one more iff
+    its deterministic md5 priority lands under ``frac(w)`` — a source
+    weighted 2.4 contributes every doc twice and a reproducible 40%
+    slice a third time, so expected tokens-per-source match the mix
+    exactly while membership stays a pure function of
+    ``(id, weights)``: the SAME rows on any engine or re-run (md5 is
+    the cross-engine-stable hash, the :func:`text.hash_sample`
+    convention — this op is its upsampling twin).
+
+    Pure Column plan: one scan, a bounded ``sequence`` explode
+    (``ceil(w)`` copies, a per-source constant), no shuffle, no
+    Python.  Returns the input rows with an added 0-based ``epoch``
+    column; downstream packing keys on ``(id, epoch)``.
+    """
+    w = F.lit(float(default_weight))
+    for value, f in sorted(weights.items()):
+        w = F.when(F.col(source_col) == value, F.lit(float(f))).otherwise(w)
+    whole = F.floor(w).cast("int")
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    extra = (bucket.cast("double") / F.lit(float(1 << 60))) < (w - F.floor(w))
+    n_copies = (whole + extra.cast("int")).alias("_n_copies")
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .where(F.col("_n_copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+        )
+        .drop("_n_copies")
     )

@@ -676,3 +676,75 @@ def semantic_dedup(
         "cluster_id",
         F.col("_dup").isNull().alias("keep"),
     )
+
+
+# -------------------------------------------------------------- line dedup ----
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide duplicated-LINE removal (RefinedWeb's "line-wise
+    corrections", Penedo et al. 2023 arXiv:2306.01116 — the pass that
+    strips navigation bars, cookie banners and share buttons, i.e.
+    boilerplate that document-level exact/fuzzy dedup cannot touch
+    because the surrounding page always differs): any exact line whose
+    total occurrence count across the corpus reaches ``min_count`` is
+    removed from EVERY document.
+
+    Plan shape (the 100 TB story):
+
+    * line identity travels as the same 192-bit digest as
+      :func:`exact_dedup` (:func:`exact_digest_cols`) — the counting
+      exchange carries ~45-byte rows, never line bytes, and map-side
+      partial aggregation collapses hot boilerplate (the 10^9-copy
+      cookie banner) to one combiner row per partition before a byte
+      moves;
+    * the hot-digest set semi-joins back against the exploded
+      positions and collapses to one ``(id, sorted positions)`` row
+      per affected document — bytes proportional to REMOVED lines
+      (ints), never to the corpus;
+    * the rebuild joins that removal list to the source by id (one
+      id-keyed exchange — the same exchange any re-encode performs)
+      and drops positions with a single higher-order ``filter``
+      lambda over the split array: no explode of kept text, no
+      Python, whole-stage codegen end to end.
+
+    Returns ``(id, clean_text, n_removed, n_lines)``; a document whose
+    every line is boilerplate comes back with ``clean_text = ''``
+    rather than vanishing (filter-rate monitoring stays one aggregate
+    over the output).
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).select("_id", "_pos", *exact_digest_cols("_line"))
+    hot = (
+        lines.groupBy("_len", "_md5", "_xx")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= int(min_count))
+        .select("_len", "_md5", "_xx")
+    )
+    removals = (
+        lines.join(hot, ["_len", "_md5", "_xx"], "left_semi")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_rm"))
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.col(text_col), "\n").alias("_ls"),
+    )
+    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    kept = F.filter("_ls", lambda x, i: ~F.array_contains(rm, i))
+    return (
+        base.join(removals, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.array_join(kept, "\n").alias("clean_text"),
+            F.size(rm).cast("long").alias("n_removed"),
+            F.size("_ls").cast("long").alias("n_lines"),
+        )
+    )

@@ -1099,3 +1099,100 @@ def test_perplexity_buckets_match_naive_window(spark):
     assert max(r for r, t in got.values() if t == 0) < min(
         r for r, t in got.values() if t == 2
     )
+
+
+# ------------------------------------------------- line dedup + epoch mix ----
+
+
+def test_line_dedup_removes_corpus_hot_lines(spark):
+    """Lines duplicated across (or within) the corpus vanish from every
+    doc; unique lines and position order survive; a doc that was all
+    boilerplate stays in the output with empty text."""
+    from duckdb_raquet_spark.functions import dedup as dd
+
+    rows = [
+        (1, "banner\nalpha one\nfooter"),
+        (2, "banner\nbeta two\nfooter"),
+        (3, "gamma three\nbanner\ndelta four"),
+        (4, "banner\nfooter"),  # nothing unique -> empty result text
+        (5, "repeat me\nrepeat me\nsolo line"),  # within-doc dup counts
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: (r["clean_text"], r["n_removed"], r["n_lines"])
+        for r in dd.line_dedup(df, "id", "text", min_count=2).collect()
+    }
+    assert out[1] == ("alpha one", 2, 3)
+    assert out[2] == ("beta two", 2, 3)
+    assert out[3] == ("gamma three\ndelta four", 1, 3)
+    assert out[4] == ("", 2, 2)
+    assert out[5] == ("solo line", 2, 3)
+
+
+def test_line_dedup_min_count_threshold(spark):
+    """min_count=3 keeps pair-duplicated lines but drops triples."""
+    from duckdb_raquet_spark.functions import dedup as dd
+
+    rows = [
+        (1, "triple\npair\nu1"),
+        (2, "triple\npair\nu2"),
+        (3, "triple\nu3"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r["clean_text"]
+        for r in dd.line_dedup(df, "id", "text", min_count=3).collect()
+    }
+    assert out == {1: "pair\nu1", 2: "pair\nu2", 3: "u3"}
+
+
+def test_mix_epochs_counts_and_determinism(spark):
+    """floor(w) copies for everyone + a deterministic hash slice for
+    the fractional part; weight 0 sources vanish; epochs are dense from
+    0; two runs select identical rows."""
+    from duckdb_raquet_spark.functions import corpus
+
+    rows = [(i, "a" if i < 40 else ("b" if i < 80 else "c")) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    weights = {"a": 2.5, "b": 0.5, "c": 0.0}
+    out = corpus.mix_epochs(df, "id", "src", weights).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append((r["id"], r["epoch"]))
+    # source a: every doc at least twice, some three times
+    a_counts = {}
+    for i, e in by_src["a"]:
+        a_counts[i] = a_counts.get(i, 0) + 1
+    assert set(a_counts.values()) <= {2, 3} and min(a_counts.values()) == 2
+    assert 0 < sum(1 for v in a_counts.values() if v == 3) < 40
+    # epochs dense from 0 per id
+    for i, n in a_counts.items():
+        assert sorted(e for j, e in by_src["a"] if j == i) == list(range(n))
+    # source b: a strict, non-trivial subset, all epoch 0
+    assert 0 < len(by_src["b"]) < 40
+    assert all(e == 0 for _, e in by_src["b"])
+    # source c: gone entirely
+    assert "c" not in by_src
+    # deterministic: identical selection on re-run
+    again = corpus.mix_epochs(df, "id", "src", weights).collect()
+    assert sorted((r["id"], r["epoch"]) for r in out) == sorted(
+        (r["id"], r["epoch"]) for r in again
+    )
+
+
+def test_mix_epochs_matches_hash_sample_convention(spark):
+    """A pure-fractional weight selects EXACTLY hash_sample's rows —
+    the upsampling twin shares the md5 bucket convention."""
+    from duckdb_raquet_spark.functions import corpus
+    from duckdb_raquet_spark.functions import text as tx
+
+    rows = [(i, "s") for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    mixed = {
+        r["id"] for r in corpus.mix_epochs(df, "id", "src", {"s": 0.3}).collect()
+    }
+    sampled = {
+        r["id"]
+        for r in tx.hash_sample(df, "id", {"s": 0.3}, "src").collect()
+    }
+    assert mixed == sampled and 0 < len(mixed) < 300
