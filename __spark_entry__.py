@@ -1613,6 +1613,24 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id", "epoch")
 
 
+def q_txt_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (Xie et al. 2023): documents from
+    src0 act as the trusted target sample; every doc is scored by the
+    whole-bit-quantized log-likelihood ratio of its hashed-bigram
+    features under the target model vs the raw-corpus model
+    (n_buckets=4096, md5 bucket convention). Model side is <=4096
+    rows (broadcast); gram bytes never shuffle. The oracle replays
+    the hashing, both models and the integer-bit LLR in DuckDB."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text", (F.col("source") == "src0").alias("tgt"))
+    )
+    out = tx.dsir_scores(docs, "doc_id", "text", "tgt", n_buckets=4096)
+    return out.orderBy("doc_id")
+
+
 # --------------------------------------------------------- driver hooks ----
 
 
@@ -1720,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weighted epoch mixing (parked like the rest of the >50 tail)
         "dedup_lines": q_dedup_lines,
         "corpus_mix": q_corpus_mix,
+        "txt_dsir": q_txt_dsir,
     }
 
 
@@ -2860,4 +2879,43 @@ def oracle_sql() -> dict[str, str]:
               unnest(range(0, nc))::INT AS epoch
             FROM n WHERE nc > 0
             ORDER BY doc_id, epoch""",
+        "txt_dsir": """
+            WITH d AS (
+              SELECT doc_id, text, (source = 'src0') AS is_target
+              FROM documents
+            ), tk AS (
+              SELECT doc_id, is_target,
+                list_filter(string_split(text, ' '), w -> w <> '') AS t
+              FROM d
+            ), g AS (
+              SELECT doc_id, is_target,
+                unnest(list_transform(range(1, len(t)),
+                       i -> t[i] || ' ' || t[i + 1])) AS gram
+              FROM tk
+            ), p AS (
+              SELECT doc_id, is_target,
+                (('0x' || substr(md5(gram), 1, 15))::BIGINT % 4096) AS b,
+                count(*)::BIGINT AS c
+              FROM g GROUP BY 1, 2, 3
+            ), m AS (
+              SELECT b,
+                sum(CASE WHEN is_target THEN c ELSE 0 END)::BIGINT AS tb,
+                sum(c)::BIGINT AS rb
+              FROM p GROUP BY b
+            ), tot AS (
+              SELECT sum(tb)::BIGINT AS tt, sum(rb)::BIGINT AS rr FROM m
+            ), s AS (
+              SELECT doc_id,
+                sum(c)::BIGINT AS n_grams,
+                (sum(c) * (length(bin(rr + 1)) - length(bin(tt + 1)))
+                 + sum(c * (length(bin(tb + 1))
+                            - length(bin(rb + 1)))))::BIGINT AS llr_bits
+              FROM p JOIN m USING (b) CROSS JOIN tot
+              GROUP BY doc_id, tt, rr
+            )
+            SELECT d.doc_id, d.is_target,
+              coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+              coalesce(s.llr_bits, 0)::BIGINT AS llr_bits
+            FROM d LEFT JOIN s USING (doc_id)
+            ORDER BY doc_id""",
     }

@@ -846,3 +846,115 @@ def perplexity_buckets(
             "tile",
         )
     )
+
+
+# --------------------------------------- DSIR importance scoring ----
+
+
+def dsir_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    *,
+    n_buckets: int = 8192,
+) -> DataFrame:
+    """Data Selection with Importance Resampling scores (Xie et al.
+    2023, arXiv:2302.03169): rank raw-corpus documents by how much
+    more likely their hashed-n-gram features are under a TARGET
+    domain's bag-of-grams model than under the raw corpus's own — the
+    pretraining-data curation step that upweights pages "shaped like"
+    a trusted corpus (Wikipedia, books) without a trained classifier.
+
+    ``target_col`` is a boolean column marking the in-domain sample
+    rows inside ``df``; every row is scored (targets included, so the
+    threshold can be calibrated on the targets' own score range).
+    Features are hashed BIGRAMS of adjacent non-empty whitespace
+    tokens, bucketed to ``n_buckets`` by the engine-portable md5
+    convention shared with :func:`hash_sample`.
+
+    The log-likelihood ratio is quantized to WHOLE BITS — the
+    :func:`tfidf_topk` / :func:`unigram_logprob_scores` convention,
+    for the same reason (a float ``ln`` differs by an ulp between
+    libm implementations, so an exact value-hash oracle would be
+    flaky).  With ``bits(x) = floor(log2(x)) + 1`` (= digits of the
+    base-2 string — exact BIGINT in any engine):
+
+    ``llr_bits = n_grams * (bits(R+1) - bits(T+1))
+                 + sum_b cnt_b * (bits(t_b+1) - bits(r_b+1))``
+
+    where ``t_b``/``r_b`` are the bucket's gram counts in the target
+    sample / whole corpus and ``T``/``R`` their totals — i.e. the
+    exact integer-bit rendering of
+    ``sum_gram log2( (t_b/T) / (r_b/R) )`` with add-one smoothing.
+    Higher = more target-like.  Docs with < 2 tokens have no bigrams
+    and score 0 with ``n_grams = 0``.
+
+    Plan at 10^12 docs: gram bytes never shuffle — each doc's bigrams
+    hash to ints in-plan and collapse to doc-scoped ``(id, bucket)``
+    partial counts before the one exchange (Zipf-hot boilerplate
+    grams cost one combiner row per partition per doc-bucket); both
+    n-gram models are ≤ ``n_buckets`` rows (a broadcast, whatever the
+    corpus size); the totals are one 1-row aggregate.  No Python, no
+    windows.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(target_col).cast("boolean").alias("_t")
+    )
+    t = F.filter(tokens_col(text_col), lambda w: w != F.lit(""))
+    n = F.size(t)
+    grams = F.transform(
+        # NULL when < 2 tokens: sequence(1, 0) would be descending
+        F.when(n >= 2, F.sequence(F.lit(1), n - 1)),
+        lambda i: F.concat(
+            F.element_at(t, i), F.lit(" "), F.element_at(t, i + F.lit(1))
+        ),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("long"),
+        F.lit(int(n_buckets)),
+    )
+    pairs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(target_col).cast("boolean").alias("_t"),
+            F.explode(grams).alias("_g"),
+        )
+        .select("id", "_t", bucket.alias("_b"))
+        .groupBy("id", "_t", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    model = pairs.groupBy("_b").agg(
+        F.sum(F.when(F.col("_t"), F.col("_c")).otherwise(F.lit(0))).alias("_tb"),
+        F.sum("_c").alias("_rb"),
+    )
+    tot = model.agg(
+        F.sum("_tb").alias("_T"), F.sum("_rb").alias("_R")
+    ).first()
+    big_t, big_r = int(tot["_T"] or 0), int(tot["_R"] or 0)
+
+    def _bits(c) -> Column:
+        return F.length(F.conv(c.cast("string"), 10, 2))
+
+    # bits(R+1) - bits(T+1): int.bit_length == length(bin(x)) for x >= 1
+    k_const = (big_r + 1).bit_length() - (big_t + 1).bit_length()
+    scored = (
+        pairs.join(F.broadcast(model), "_b")
+        .groupBy("id")
+        .agg(
+            F.sum("_c").cast("long").alias("n_grams"),
+            (
+                F.sum("_c") * F.lit(int(k_const))
+                + F.sum(
+                    F.col("_c")
+                    * (_bits(F.col("_tb") + 1) - _bits(F.col("_rb") + 1))
+                )
+            ).cast("long").alias("llr_bits"),
+        )
+    )
+    return base.join(scored, "id", "left").select(
+        F.col("id").alias(id_col),
+        "_t",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("llr_bits", F.lit(0)).cast("long").alias("llr_bits"),
+    ).withColumnRenamed("_t", "is_target")

@@ -1196,3 +1196,45 @@ def test_mix_epochs_matches_hash_sample_convention(spark):
         for r in tx.hash_sample(df, "id", {"s": 0.3}, "src").collect()
     }
     assert mixed == sampled and 0 < len(mixed) < 300
+
+
+# ------------------------------------------------- DSIR importance ----
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    """Docs sharing bigrams with the target sample outrank off-domain
+    docs; sub-bigram docs score 0 with n_grams=0; targets themselves
+    are scored (calibration rows)."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", True),
+        (2, "the quick brown fox likes the lazy dog", False),
+        (3, "stock market prices fell sharply on tuesday trading", False),
+        (4, "one", False),
+        (5, "", False),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, tgt boolean")
+    out = {
+        r["id"]: (r["is_target"], r["n_grams"], r["llr_bits"])
+        for r in tx.dsir_scores(df, "id", "text", "tgt", n_buckets=64).collect()
+    }
+    assert len(out) == 5
+    assert out[4] == (False, 0, 0) and out[5] == (False, 0, 0)
+    assert out[2][2] > out[3][2]  # in-domain beats off-domain
+    assert out[1][0] is True and out[1][1] == 8  # target scored too
+
+
+def test_dsir_deterministic_and_length_invariant(spark):
+    """Same input -> identical scores on re-run; doubling every doc's
+    text doubles n_grams+1 boundary aside, scores scale with counts
+    (integer arithmetic, no float drift)."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    rows = [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 5}", i % 4 == 0)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, text string, tgt boolean")
+    a = sorted(map(tuple, tx.dsir_scores(df, "id", "text", "tgt").collect()))
+    b = sorted(map(tuple, tx.dsir_scores(df, "id", "text", "tgt").collect()))
+    assert a == b and len(a) == 60
+    assert all(r[2] == 2 for r in a)  # 3 tokens -> 2 bigrams each
