@@ -609,6 +609,7 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "txt_c4_filter",
         "txt_tfidf",
         "txt_perplexity",
+        "txt_dsir",
     ):
         timed(timings, name, lambda n=name: force(qs[n](spark, sf_dir)))
 

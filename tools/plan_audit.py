@@ -143,6 +143,24 @@ def main() -> None:
         )
     )
 
+    # 6b. DSIR: both n-gram models join back as broadcasts (they are
+    #     <= n_buckets rows whatever the corpus size) and the whole
+    #     scoring plan is JVM-side — no Python eval node anywhere
+    p = formatted(qs["txt_dsir"](spark, args.sf_dir))
+    sections.append(
+        (
+            "txt_dsir",
+            p,
+            [
+                ("model broadcast", "BroadcastHashJoin" in p),
+                (
+                    "no Python nodes",
+                    "EvalPython" not in p and "MapInPandas" not in p,
+                ),
+            ],
+        )
+    )
+
     # 7. time travel: the snapshot's chunk set prunes whole partition
     #    directories at planning time (PartitionFilters, not a
     #    post-scan Filter)
