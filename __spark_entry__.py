@@ -1631,6 +1631,83 @@ def q_txt_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def q_txt_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): six
+    merge rounds over the normalized document corpus. The corpus is
+    scanned once (word-frequency aggregate); every round after runs
+    over the bounded vocabulary with a 1-row argmax collect. The
+    DuckDB oracle unrolls the same six rounds with string_split +
+    literal replace over the identical control-char symbol framing,
+    so the merge table (ranks, pairs, frequencies — ties broken by
+    framed-string order) is value-hash exact."""
+    from duckdb_raquet_spark.functions import tokenizer as tk
+
+    docs = _read(spark, sf_dir, "documents").select(
+        tk.normalize_col("text").alias("norm")
+    )
+    merges = tk.learn_bpe(docs, "norm", n_merges=6)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"], m["freq"])
+            for m in merges
+        ],
+        "rank int, lft string, rgt string, merged string, freq long",
+    ).orderBy("rank")
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """Unrolled k-round DuckDB replay of learn_bpe over `documents`:
+    same framing (chr(30)/chr(31)), same pair statistics, same
+    argmax tie-break, same non-overlapping literal replace."""
+    s1 = "substr(p, 1, strpos(p, chr(31)))"          # framed left sym
+    s2 = "substr(p, strpos(p, chr(31)) + 1)"          # framed right sym
+    s1b = "substr(p, 1, strpos(p, chr(31)) - 1)"      # left, unframed
+    parts = [
+        """w0 AS (
+          SELECT regexp_replace(w, '(.)', chr(30) || '\\1' || chr(31), 'g')
+                   AS enc,
+                 count(*)::BIGINT AS freq
+          FROM (
+            SELECT unnest(list_filter(
+                     string_split(regexp_replace(lower(text),
+                                                 '[^a-z0-9 ]', ' ', 'g'), ' '),
+                     x -> x <> '')) AS w
+            FROM documents
+          ) GROUP BY 1
+        )"""
+    ]
+    for r in range(k):
+        parts.append(f"""p{r} AS (
+          SELECT p, sum(freq)::BIGINT AS cnt FROM (
+            SELECT unnest(list_transform(range(2, len(s)),
+                          i -> s[i] || s[i + 1])) AS p, freq
+            FROM (SELECT string_split(enc, chr(30)) AS s, freq FROM w{r})
+          ) GROUP BY p
+        )""")
+        parts.append(
+            f"m{r} AS (SELECT p, cnt FROM p{r} "
+            "ORDER BY cnt DESC, p ASC LIMIT 1)"
+        )
+        if r + 1 < k:
+            parts.append(f"""w{r + 1} AS (
+              SELECT replace(enc,
+                             chr(30) || {s1} || chr(30) || {s2},
+                             chr(30) || {s1b} || {s2}) AS enc, freq
+              FROM w{r} CROSS JOIN m{r}
+            )""")
+    rows = "\n            UNION ALL ".join(
+        f"""SELECT {r}::INT AS rank, {s1b} AS lft,
+                 substr({s2}, 1, length({s2}) - 1) AS rgt,
+                 {s1b} || substr({s2}, 1, length({s2}) - 1) AS merged,
+                 cnt::BIGINT AS freq FROM m{r}"""
+        for r in range(k)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT * FROM ({rows}) ORDER BY rank"
+    )
+
+
 # --------------------------------------------------------- driver hooks ----
 
 
@@ -1739,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "corpus_mix": q_corpus_mix,
         "txt_dsir": q_txt_dsir,
+        "txt_bpe": q_txt_bpe,
     }
 
 
@@ -2918,4 +2996,5 @@ def oracle_sql() -> dict[str, str]:
               coalesce(s.llr_bits, 0)::BIGINT AS llr_bits
             FROM d LEFT JOIN s USING (doc_id)
             ORDER BY doc_id""",
+        "txt_bpe": _bpe_oracle_sql(6),
     }

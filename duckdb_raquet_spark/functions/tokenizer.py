@@ -1,0 +1,170 @@
+"""Distributed BPE tokenizer training + application (Sennrich et al.
+2016, arXiv:1508.07909) — the "train the tokenizer on the corpus you
+just cleaned" step of an LLM data pipeline, as pure DataFrame plans.
+
+The classic trick makes this scale: BPE statistics only depend on the
+WORD-FREQUENCY table, not the corpus — a 100 TB crawl collapses to its
+distinct-word vocabulary (Zipf: orders of magnitude smaller) in one
+map-side-combining aggregate, and every merge round after that runs
+over the vocabulary alone.  Each round is: count adjacent symbol
+pairs (weighted by word frequency), pick the most frequent (ties:
+lexicographically smallest — deterministic on any engine), merge that
+pair everywhere, repeat.
+
+Symbol sequences travel as a flat STRING with control-char framing —
+``\\x1e<sym>\\x1f`` per symbol — so the merge step is a single literal
+``replace``: engines scan left-to-right non-overlapping, which is
+exactly BPE's greedy within-word merge order, and the framing makes
+matches symbol-aligned by construction (``\\x1e`` only ever opens a
+symbol, ``\\x1f`` only ever closes one; neither may appear in the
+input — normalize first, see :func:`normalize_col`).  That framing is
+what makes the whole trainer replayable in ANSI SQL (the DuckDB
+oracle unrolls the same rounds with ``string_split`` + ``replace``),
+so the correctness gate is a value-hash, not a rows-only check.
+
+Reference parity: the reference engine has no tokenizer surface
+(``/root/reference/src`` stops at scan/encode); this extends the
+LLM-pipeline layer like `functions/corpus.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import tokens_col
+
+__all__ = [
+    "SYM_OPEN",
+    "SYM_CLOSE",
+    "normalize_col",
+    "learn_bpe",
+    "bpe_tokens_col",
+]
+
+SYM_OPEN = "\x1e"   # opens every symbol (record separator)
+SYM_CLOSE = "\x1f"  # closes every symbol (unit separator)
+
+
+def normalize_col(text: Column | str) -> Column:
+    """Lowercase + collapse everything outside ``[a-z0-9 ]`` to a
+    space: the pre-tokenization contract that guarantees the framing
+    control chars cannot appear inside a symbol."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " ")
+
+
+def _encode_word(word: Column) -> Column:
+    """``abc`` -> ``\\x1ea\\x1f\\x1eb\\x1f\\x1ec\\x1f`` (one framed
+    symbol per character — the BPE start state)."""
+    return F.regexp_replace(word, "(.)", SYM_OPEN + "$1" + SYM_CLOSE)
+
+
+def _word_freq(df: DataFrame, text_col: str) -> DataFrame:
+    words = df.select(
+        F.explode(
+            F.filter(tokens_col(text_col), lambda w: w != F.lit(""))
+        ).alias("_w")
+    )
+    return (
+        words.groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(_encode_word(F.col("_w")).alias("enc"), "freq")
+    )
+
+
+def _pairs_col(enc: Column) -> Column:
+    """Adjacent framed-symbol pairs of an encoded word.  Splitting on
+    ``\\x1e`` yields ``['', 'a\\x1f', 'b\\x1f', ...]`` (1-based element
+    2 is the first symbol), so pair i is ``syms[i] || syms[i+1]`` for
+    i in [2, n-1] — NULL (dropped by explode) below two symbols."""
+    syms = F.split(enc, SYM_OPEN)
+    n = F.size(syms)
+    return F.transform(
+        F.when(n >= 3, F.sequence(F.lit(2), n - 1)),
+        lambda i: F.concat(
+            F.element_at(syms, i), F.element_at(syms, i + F.lit(1))
+        ),
+    )
+
+
+def learn_bpe(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 16,
+    min_freq: int = 1,
+) -> list[dict]:
+    """Learn ``n_merges`` BPE merges over ``text_col`` (which must
+    honor the :func:`normalize_col` contract).  Returns the merge
+    table — ``[{rank, left, right, merged, freq}, ...]`` in learned
+    order — stopping early when no pair reaches ``min_freq``.
+
+    Plan at 10^12 docs: the corpus is scanned ONCE (word-frequency
+    aggregate, map-side partials collapse Zipf-hot words before the
+    exchange); every round after that is a bounded-vocabulary
+    pair-count aggregate plus a 1-row argmax collect (``O(n_merges)``
+    driver state), and the merge application is one literal
+    ``replace`` projection.  The vocabulary is re-materialized per
+    round (``localCheckpoint``) so the plan does not deepen with the
+    number of rounds.
+    """
+    words = _word_freq(df, text_col).localCheckpoint(eager=True)
+    merges: list[dict] = []
+    for rank in range(int(n_merges)):
+        top = (
+            words.select(F.explode(_pairs_col(F.col("enc"))).alias("p"), "freq")
+            .groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or int(top[0]["cnt"]) < int(min_freq):
+            break
+        p, cnt = top[0]["p"], int(top[0]["cnt"])
+        cut = p.index(SYM_CLOSE) + 1
+        s1, s2 = p[:cut], p[cut:]  # both framed: 'x\x1f', 'y\x1f'
+        src = SYM_OPEN + s1 + SYM_OPEN + s2
+        dst = SYM_OPEN + s1[:-1] + s2
+        merges.append(
+            {
+                "rank": rank,
+                "left": s1[:-1],
+                "right": s2[:-1],
+                "merged": s1[:-1] + s2[:-1],
+                "freq": cnt,
+            }
+        )
+        words = words.select(
+            F.replace(F.col("enc"), F.lit(src), F.lit(dst)).alias("enc"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_tokens_col(text: Column | str, merges: list[dict]) -> Column:
+    """Tokenize ``text`` (normalize_col contract) with a learned merge
+    table: per word, apply the merges in rank order (each one literal
+    ``replace`` — the same greedy left-to-right semantics they were
+    learned under), then unframe.  Returns ``array<string>`` of
+    subword tokens, document order.  Pure Column expression, depth
+    linear in ``len(merges)`` — keep merge tables that ride in-plan
+    to O(100); bigger vocabularies belong in a broadcast-join
+    segmenter."""
+    words = F.filter(tokens_col(text), lambda w: w != F.lit(""))
+
+    def _segment(w: Column) -> Column:
+        enc = _encode_word(w)
+        for m in merges:
+            src = (
+                SYM_OPEN + m["left"] + SYM_CLOSE + SYM_OPEN
+                + m["right"] + SYM_CLOSE
+            )
+            dst = SYM_OPEN + m["merged"] + SYM_CLOSE
+            enc = F.replace(enc, F.lit(src), F.lit(dst))
+        syms = F.filter(F.split(enc, SYM_OPEN), lambda s: s != F.lit(""))
+        return F.transform(
+            syms, lambda s: F.substring(s, 1, F.length(s) - 1)
+        )
+
+    return F.flatten(F.transform(words, _segment))

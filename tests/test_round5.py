@@ -1238,3 +1238,102 @@ def test_dsir_deterministic_and_length_invariant(spark):
     b = sorted(map(tuple, tx.dsir_scores(df, "id", "text", "tgt").collect()))
     assert a == b and len(a) == 60
     assert all(r[2] == 2 for r in a)  # 3 tokens -> 2 bigrams each
+
+
+# ------------------------------------------------------- BPE trainer ----
+
+
+def _ref_bpe(texts, k):
+    """Pure-Python Sennrich BPE: greedy left-to-right merge, tie
+    broken by the framed-string order the engines compare under."""
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wf[w] += 1
+    vocab = {tuple(w): c for w, c in wf.items()}
+    merges = []
+    for r in range(k):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(),
+            key=lambda kv: (-kv[1], kv[0][0] + "\x1f" + kv[0][1] + "\x1f"),
+        )
+        merges.append((r, a, b, a + b, cnt))
+        nv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    return merges
+
+
+def test_learn_bpe_matches_reference_implementation(spark):
+    """Distributed trainer == pure-Python Sennrich BPE, merge for
+    merge (ranks, pairs, frequencies, ties) — including the
+    overlapping-run case (aaa) where greedy order matters."""
+    from duckdb_raquet_spark.functions import tokenizer as tk
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "that hat is the best hat",
+        "low lower lowest slow slower",
+        "aaa aa aaaa",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (m["rank"], m["left"], m["right"], m["merged"], m["freq"])
+        for m in tk.learn_bpe(df, "text", n_merges=12)
+    ]
+    assert got == _ref_bpe(texts, 12)
+
+
+def test_learn_bpe_property_random_corpus(spark):
+    """Same equality on a seeded random corpus (wider alphabet, deep
+    merge chains)."""
+    import random
+
+    from duckdb_raquet_spark.functions import tokenizer as tk
+
+    rng = random.Random(7)
+    words = ["".join(rng.choice("abcde") for _ in range(rng.randint(1, 6)))
+             for _ in range(40)]
+    texts = [" ".join(rng.choice(words) for _ in range(12)) for _ in range(25)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (m["rank"], m["left"], m["right"], m["merged"], m["freq"])
+        for m in tk.learn_bpe(df, "text", n_merges=10)
+    ]
+    assert got == _ref_bpe(texts, 10) and len(got) == 10
+
+
+def test_bpe_tokens_roundtrip_and_merge(spark):
+    """Applying the learned merges re-segments text losslessly (concat
+    of subwords == word chars) and actually merges the learned units."""
+    from duckdb_raquet_spark.functions import tokenizer as tk
+
+    texts = ["banana bandana", "banana banana band"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges = tk.learn_bpe(df, "text", n_merges=8)
+    out = df.select(
+        "text", tk.bpe_tokens_col("text", merges).alias("toks")
+    ).collect()
+    for r in out:
+        assert "".join(r["toks"]) == r["text"].replace(" ", "")
+    vocab = {t for r in out for t in r["toks"]}
+    assert "banana" in vocab  # 3 occurrences -> fully merged unit
