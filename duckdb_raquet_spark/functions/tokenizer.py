@@ -29,6 +29,7 @@ LLM-pipeline layer like `functions/corpus.py`.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import tokens_col
@@ -39,6 +40,7 @@ __all__ = [
     "normalize_col",
     "learn_bpe",
     "bpe_tokens_col",
+    "bpe_tokens_udf",
 ]
 
 SYM_OPEN = "\x1e"   # opens every symbol (record separator)
@@ -168,3 +170,68 @@ def bpe_tokens_col(text: Column | str, merges: list[dict]) -> Column:
         )
 
     return F.flatten(F.transform(words, _segment))
+
+
+def bpe_tokens_udf(merges: list[dict]):
+    """Arrow-batched BPE segmenter for merge tables too big to ride
+    in-plan (a production tokenizer's 32k-64k merges would explode
+    :func:`bpe_tokens_col`'s expression tree).  The merge table
+    broadcasts inside the UDF closure as a rank dict; per word the
+    standard lowest-rank-first merge loop runs over a memoized word
+    cache (Zipf again: a batch of web text re-tokenizes the same few
+    thousand distinct words, so the per-word cost amortizes to a dict
+    hit).  Same output as :func:`bpe_tokens_col` for any learned
+    table — pinned by test.
+
+    Returns a pandas_udf ``string -> array<string>``; apply as
+    ``df.select(bpe_tokens_udf(merges)(F.col('text')))``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rank_of = {
+        (m["left"], m["right"]): (r, m["merged"])
+        for r, m in enumerate(merges)
+    }
+
+    def _segment_word(w: str, cache: dict) -> list[str]:
+        hit = cache.get(w)
+        if hit is not None:
+            return hit
+        syms = list(w)
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                rm = rank_of.get((syms[i], syms[i + 1]))
+                if rm is not None and (best is None or rm[0] < best[0]):
+                    best = (rm[0], i, rm[1])
+            if best is None:
+                break
+            _, i, merged = best
+            # merge ALL occurrences of this pair left-to-right (the
+            # greedy semantics the merges were learned under)
+            a, b = syms[i], syms[i + 1]
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        cache[w] = syms
+        return syms
+
+    @pandas_udf("array<string>")
+    def _bpe(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for t in texts.fillna(""):
+            toks: list[str] = []
+            for w in t.split(" "):
+                if w:
+                    toks.extend(_segment_word(w, cache))
+            out.append(toks)
+        return pd.Series(out)
+
+    return _bpe

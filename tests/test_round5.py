@@ -1337,3 +1337,32 @@ def test_bpe_tokens_roundtrip_and_merge(spark):
         assert "".join(r["toks"]) == r["text"].replace(" ", "")
     vocab = {t for r in out for t in r["toks"]}
     assert "banana" in vocab  # 3 occurrences -> fully merged unit
+
+
+def test_bpe_udf_matches_column_applier(spark):
+    """The Arrow-batched segmenter (scale path for big merge tables)
+    tokenizes identically to the in-plan Column applier for a learned
+    table — learned merges are topologically consistent (a merge's
+    operands are created by strictly earlier merges), so
+    sequential-by-rank and lowest-rank-first application coincide."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from duckdb_raquet_spark.functions import tokenizer as tk
+
+    rng = random.Random(11)
+    words = ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+             for _ in range(30)]
+    texts = [" ".join(rng.choice(words) for _ in range(10)) for _ in range(20)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    merges = tk.learn_bpe(df, "text", n_merges=12)
+    both = df.select(
+        "id",
+        tk.bpe_tokens_col("text", merges).alias("a"),
+        tk.bpe_tokens_udf(merges)(F.col("text")).alias("b"),
+    ).collect()
+    assert len(both) == 20
+    for r in both:
+        assert r["a"] == r["b"], (r["id"], r["a"], r["b"])
