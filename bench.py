@@ -610,6 +610,7 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "txt_tfidf",
         "txt_perplexity",
         "txt_dsir",
+        "txt_bpe",
     ):
         timed(timings, name, lambda n=name: force(qs[n](spark, sf_dir)))
 
