@@ -718,9 +718,12 @@ def line_dedup(
     rather than vanishing (filter-rate monitoring stays one aggregate
     over the output).
     """
+    # NULL text reads as the empty page (one empty line) so the
+    # accounting columns stay sane (size(NULL) would report -1 lines)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     lines = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+        F.posexplode(F.split(text, "\n")).alias("_pos", "_line"),
     ).select("_id", "_pos", *exact_digest_cols("_line"))
     hot = (
         lines.groupBy("_len", "_md5", "_xx")
@@ -735,7 +738,7 @@ def line_dedup(
     )
     base = df.select(
         F.col(id_col).alias("_id"),
-        F.split(F.col(text_col), "\n").alias("_ls"),
+        F.split(text, "\n").alias("_ls"),
     )
     rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
     kept = F.filter("_ls", lambda x, i: ~F.array_contains(rm, i))

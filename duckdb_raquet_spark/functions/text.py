@@ -869,6 +869,7 @@ def dsir_scores(
     ``target_col`` is a boolean column marking the in-domain sample
     rows inside ``df``; every row is scored (targets included, so the
     threshold can be calibrated on the targets' own score range).
+    ``id_col`` must be unique per row (it keys the score join).
     Features are hashed BIGRAMS of adjacent non-empty whitespace
     tokens, bucketed to ``n_buckets`` by the engine-portable md5
     convention shared with :func:`hash_sample`.

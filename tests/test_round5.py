@@ -1366,3 +1366,18 @@ def test_bpe_udf_matches_column_applier(spark):
     assert len(both) == 20
     for r in both:
         assert r["a"] == r["b"], (r["id"], r["a"], r["b"])
+
+
+def test_line_dedup_null_text_counts_as_empty_page(spark):
+    """NULL text reads as one empty line (never size(NULL) = -1); two
+    NULL docs make '' corpus-hot, so both report it removed."""
+    from duckdb_raquet_spark.functions import dedup as dd
+
+    rows = [(1, None), (2, None), (3, "only real line")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: (r["clean_text"], r["n_removed"], r["n_lines"])
+        for r in dd.line_dedup(df, "id", "text", min_count=2).collect()
+    }
+    assert out[1] == ("", 1, 1) and out[2] == ("", 1, 1)
+    assert out[3] == ("only real line", 0, 1)
