@@ -1655,6 +1655,39 @@ def q_txt_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def q_txt_url_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist URL filtering (RefinedWeb/C4 URL stage) over
+    synthetic hosts built from the documents table: source-keyed
+    domains with alternating TLDs, every third URL nested two
+    subdomains deep (exercising the label-suffix rule), every seventh
+    unparseable (host NULL, blocked false). Blocklist entries
+    src0.com / src1.org match themselves and every subdomain via the
+    bounded suffix explode + broadcast semi-join."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.when(F.col("doc_id") % 7 == 0, F.lit("not a url")).otherwise(
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("sub.deep.")).otherwise(
+                F.lit("")
+            ),
+            F.col("source"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".com")).otherwise(
+                F.lit(".org")
+            ),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    out = tx.url_block_filter(
+        docs.select("doc_id", url.alias("url")),
+        "url",
+        ["src0.com", "src1.org"],
+    )
+    return out.select("doc_id", "host", "blocked").orderBy("doc_id")
+
+
 def _bpe_oracle_sql(k: int) -> str:
     """Unrolled k-round DuckDB replay of learn_bpe over `documents`:
     same framing (chr(30)/chr(31)), same pair statistics, same
@@ -1780,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "txt_dsir": q_txt_dsir,
         "txt_bpe": q_txt_bpe,
+        "txt_url_block": q_txt_url_block,
         "ann_topk": q_ann_topk,
         # --- past the driver's 50-query cap: redundant variants of
         # scored siblings (still judge-checkable via check_oracle.py;
@@ -3001,4 +3035,29 @@ def oracle_sql() -> dict[str, str]:
             FROM d LEFT JOIN s USING (doc_id)
             ORDER BY doc_id""",
         "txt_bpe": _bpe_oracle_sql(6),
+        "txt_url_block": r"""
+            WITH u AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN 'not a url'
+                     ELSE 'https://'
+                          || CASE WHEN doc_id % 3 = 0
+                                  THEN 'sub.deep.' ELSE '' END
+                          || source
+                          || CASE WHEN doc_id % 2 = 0
+                                  THEN '.com' ELSE '.org' END
+                          || '/p/' || doc_id
+                END AS url
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                nullif(regexp_extract(lower(url),
+                  '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1),
+                  '') AS host
+              FROM u
+            )
+            SELECT doc_id, host,
+              coalesce(host = 'src0.com' OR host LIKE '%.src0.com'
+                    OR host = 'src1.org' OR host LIKE '%.src1.org',
+                    FALSE) AS blocked
+            FROM h ORDER BY doc_id""",
     }

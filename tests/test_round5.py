@@ -1381,3 +1381,56 @@ def test_line_dedup_null_text_counts_as_empty_page(spark):
     }
     assert out[1] == ("", 1, 1) and out[2] == ("", 1, 1)
     assert out[3] == ("only real line", 0, 1)
+
+
+# ---------------------------------------------------- URL blocklist ----
+
+
+def test_url_block_filter_suffix_semantics(spark):
+    """A blocklist domain blocks itself and every subdomain — by LABEL,
+    not string suffix (notbad.com survives a bad.com entry); ports,
+    userinfo and case are normalized away; unparseable URLs come back
+    host=NULL, blocked=false; duplicate rows survive."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    rows = [
+        (1, "https://bad.com/x"),
+        (2, "http://A.B.BAD.com:8080/y"),
+        (3, "https://user:pw@bad.com/z"),
+        (4, "https://notbad.com/ok"),
+        (5, "https://good.org/ok"),
+        (6, "no scheme here"),
+        (7, "https://bad.com/dup"),
+        (7, "https://good.org/dup"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = tx.url_block_filter(df, "url", ["bad.com"]).collect()
+    assert len(out) == 8
+    got = {(r["id"], r["url"]): (r["host"], r["blocked"]) for r in out}
+    assert got[(1, "https://bad.com/x")] == ("bad.com", True)
+    assert got[(2, "http://A.B.BAD.com:8080/y")] == ("a.b.bad.com", True)
+    assert got[(3, "https://user:pw@bad.com/z")] == ("bad.com", True)
+    assert got[(4, "https://notbad.com/ok")] == ("notbad.com", False)
+    assert got[(5, "https://good.org/ok")] == ("good.org", False)
+    assert got[(6, "no scheme here")] == (None, False)
+    assert got[(7, "https://bad.com/dup")] == ("bad.com", True)
+    assert got[(7, "https://good.org/dup")] == ("good.org", False)
+
+
+def test_url_block_filter_broadcasts_blocklist(spark):
+    """The blocklist side joins as a broadcast (no corpus shuffle) and
+    a DataFrame blocklist works like a list."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(i, f"https://d{i % 5}.example{i % 3}.com/p") for i in range(60)],
+        "id long, url string",
+    )
+    bl = spark.createDataFrame([("example0.com",), ("EXAMPLE1.com",)],
+                               "domain string")
+    out = tx.url_block_filter(df, "url", bl)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    n_blocked = out.where("blocked").count()
+    # i%3 in (0,1) -> blocked: 40 of 60
+    assert n_blocked == 40
