@@ -721,10 +721,16 @@ def line_dedup(
     # NULL text reads as the empty page (one empty line) so the
     # accounting columns stay sane (size(NULL) would report -1 lines)
     text = F.coalesce(F.col(text_col), F.lit(""))
+    # narrow (_id, _pos, digests) projection materialized once
+    # (localCheckpoint): both the hot-line count and the removal-list
+    # semi-join read it — without it each would re-split and re-digest
+    # the full text column
     lines = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(text, "\n")).alias("_pos", "_line"),
-    ).select("_id", "_pos", *exact_digest_cols("_line"))
+    ).select("_id", "_pos", *exact_digest_cols("_line")).localCheckpoint(
+        eager=False
+    )
     hot = (
         lines.groupBy("_len", "_md5", "_xx")
         .agg(F.count(F.lit(1)).alias("_n"))

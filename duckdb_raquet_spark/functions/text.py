@@ -915,6 +915,11 @@ def dsir_scores(
         F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("long"),
         F.lit(int(n_buckets)),
     )
+    # narrow (id, is_target, bucket, count) projection materialized
+    # once (localCheckpoint, the pack_sequences convention): the model
+    # build, the totals aggregate and the scoring join all read it, and
+    # without the checkpoint each would re-tokenize the full text
+    # column — three corpus scans instead of one
     pairs = (
         df.select(
             F.col(id_col).alias("id"),
@@ -924,6 +929,7 @@ def dsir_scores(
         .select("id", "_t", bucket.alias("_b"))
         .groupBy("id", "_t", "_b")
         .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
     )
     model = pairs.groupBy("_b").agg(
         F.sum(F.when(F.col("_t"), F.col("_c")).otherwise(F.lit(0))).alias("_tb"),
@@ -1014,11 +1020,17 @@ def url_block_filter(
         F.when(n >= 1, F.sequence(F.lit(1), n)),
         lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
     )
-    # one row per (row, suffix); the original row is reconstituted by
-    # a first() aggregate on a unique row key, so duplicate input ids
-    # are preserved as duplicates
-    keyed = df.withColumn("_rk", F.monotonically_increasing_id()).withColumn(
-        "host", host
+    # one row per (row, suffix), rejoined on a synthetic unique row key
+    # so duplicate input ids are preserved as duplicates. The key comes
+    # from monotonically_increasing_id, which is NON-deterministic
+    # across re-evaluations if the upstream reorders (e.g. after a
+    # shuffle) — localCheckpoint freezes one evaluation so the explode
+    # subtree and the final join see identical keys (and the corpus is
+    # scanned once instead of twice)
+    keyed = (
+        df.withColumn("_rk", F.monotonically_increasing_id())
+        .withColumn("host", host)
+        .localCheckpoint(eager=False)
     )
     exploded = keyed.select(
         "_rk", F.explode_outer(suffixes).alias("_sfx")
