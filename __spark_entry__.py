@@ -199,6 +199,52 @@ def q_rt_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.decode_blocks(blocks, man, ["doc_id", "text", "lang"])
 
 
+def q_rt_compact_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental bin-packing compaction (encode.compact_chunks — the
+    Iceberg rewrite_data_files analog, committed IN PLACE): encode 2
+    chunks, append 2 small ones, DELETE the doc_id%9==0 urls, then
+    merge chunks [1,2,3] into one fresh chunk at O(selected bytes).
+    The rewrite applies the delete physically for the merged rows; the
+    merge-on-read view must be unchanged, i.e. plain SQL minus the
+    deleted keys."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/raquet_entry_cci_{tag}_v{drs.__version__}"
+    need = True
+    try:
+        snap = mf.current_snapshot(path, spark)
+        man0 = scan.read_manifest(spark, path)
+        if (
+            man0.get("engine") == f"duckdb_raquet_spark/{drs.__version__}"
+            and snap is not None
+            and snap.get("op") == "compact-chunks"
+        ):
+            need = False
+    except Exception:
+        pass
+    if need:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)  # never resume half-built
+        df = _webtext(spark, sf_dir).select(
+            "url", "warc_ts", "text", "lang", "doc_id"
+        )
+        encode.encode_to_path(
+            spark, df.where(F.col("doc_id") % 2 == 0), path,
+            chunks=2, target_rows_per_block=512,
+        )
+        encode.append_chunk(spark, df.where(F.col("doc_id") % 4 == 1), path)
+        encode.append_chunk(spark, df.where(F.col("doc_id") % 4 == 3), path)
+        encode.delete_rows(
+            spark, path, "url",
+            df.where(F.col("doc_id") % 9 == 0).select("url"),
+        )
+        encode.compact_chunks(spark, path, chunk_ids=[1, 2, 3])
+    out = scan.read_rows(spark, path, ["doc_id", "lang"])
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    ).orderBy("doc_id")
+
+
 def q_rt_pinned_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round trip with text pinned to the zstd codec (pyarrow's bundled
     codec — the fast-effort workhorse): decode must be bit-exact."""
@@ -1855,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_url_canon": q_txt_url_canon,
         "dedup_simhash": q_dedup_simhash,
         "agg_events_daily": q_agg_events_daily,
+        "rt_compact_incr": q_rt_compact_incr,
     }
 
 
@@ -3060,4 +3107,12 @@ def oracle_sql() -> dict[str, str]:
                     OR host = 'src1.org' OR host LIKE '%.src1.org',
                     FALSE) AS blocked
             FROM h ORDER BY doc_id""",
+        # the engine built the full table (%2==0 union %4 in (1,3) = all
+        # rows), deleted doc_id%9==0 by url (unique per doc_id), then
+        # compacted chunks [1,2,3] in place — the merge-on-read view is
+        # unchanged, so plain SQL minus the deleted keys is the truth
+        "rt_compact_incr": """
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id % 9 <> 0
+            ORDER BY doc_id""",
     }

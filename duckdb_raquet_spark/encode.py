@@ -950,6 +950,9 @@ def append_chunk(
     effort: str = selector.EFFORT_MAX,
     codec_overrides: dict[str, str] | None = None,
     shuffle: str = "hash",
+    _replace_chunks: list[int] | None = None,
+    _op: str = "append",
+    _expected_parent=_NO_CAS,
 ) -> dict:
     """Append new rows to a committed CHUNKED table as the next chunk —
     the sanctioned append path (the datasource rejects ``mode('append')``
@@ -970,8 +973,26 @@ def append_chunk(
     ConcurrentCommitError is raised; the already-written chunk dir and
     lineage record are harmless (the chunk id is burned, the dir is
     unreferenced until expiry) and re-running the append succeeds
-    under a fresh id with the concurrent change folded in."""
+    under a fresh id with the concurrent change folded in.
+
+    The private ``_replace_chunks`` / ``_op`` / ``_expected_parent``
+    hooks serve :func:`compact_chunks`: the new chunk's commit then
+    REPLACES the given visible chunks instead of adding to them, and
+    the CAS anchors to the snapshot at which the caller derived the
+    replacement set (its decode + delete-entry capture point), not to
+    this function's own re-read — a delete committed between the two
+    reads must fail the compaction, or its keys would be missing from
+    the rewritten chunk while its entry (seq < new chunk id) no longer
+    applies to it."""
     man, base_snap = mf.committed_manifest(path, spark)
+    if _expected_parent is not _NO_CAS:
+        seen = _expected_parent["snapshot_id"] if _expected_parent else None
+        now = base_snap["snapshot_id"] if base_snap else None
+        if seen != now:
+            raise mf.ConcurrentCommitError(
+                f"snapshot log at {path} advanced from {seen} to {now} "
+                "since the replacement set was derived; re-read and retry"
+            )
     if man is None:
         raise FileNotFoundError(f"no committed manifest at {path}")
     # layout check must look at the DATA directory, not lineage: the
@@ -1013,6 +1034,15 @@ def append_chunk(
     # lineage chunks, exactly the old behavior
     cur_snap = base_snap
     visible = cur_snap["chunks"] if cur_snap else sorted(done)
+    replace = sorted(int(c) for c in (_replace_chunks or []))
+    if replace:
+        missing = set(replace) - {int(c) for c in visible}
+        if missing:
+            raise ValueError(
+                f"chunks {sorted(missing)} are not visible at the current "
+                f"snapshot (visible: {sorted(int(c) for c in visible)})"
+            )
+    visible = [int(c) for c in visible if int(c) not in set(replace)]
     # schema evolution: an appended frame may omit columns added after
     # the original encode — fill their recorded defaults, then align
     # column order to the manifest's
@@ -1100,13 +1130,16 @@ def append_chunk(
             "raw_bytes": int(crow["raw"] or 0),
             "enc_bytes": int(crow["enc"] or 0),
             "wall_seconds": round(time.time() - t0, 3),
-            "appended": True,
+            **(
+                {"compacted_from": replace} if replace else {"appended": True}
+            ),
         },
         spark,
     )
     _commit_snapshot(
-        spark, path, chunks=list(visible) + [k], op="append", final=final,
+        spark, path, chunks=list(visible) + [k], op=_op, final=final,
         expected_parent=base_snap,
+        extra={"compacted_from": replace, "into": k} if replace else None,
     )
     return final
 
@@ -1931,3 +1964,119 @@ def compact_delete_files(spark: SparkSession, path: str) -> dict:
             fsio.delete_dir(spark, dest)
         raise
     return man
+
+
+def compact_chunks(
+    spark: SparkSession,
+    path: str,
+    chunk_ids: list[int] | None = None,
+    *,
+    small_bytes: int | None = None,
+    max_chunks: int | None = None,
+    zlib_level: int = 6,
+    effort: str = selector.EFFORT_MAX,
+    codec_overrides: dict[str, str] | None = None,
+    shuffle: str = "hash",
+) -> dict:
+    """Incremental data-file compaction — the Iceberg
+    ``rewrite_data_files`` (bin-packing) analog, committed IN PLACE as
+    a new snapshot. Streaming ingest appends one small chunk per
+    micro-batch; this merges only the selected chunks into one fresh
+    chunk and costs O(selected bytes), unlike ``scan.compact_to_path``
+    /``scan.purge_deletes`` which rewrite the whole table into a new
+    path. Reference parity: the reference's overview/ALL_touched
+    maintenance rebuilds are likewise scoped rewrites over an
+    otherwise-immutable Parquet layout (/root/reference/README.md
+    `raquet_rewrite` workflow); the snapshot mechanics are Iceberg's.
+
+    Selection: an explicit ``chunk_ids`` list, or the smallest visible
+    chunks by encoded bytes — every chunk under ``small_bytes``, capped
+    at ``max_chunks`` (smallest first). At least 2 chunks must qualify.
+
+    Semantics:
+
+    * rows are read at the CURRENT snapshot with equality deletes
+      applied (the merge-on-read view), so the rewrite applies those
+      deletes PHYSICALLY for the compacted chunks; the new chunk id
+      exceeds every live delete entry's sequence number, so no entry
+      re-deletes (or misses) its rows — untouched chunks keep
+      merge-on-read semantics unchanged.
+    * the commit replaces the selected chunks in the visible set
+      (op ``compact-chunks``, ``compacted_from`` recorded); old dirs
+      stay on disk for time travel until ``expire_snapshots``.
+    * concurrency: the commit CAS anchors to the snapshot at which the
+      selection and delete entries were captured — a racing writer
+      forces ``ConcurrentCommitError`` and a clean retry (the burned
+      chunk id and dir are reclaimed by expiry, same as a lost append).
+    * incremental readers: ``scan.read_changes`` /
+      ``read_appended_between`` REFUSE ranges that span a
+      compact-chunks snapshot (rewritten rows would surface as
+      spurious inserts+deletes); ranges ending at or starting from the
+      rewrite boundary stay exact — consume to the boundary first,
+      Delta/Iceberg's rule for rewrite commits.
+    """
+    from . import scan as _scan
+
+    man, cur = mf.committed_manifest(path, spark)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest at {path}")
+    if not _is_chunked(spark, path):
+        raise ValueError(
+            "compact_chunks needs a chunked-layout table (data/chunk=*/)"
+        )
+    visible = (
+        [int(c) for c in cur["chunks"]]
+        if cur is not None
+        else sorted(mf.read_chunk_lineage(path, spark))
+    )
+    if chunk_ids is not None:
+        sel = sorted({int(c) for c in chunk_ids})
+        unknown = set(sel) - set(visible)
+        if unknown:
+            raise ValueError(
+                f"chunks {sorted(unknown)} are not visible; "
+                f"visible: {sorted(visible)}"
+            )
+    else:
+        if small_bytes is None and max_chunks is None:
+            raise ValueError(
+                "pass chunk_ids, small_bytes or max_chunks to select "
+                "what to compact"
+            )
+        lin = mf.read_chunk_lineage(path, spark)
+        sized = sorted(
+            (int(lin.get(c, {}).get("enc_bytes") or 0), c) for c in visible
+        )
+        picked = [
+            c for b, c in sized if small_bytes is None or b < small_bytes
+        ]
+        if max_chunks is not None:
+            picked = picked[:max_chunks]
+        sel = sorted(picked)
+    if len(sel) < 2:
+        raise ValueError(
+            f"need at least 2 chunks to compact; selection: {sel} "
+            f"(visible: {sorted(visible)})"
+        )
+    names = [c["name"] for c in man["columns"]]
+    # current-snapshot merge-on-read view of ONLY the selected chunks:
+    # chunk filter + delete entries are captured eagerly here, and the
+    # append's CAS (expected_parent=cur) rejects the commit if any
+    # writer advanced the log after this capture point
+    blocks = _scan.read_blocks(spark, path).where(F.col("chunk").isin(sel))
+    entries = _scan.read_delete_entries(spark, path)
+    rows = _scan.decode_blocks(blocks, man, names, with_chunk=True)
+    if entries:
+        rows = _scan._apply_delete_entries(spark, path, rows, entries)
+    return append_chunk(
+        spark,
+        rows.select(*names),
+        path,
+        zlib_level=zlib_level,
+        effort=effort,
+        codec_overrides=codec_overrides,
+        shuffle=shuffle,
+        _replace_chunks=sel,
+        _op="compact-chunks",
+        _expected_parent=cur,
+    )

@@ -130,6 +130,29 @@ def read_blocks_at(
     )
 
 
+def _guard_rewrites(snaps: dict, from_id: int, to_id: int, what: str) -> None:
+    """Incremental reads refuse ranges spanning a data-rewrite commit
+    (``encode.compact_chunks``): the rewritten chunk's rows are the
+    same logical rows, so diffing chunk sets across it would surface
+    every compacted row as a spurious delete+insert pair. Ranges that
+    END at or START from the rewrite snapshot stay exact — consume to
+    the boundary first (the Delta `ignoreChanges` / Iceberg
+    replace-snapshot rule, made loud instead of silent)."""
+    rewrote = [
+        i
+        for i in sorted(snaps)
+        if from_id < i <= to_id and snaps[i].get("op") == "compact-chunks"
+    ]
+    if rewrote:
+        raise ValueError(
+            f"{what} range ({from_id}, {to_id}] spans data-rewrite "
+            f"snapshot(s) {rewrote} (compact_chunks); rewritten rows "
+            "would read as spurious inserts/deletes. Consume changes up "
+            f"to snapshot {rewrote[0] - 1} first, then resume from "
+            f"{rewrote[0]} — ranges not spanning the rewrite are exact."
+        )
+
+
 def read_appended_between(
     spark: SparkSession,
     path: str,
@@ -151,6 +174,7 @@ def read_appended_between(
     to_id = max(snaps) if to_snapshot_id is None else to_snapshot_id
     if to_id not in snaps:
         raise KeyError(f"no snapshot {to_id} at {path}")
+    _guard_rewrites(snaps, from_snapshot_id, to_id, "read_appended_between")
     new_chunks = sorted(
         set(snaps[to_id]["chunks"]) - set(snaps[from_snapshot_id]["chunks"])
     )
@@ -799,6 +823,7 @@ def read_changes(
     for sid in (from_snapshot_id, to_id):
         if sid not in snaps:
             raise KeyError(f"no snapshot {sid} at {path}; have {sorted(snaps)}")
+    _guard_rewrites(snaps, from_snapshot_id, to_id, "read_changes")
     man = read_manifest(spark, path)
     names = [c["name"] for c in man["columns"]]
     want = list(cols) if cols is not None else names

@@ -12,6 +12,8 @@ they cost the same on a 100 TB table as on the test fixtures.
     ... delete --col url,warc_ts --values-parquet /path/droplist.parquet
     ... upsert --key-col url --input /path/new_rows.parquet   # or url,warc_ts
     ... compact-deletes                      # merge delete files, metadata-only
+    ... compact-chunks --small-bytes 67108864 [--max-chunks 16]
+    ... compact-chunks --chunks 3,4,5        # bin-pack: O(selected bytes)
     ... purge --output /path/purged          # apply deletes physically
     ... expire --keep-last 3                 # snapshots + orphan chunks/deletes
     ... history                              # one JSON line per snapshot
@@ -54,6 +56,14 @@ def main() -> None:
     p.add_argument("--input", required=True, help="parquet of full rows")
 
     sub.add_parser("compact-deletes")
+
+    p = sub.add_parser("compact-chunks")
+    p.add_argument("--chunks", default=None,
+                   help="comma list of chunk ids to merge")
+    p.add_argument("--small-bytes", type=int, default=None,
+                   help="merge every visible chunk smaller than this")
+    p.add_argument("--max-chunks", type=int, default=None,
+                   help="cap the selection, smallest first")
 
     p = sub.add_parser("purge")
     p.add_argument("--output", required=True)
@@ -115,6 +125,25 @@ def main() -> None:
             "table": args.path,
             "live_delete_files": len(man.get("delete_files", [])),
             "entries": man.get("delete_files", []),
+        }))
+    elif args.cmd == "compact-chunks":
+        from duckdb_raquet_spark import manifest as mf
+
+        man = encode.compact_chunks(
+            spark,
+            args.path,
+            [int(c) for c in args.chunks.split(",")] if args.chunks else None,
+            small_bytes=args.small_bytes,
+            max_chunks=args.max_chunks,
+        )
+        snap = mf.current_snapshot(args.path, spark)
+        print(json.dumps({
+            "op": "compact-chunks",
+            "table": args.path,
+            "compacted_from": snap.get("compacted_from"),
+            "into": snap.get("into"),
+            "visible_chunks": snap["chunks"],
+            "num_rows": man["num_rows"],
         }))
     elif args.cmd == "purge":
         final = scan.purge_deletes(spark, args.path, args.output)
