@@ -564,6 +564,24 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "read_changes_withdel",
         lambda: force(scan.read_changes(spark, del_path, 0, cols=["url", "lang"])),
     )
+    # incremental bin-packing compaction, measured: merge the two
+    # appended ~2% delta chunks (ids 2 and 3 — base is chunks 0/1) in
+    # place. The O(selected bytes) claim means this wall tracks the
+    # deltas' size, a small fraction of `encode` (the O(table) write),
+    # no matter how big the base grows.
+    cdc_delta2 = (
+        spark.read.parquet(input_path)
+        .where(F.xxhash64("url", F.lit(11)) % 50 == 0)
+        .withColumn("url", F.concat(F.col("url"), F.lit("#refetch2")))
+    )
+    _enc.append_chunk(spark, cdc_delta2, del_path, effort="fast")  # setup
+    timed(
+        timings,
+        "compact_small",
+        lambda: _enc.compact_chunks(
+            spark, del_path, chunk_ids=[2, 3], effort="fast"
+        ),
+    )
 
     # pipeline queries over the driver's sf tables (shared op surface);
     # ann_lsh probes the persisted sig-sorted index — build it untimed
