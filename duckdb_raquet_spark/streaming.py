@@ -162,6 +162,8 @@ def upsert_stream(
     codec_overrides: dict[str, str] | None = None,
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
+    maintenance_every: int | None = None,
+    maintenance_small_bytes: int = 64 << 20,
 ):
     """Streaming MERGE (CDC ingest): each micro-batch upserts into an
     EXISTING committed table via :func:`encode.upsert_rows` — one
@@ -182,9 +184,46 @@ def upsert_stream(
     replay's copies, so the visible rows converge to the same state
     (at the cost of extra commits — run ``expire_snapshots`` +
     ``purge_deletes`` as maintenance, exactly like Iceberg CDC
-    pipelines compact)."""
+    pipelines compact).
+
+    ``maintenance_every=N`` runs the in-place maintenance pair inline
+    every N processed micro-batches, the way Iceberg CDC pipelines
+    schedule table services next to the ingest: ``compact_delete_files``
+    (merge the accumulated per-batch delete files, metadata-only) then
+    ``compact_chunks`` over visible chunks smaller than
+    ``maintenance_small_bytes`` (bin-packing, O(selected bytes)).
+    Both run on the foreachBatch driver thread between commits — the
+    stream is the only writer then, so the capture-anchored CAS cannot
+    race ingest; a failure is logged and ingest continues (maintenance
+    is always retryable on the next boundary). Fewer than 2 small
+    chunks means compaction is skipped, so steady state is one
+    delete file per key set and chunk count ~O(table bytes /
+    maintenance_small_bytes), not O(#batches)."""
     if not stream_df.isStreaming:
         raise ValueError("upsert_stream needs a streaming DataFrame")
+    if maintenance_every is not None and maintenance_every < 1:
+        raise ValueError("maintenance_every must be >= 1")
+    # mutable cell, not a global: one counter per started stream
+    n_processed = [0]
+
+    def _maintain(spark) -> None:
+        import logging
+
+        log = logging.getLogger(__name__)
+        try:
+            enc.compact_delete_files(spark, path)
+        except Exception as e:  # always retryable at the next boundary
+            log.warning("compact_delete_files skipped: %s", e)
+        try:
+            enc.compact_chunks(
+                spark, path, small_bytes=maintenance_small_bytes,
+                effort=effort, zlib_level=zlib_level,
+                codec_overrides=codec_overrides,
+            )
+        except ValueError:
+            pass  # fewer than 2 small chunks: steady state, nothing to do
+        except Exception as e:
+            log.warning("compact_chunks skipped: %s", e)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -212,6 +251,9 @@ def upsert_stream(
             effort=effort,
             codec_overrides=codec_overrides,
         )
+        n_processed[0] += 1
+        if maintenance_every and n_processed[0] % maintenance_every == 0:
+            _maintain(spark)
 
     writer = stream_df.writeStream.foreachBatch(process_batch).outputMode(
         "append"

@@ -151,3 +151,57 @@ def test_concurrent_commit_fails_the_compaction(spark, tmp_path):
     before = _rows(spark, path)
     encode.compact_chunks(spark, path, chunk_ids=[0, 1])
     assert _rows(spark, path) == before
+
+
+def test_stream_inline_maintenance(spark, tmp_path):
+    """upsert_stream(maintenance_every=4): the ingest loop itself keeps
+    both accumulations bounded — delete files collapse to one per key
+    set and small chunks bin-pack in place — with the final state
+    identical to the unmaintained stream's."""
+    from duckdb_raquet_spark import streaming
+
+    base = synth.synth_webtext(spark, 40, num_partitions=2)
+    path = str(tmp_path / "tbl")
+    encode.encode_to_path(spark, base, path, chunks=2, target_rows_per_block=32)
+
+    src = str(tmp_path / "cdc")
+    for i in range(8):
+        (
+            base.withColumn("lang", F.lit(f"v{i:02d}"))
+            .coalesce(1)
+            .write.parquet(f"{src}/f={i:02d}")
+        )
+    schema = spark.read.parquet(f"{src}/f=00").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f=*")
+    )
+    q = streaming.upsert_stream(
+        stream,
+        path,
+        ["url", "warc_ts"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        maintenance_every=4,
+        maintenance_small_bytes=1 << 30,  # everything is "small" here
+    )
+    q.awaitTermination(300)
+
+    man = scan.read_manifest(spark, path)
+    # 8 per-batch delete files collapsed at batches 4 and 8; batches
+    # 5-8 added 4 more, merged again at 8 -> exactly one live file
+    assert len(man["delete_files"]) == 1
+    snaps = mf.read_snapshots(path, spark)
+    ops = [snaps[i]["op"] for i in sorted(snaps)]
+    assert ops.count("compact-chunks") == 2
+    # visible chunks bin-packed: one merged chunk per maintenance run
+    # survives, not one per micro-batch
+    cur = mf.current_snapshot(path, spark)
+    assert len(cur["chunks"]) <= 3
+    out = {
+        (r["url"], str(r["warc_ts"])): r["lang"]
+        for r in scan.read_rows(
+            spark, path, ["url", "warc_ts", "lang"]
+        ).collect()
+    }
+    assert len(out) == 40 and set(out.values()) == {"v07"}
