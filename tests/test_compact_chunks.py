@@ -205,3 +205,72 @@ def test_stream_inline_maintenance(spark, tmp_path):
         ).collect()
     }
     assert len(out) == 40 and set(out.values()) == {"v07"}
+
+
+def test_compact_evolved_table_and_rollback(spark, tmp_path):
+    """The risk matrix in one table: ADD (with default) + RENAME, then
+    compact — the rewrite must backfill the added column physically,
+    route the renamed payload through its immutable physical name, and
+    keep the datasource + rollback views exact."""
+    from duckdb_raquet_spark.datasource import RaquetDataSource
+
+    path = str(tmp_path / "tbl")
+    df = synth.synth_webtext(spark, 120, num_partitions=2)
+    encode.encode_to_path(spark, df, path, chunks=2, target_rows_per_block=32)
+    encode.evolve_add_column(spark, path, "score", "double", default=0.5)
+    encode.evolve_rename_column(spark, path, "lang", "language")
+    # one post-evolution chunk carrying real values for both columns
+    extra = (
+        synth.synth_webtext(spark, 30, num_partitions=1, start=5_000_000)
+        .withColumnRenamed("lang", "language")
+        .withColumn("score", F.lit(2.0))
+    )
+    encode.append_chunk(spark, extra, path)
+
+    def view(**kw):
+        return sorted(
+            (r["url"], r["language"], r["score"])
+            for r in scan.read_rows(
+                spark, path, ["url", "language", "score"], **kw
+            ).collect()
+        )
+
+    before = view()
+    assert {s for _, _, s in before} == {0.5, 2.0}
+    pre = mf.current_snapshot(path, spark)
+    encode.compact_chunks(spark, path, chunk_ids=[0, 1, 2])
+    post = mf.current_snapshot(path, spark)
+    assert view() == before
+    # the rewritten chunk now carries the added column PHYSICALLY: even
+    # a reader that ignores defaults (decode of the raw payload) sees
+    # 0.5 — i.e. the blob exists for every row
+    blocks = scan.read_blocks(spark, path)
+    man = scan.read_manifest(spark, path)
+    dec = scan.decode_blocks(blocks, man, ["score"])
+    assert dec.where(F.col("score").isNull()).count() == 0
+
+    # datasource view agrees
+    spark.dataSource.register(RaquetDataSource)
+    ds = sorted(
+        (r["url"], r["language"], r["score"])
+        for r in spark.read.format("raquet")
+        .load(path)
+        .select("url", "language", "score")
+        .collect()
+    )
+    assert ds == before
+
+    # rollback to the pre-compaction snapshot, then append again: the
+    # fresh chunk id must not collide with the (burned) compacted one
+    encode.rollback_to_snapshot(spark, path, pre["snapshot_id"])
+    assert view() == before
+    more = (
+        synth.synth_webtext(spark, 10, num_partitions=1, start=9_000_000)
+        .withColumnRenamed("lang", "language")
+        .withColumn("score", F.lit(9.0))
+    )
+    encode.append_chunk(spark, more, path)
+    cur = mf.current_snapshot(path, spark)
+    compacted_id = max(int(c) for c in post["chunks"])
+    assert compacted_id not in [int(c) for c in cur["chunks"]]
+    assert len(view()) == len(before) + 10
