@@ -147,10 +147,50 @@ def _guard_rewrites(snaps: dict, from_id: int, to_id: int, what: str) -> None:
         raise ValueError(
             f"{what} range ({from_id}, {to_id}] spans data-rewrite "
             f"snapshot(s) {rewrote} (compact_chunks); rewritten rows "
-            "would read as spurious inserts/deletes. Consume changes up "
-            f"to snapshot {rewrote[0] - 1} first, then resume from "
-            f"{rewrote[0]} — ranges not spanning the rewrite are exact."
+            "would read as spurious inserts/deletes. Consume the "
+            "sub-ranges from scan.rewrite_boundaries(path, "
+            f"{from_id}, {to_id}) in order instead — each is exact, "
+            "and the skipped replace steps are net no-ops."
         )
+
+
+def rewrite_boundaries(
+    spark: SparkSession, path: str, from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> list[tuple[int, int]]:
+    """The safe consumption plan for an incremental reader over a
+    maintained table: split ``(from, to]`` at every data-rewrite
+    (``compact-chunks``) snapshot and drop the rewrite steps
+    themselves (a pure replace commit's NET change is empty — the
+    rewritten rows are the same logical rows). Returns ``(lo, hi]``
+    pairs to feed ``read_changes`` in order; applying those deltas in
+    sequence reproduces the table state at ``to`` exactly, which is
+    what a changelog consumer does anyway — only the single-range NET
+    view (where an insert-then-delete across the rewrite would cancel)
+    is unavailable across a rewrite, and that is what the guard
+    refuses loudly."""
+    snaps = mf.read_snapshots(path, spark)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshot log at {path}")
+    to_id = max(snaps) if to_snapshot_id is None else to_snapshot_id
+    for sid in (from_snapshot_id, to_id):
+        if sid not in snaps:
+            raise KeyError(f"no snapshot {sid} at {path}; have {sorted(snaps)}")
+    rewrites = [
+        i
+        for i in sorted(snaps)
+        if from_snapshot_id < i <= to_id
+        and snaps[i].get("op") == "compact-chunks"
+    ]
+    out: list[tuple[int, int]] = []
+    lo = from_snapshot_id
+    for rw in rewrites:
+        if rw - 1 > lo:
+            out.append((lo, rw - 1))
+        lo = rw  # skip the (rw-1, rw] replace step: net change is empty
+    if to_id > lo:
+        out.append((lo, to_id))
+    return out
 
 
 def read_appended_between(

@@ -274,3 +274,50 @@ def test_compact_evolved_table_and_rollback(spark, tmp_path):
     compacted_id = max(int(c) for c in post["chunks"])
     assert compacted_id not in [int(c) for c in cur["chunks"]]
     assert len(view()) == len(before) + 10
+
+
+def test_rewrite_boundaries_consumption_plan(spark, tmp_path):
+    """scan.rewrite_boundaries: the guard's actionable answer. Apply
+    each sub-range's changelog in order (skipping the net-no-op replace
+    steps) and the reconstructed state equals the table at `to`."""
+    path = str(tmp_path / "tbl")
+    base = synth.synth_webtext(spark, 60, num_partitions=2)
+    encode.encode_to_path(spark, base, path, chunks=2, target_rows_per_block=32)
+    encode.delete_rows(spark, path, "url", base.select("url").limit(8))
+    encode.compact_chunks(spark, path, chunk_ids=[0, 1])
+    extra = synth.synth_webtext(spark, 15, num_partitions=1, start=1_000_000)
+    encode.append_chunk(spark, extra, path)
+    encode.compact_chunks(spark, path, max_chunks=2)
+    extra2 = synth.synth_webtext(spark, 5, num_partitions=1, start=2_000_000)
+    encode.append_chunk(spark, extra2, path)
+
+    cur = mf.current_snapshot(path, spark)["snapshot_id"]
+    ranges = scan.rewrite_boundaries(spark, path, 0)
+    snaps = mf.read_snapshots(path, spark)
+    rewrites = {i for i in snaps if snaps[i]["op"] == "compact-chunks"}
+    assert len(rewrites) == 2 and len(ranges) >= 2
+    # the plan covers (0, cur] minus exactly the replace steps
+    covered = set()
+    for lo, hi in ranges:
+        covered.update(range(lo + 1, hi + 1))
+        assert not (set(range(lo + 1, hi + 1)) & rewrites)
+    assert covered == set(range(1, cur + 1)) - rewrites
+
+    # replaying the deltas in order reproduces the final state
+    state = {
+        r["url"]: r["lang"]
+        for r in scan.read_rows(spark, path, ["url", "lang"],
+                                snapshot_id=0).collect()
+    }
+    for lo, hi in ranges:
+        ch = scan.read_changes(spark, path, lo, hi,
+                               cols=["url", "lang"]).collect()
+        for r in (x for x in ch if x["_change_type"] == "delete"):
+            state.pop(r["url"], None)
+        for r in (x for x in ch if x["_change_type"] == "insert"):
+            state[r["url"]] = r["lang"]
+    final = {
+        r["url"]: r["lang"]
+        for r in scan.read_rows(spark, path, ["url", "lang"]).collect()
+    }
+    assert state == final
