@@ -629,6 +629,8 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "txt_perplexity",
         "txt_dsir",
         "txt_bpe",
+        "dedup_minhash_filter",
+        "corpus_shards",
     ):
         timed(timings, name, lambda n=name: force(qs[n](spark, sf_dir)))
 

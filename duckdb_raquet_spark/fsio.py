@@ -18,6 +18,7 @@ atomic on HDFS and local; on S3 it's copy+delete, acceptable for these
 from __future__ import annotations
 
 import os
+import threading
 
 
 def is_remote(path: str) -> bool:
@@ -102,25 +103,47 @@ def delete_dir(spark, dir_uri: str) -> None:
 def write_bytes_exclusive(spark, dir_uri: str, filename: str, data: bytes) -> str:
     """Create ``dir_uri/filename`` only if it does not already exist —
     the optimistic-concurrency primitive (Iceberg's metadata CAS
-    analog). Raises ``FileExistsError`` on collision."""
+    analog). Raises ``FileExistsError`` on collision.
+
+    The name must appear with its FULL contents: a create-then-write
+    ('xb' / create(overwrite=False)) publishes an empty file first, and
+    a concurrent reader that lists the tip snapshot between the create
+    and the write parses zero bytes (a real JSONDecodeError caught by
+    the two-appender race test). So publish like Iceberg's
+    HadoopTableOperations: write everything to a uniquely-named temp
+    file, then atomically link/rename it to the final name, with the
+    no-overwrite rename doubling as the CAS."""
     if not is_remote(dir_uri):
         os.makedirs(dir_uri, exist_ok=True)
         final = os.path.join(dir_uri, filename)
-        with open(final, "xb") as f:  # 'x': atomic create-or-fail
+        tmp = final + f".tmp.{os.getpid()}.{threading.get_ident()}"
+        with open(tmp, "wb") as f:
             f.write(data)
+        try:
+            # link(2) fails with EEXIST if final exists and otherwise
+            # publishes the complete temp contents atomically
+            os.link(tmp, final)
+        except FileExistsError:
+            raise FileExistsError(final) from None
+        finally:
+            os.unlink(tmp)
         return final
     jvm, fs, jdir = _fs(spark, dir_uri)
     fs.mkdirs(jdir)
     final = dir_uri.rstrip("/") + "/" + filename
     jfinal = jvm.org.apache.hadoop.fs.Path(final)
-    try:
-        out = fs.create(jfinal, False)  # overwrite=False -> throws if exists
-    except Exception as e:
-        raise FileExistsError(final) from e
+    tmp = final + f".tmp.{os.getpid()}.{threading.get_ident()}"
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    out = fs.create(jtmp, True)
     try:
         out.write(bytearray(data))
     finally:
         out.close()
+    # cheap pre-check keeps the common collision loud even on stores
+    # whose rename overwrites; the rename result catches the race
+    if fs.exists(jfinal) or not fs.rename(jtmp, jfinal):
+        fs.delete(jtmp, False)
+        raise FileExistsError(final)
     return final
 
 

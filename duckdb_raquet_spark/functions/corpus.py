@@ -41,6 +41,8 @@ __all__ = [
     "domain_quota",
     "chunk_dedup_filter",
     "mix_epochs",
+    "shard_assignments",
+    "write_shards",
 ]
 
 
@@ -313,3 +315,112 @@ def mix_epochs(
         )
         .drop("_n_copies")
     )
+
+
+def shard_assignments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shard_tokens: int = 1 << 20,
+    *,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Doc-granular training-shard assignment: documents ordered by
+    ``id_col`` fill shards of ~``shard_tokens`` tokens; a document
+    belongs to the shard its FIRST token lands in (docs never split —
+    the reader-friendly convention for resumable data loaders), so a
+    shard holds at most ``shard_tokens`` + one doc-overhang tokens.
+
+    The assignment is a pure function of the token-count prefix sum —
+    ``shard = floor(tok_offset / shard_tokens)`` — computed with
+    :func:`pack_sequences`'s two-pass scheme (bounded per-bucket
+    windows + an O(n_buckets) driver offset table), so it is exact,
+    deterministic, engine-reproducible, and never materializes a
+    global window.  Returns ``(id, n_tokens, tok_offset, shard)``.
+    """
+    packed = pack_sequences(
+        df, id_col, text_col, ctx_len=int(shard_tokens), n_buckets=n_buckets
+    )
+    return packed.select(
+        "id",
+        "n_tokens",
+        "tok_offset",
+        F.col("seq_first").alias("shard"),
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    shard_tokens: int = 1 << 20,
+    *,
+    n_buckets: int = 1024,
+    cols: list[str] | None = None,
+) -> dict:
+    """Export a cleaned corpus as size-bounded training shards: one
+    Parquet partition directory per shard (``shard=K/``) plus a
+    ``_shards_manifest.json`` sidecar recording per-shard lineage
+    (docs, tokens, id range) and the assignment parameters — the
+    shard-level twin of the encoder's per-chunk lineage manifests
+    (SURVEY.md: checkpoint-resumable encoding), letting a training job
+    consume / resume / verify shard-by-shard without listing data
+    files.
+
+    Plan: one :func:`shard_assignments` pass (the text column is
+    tokenized exactly once, inside ``pack_sequences``'s checkpointed
+    narrow projection), an id-keyed join back to the carried columns,
+    a ``partitionBy(shard)`` write, and one O(n_shards) aggregate for
+    the manifest.  No collect of data rows; driver state is bounded by
+    the shard count.
+
+    Returns the manifest dict (also written next to the data).
+    """
+    import json
+
+    spark = df.sparkSession
+    asg = shard_assignments(
+        df, id_col, text_col, shard_tokens, n_buckets=n_buckets
+    )
+    keep = cols if cols is not None else [c for c in df.columns if c != id_col]
+    src = df.select(F.col(id_col).alias("id"), *[F.col(c) for c in keep])
+    rows = asg.join(src, "id").select(
+        F.col("id").alias(id_col), *keep, "n_tokens", "shard"
+    )
+    rows.write.mode("overwrite").partitionBy("shard").parquet(path)
+    stats = (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = {
+        "format": "raquet-shards/1",
+        "shard_tokens": int(shard_tokens),
+        "id_col": id_col,
+        "columns": keep,
+        "n_shards": len(stats),
+        "shards": [
+            {
+                "shard": int(r["shard"]),
+                "n_docs": int(r["n_docs"]),
+                "n_tokens": int(r["n_tokens"]),
+                "min_id": int(r["min_id"]),
+                "max_id": int(r["max_id"]),
+            }
+            for r in stats
+        ],
+    }
+    from .. import fsio
+
+    fsio.write_bytes(
+        spark, path, "_shards_manifest.json", json.dumps(manifest).encode()
+    )
+    return manifest

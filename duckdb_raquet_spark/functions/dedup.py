@@ -757,3 +757,60 @@ def line_dedup(
             F.size("_ls").cast("long").alias("n_lines"),
         )
     )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    *,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """End-to-end fuzzy document dedup: the keep-first FILTER that the
+    pair/component primitives exist to feed (the step a crawl pipeline
+    actually runs — detection alone never shrinks the corpus).
+
+    Composition: :func:`minhash_lsh_pairs` (LSH candidates, exact
+    hashed-shingle Jaccard verification) -> :func:`connected_components`
+    (min-label + pointer jumping) -> drop every document whose component
+    label is not its own id (keep-first = smallest id per near-dup
+    cluster, the same deterministic convention as :func:`exact_dedup`).
+
+    Plan at 10^12 docs: the drop list holds ONE ~8-byte id per dropped
+    duplicate — bytes proportional to removed docs, never the corpus —
+    and applies as a single left-anti join on ``id_col`` (AQE picks a
+    broadcast for realistic dup rates; a pathological mostly-duplicate
+    corpus degrades to one id-keyed shuffle, still narrow). Upstream
+    skew is governed by ``max_bucket`` (ON by default here, matching
+    the library's hot-group posture): oversized LSH buckets emit
+    consecutive-id chains whose verified links connect the same cluster
+    transitively, so the keep/drop DECISION is unchanged while the
+    bucket cost stays linear. Pass ``max_bucket=None`` to reproduce the
+    all-pairs edge set exactly (e.g. when mirroring a closed-form
+    transitive-closure oracle).
+
+    Returns the KEPT rows of ``df`` (all original columns). For the
+    drop side (e.g. to feed ``encode.delete_rows``), anti-join the
+    result back or use the component output directly.
+    """
+    pairs = minhash_lsh_pairs(
+        df,
+        id_col,
+        text_col,
+        threshold,
+        k=k,
+        bands=bands,
+        n=n,
+        max_bucket=max_bucket,
+    )
+    comps = connected_components(pairs, "a", "b")
+    drops = comps.where(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("_drop_id")
+    )
+    return df.join(
+        drops, df[id_col] == drops["_drop_id"], "left_anti"
+    )

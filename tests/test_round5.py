@@ -1434,3 +1434,145 @@ def test_url_block_filter_broadcasts_blocklist(spark):
     n_blocked = out.where("blocked").count()
     # i%3 in (0,1) -> blocked: 40 of 60
     assert n_blocked == 40
+
+
+# ------------------------------------------------- minhash_dedup filter ----
+
+
+def test_minhash_dedup_keep_first(spark):
+    """Near-dup cluster collapses to its smallest id; transitive chains
+    (a~b, b~c but a!~c) still form ONE cluster; uniques untouched."""
+    from duckdb_raquet_spark.functions import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " extra"),  # near dup of 1/2
+        (4, "completely different words nothing shared here at all ok"),
+        (5, "another unique document with its own vocabulary entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = dedup.minhash_dedup(df, "doc_id", "text", 0.5, max_bucket=None)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [1, 4, 5]
+    # all original columns survive
+    assert kept.columns == ["doc_id", "text"]
+
+
+def test_minhash_dedup_empty_and_no_dups(spark):
+    from duckdb_raquet_spark.functions import dedup
+
+    rows = [
+        (1, "one two three four five six seven"),
+        (2, "eight nine ten eleven twelve thirteen fourteen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = dedup.minhash_dedup(df, "doc_id", "text", 0.5, max_bucket=None)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+
+
+# ------------------------------------------------------- shard export ----
+
+
+def test_shard_assignments_prefix_sum(spark):
+    """shard = floor(exclusive token prefix sum / shard_tokens), docs
+    never split; equals the closed-form single-window answer."""
+    from duckdb_raquet_spark.functions import corpus
+
+    rows = [(i, " ".join(["w"] * (3 + i % 5))) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: (r.n_tokens, r.tok_offset, r.shard)
+        for r in corpus.shard_assignments(
+            df, "doc_id", "text", shard_tokens=17, n_buckets=8
+        ).collect()
+    }
+    acc = 0
+    for i in range(1, 41):
+        n = 3 + i % 5
+        assert out[i] == (n, acc, acc // 17), i
+        acc += n
+
+
+def test_write_shards_manifest_and_data(spark, tmp_path):
+    from duckdb_raquet_spark.functions import corpus
+
+    rows = [(i, " ".join(["tok"] * 10), f"s{i % 3}") for i in range(1, 31)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    path = str(tmp_path / "shards")
+    man = corpus.write_shards(
+        df, path, "doc_id", "text", shard_tokens=100, n_buckets=4
+    )
+    # 30 docs x 10 tokens / 100 per shard = 3 shards of 10 docs
+    assert man["n_shards"] == 3
+    assert [s["n_docs"] for s in man["shards"]] == [10, 10, 10]
+    assert [s["n_tokens"] for s in man["shards"]] == [100, 100, 100]
+    assert man["shards"][0]["min_id"] == 1
+    assert man["shards"][2]["max_id"] == 30
+    back = spark.read.parquet(path)
+    assert back.count() == 30
+    assert set(back.columns) == {"doc_id", "text", "source", "n_tokens", "shard"}
+    # partition pruning: one shard reads one directory
+    one = back.where("shard = 1")
+    files = {
+        r[0]
+        for r in one.select(
+            F.input_file_name()  # noqa: F821 - imported below
+        ).collect()
+    }
+    assert all("shard=1" in f for f in files)
+    import json as _json
+
+    disk = _json.loads((tmp_path / "shards" / "_shards_manifest.json").read_text())
+    assert disk == man
+
+
+def test_write_bytes_exclusive_atomic_publish(tmp_path):
+    """The CAS primitive must publish full contents atomically: no torn
+    (empty) file is ever visible under the final name, collisions raise
+    FileExistsError, and no temp debris is left behind."""
+    from duckdb_raquet_spark import fsio
+
+    d = str(tmp_path / "cas")
+    fsio.write_bytes_exclusive(None, d, "snap-1.json", b'{"id": 1}')
+    assert (tmp_path / "cas" / "snap-1.json").read_bytes() == b'{"id": 1}'
+    with pytest.raises(FileExistsError):
+        fsio.write_bytes_exclusive(None, d, "snap-1.json", b'{"id": 9}')
+    # loser must not have damaged the winner or left temp files
+    assert (tmp_path / "cas" / "snap-1.json").read_bytes() == b'{"id": 1}'
+    assert sorted(os.listdir(d)) == ["snap-1.json"]
+
+
+def test_write_bytes_exclusive_concurrent_readers(tmp_path):
+    """Hammer the publish path with a concurrent reader: every read of
+    an existing file parses as complete JSON (the two-appender race
+    regression distilled to the primitive)."""
+    from duckdb_raquet_spark import fsio
+
+    d = str(tmp_path / "casr")
+    os.makedirs(d)
+    stop = threading.Event()
+    torn: list = []
+
+    def reader():
+        while not stop.is_set():
+            for fn in os.listdir(d):
+                try:
+                    json.loads((tmp_path / "casr" / fn).read_bytes())
+                except FileNotFoundError:
+                    pass  # temp unlinked between listdir and read: fine
+                except Exception as e:  # torn read
+                    torn.append((fn, repr(e)))
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(300):
+            fsio.write_bytes_exclusive(
+                None, d, f"snap-{i}.json", json.dumps({"id": i, "pad": "x" * 256}).encode()
+            )
+    finally:
+        stop.set()
+        t.join(30)
+    assert torn == []
