@@ -766,6 +766,26 @@ def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle + shard fill: docs reorder
+    by the 60-bit md5 priority of "7:<id>" (seed 7), then shards of
+    4096 tokens fill in shuffled order via the bounded-window prefix
+    sum — the reproducible epoch-permutation step between cleaning and
+    training. Every value is a pure integer function of (seed, id,
+    token counts), so DuckDB replays it exactly."""
+    docs = _read(spark, sf_dir, "documents")
+    asg = corpusfn.shuffle_shard_assignments(
+        docs, "doc_id", "text", seed=7, shard_tokens=4096
+    )
+    return asg.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("shuf_key").cast("long").alias("shuf_key"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("tok_offset").cast("long").alias("tok_offset"),
+        F.col("shard").cast("long").alias("shard"),
+    ).orderBy("doc_id")
+
+
 def q_dedup_chunk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-passage REMOVAL accounting (the application step of
     Lee-2022 chunk dedup): keep each 20-token passage occurrence iff it
@@ -1902,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_filter": q_dedup_minhash_filter,
         "corpus_shards": q_corpus_shards,
         "ann_topk": q_ann_topk,
+        "corpus_shuffle": q_corpus_shuffle,
         # --- past the driver's 50-query cap: long-green pure-Column
         # queries displaced by the round-5 tail (each driver-scored
         # green in r1-r4 and judge-checkable via check_oracle.py) plus
@@ -2692,6 +2713,27 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id)::BIGINT AS min_id,
                    max(doc_id)::BIGINT AS max_id
             FROM o GROUP BY 1 ORDER BY shard""",
+        # deterministic shuffle: shuf_key is the shared 60-bit md5
+        # priority of "7:<id>"; shards fill in (shuf_key, id) order
+        "corpus_shuffle": """
+            WITH t AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       AS shuf_key,
+                     len(string_split(text, ' '))::BIGINT AS n
+              FROM documents
+            ),
+            o AS (
+              SELECT doc_id, shuf_key, n,
+                COALESCE(SUM(n) OVER (ORDER BY shuf_key, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS off
+              FROM t
+            )
+            SELECT doc_id::BIGINT AS doc_id, shuf_key,
+                   n AS n_tokens, off AS tok_offset,
+                   (off // 4096)::BIGINT AS shard
+            FROM o ORDER BY doc_id""",
         "dedup_embed": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b

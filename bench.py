@@ -631,6 +631,7 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "txt_bpe",
         "dedup_minhash_filter",
         "corpus_shards",
+        "corpus_shuffle",
     ):
         timed(timings, name, lambda n=name: force(qs[n](spark, sf_dir)))
 

@@ -42,6 +42,7 @@ __all__ = [
     "chunk_dedup_filter",
     "mix_epochs",
     "shard_assignments",
+    "shuffle_shard_assignments",
     "write_shards",
 ]
 
@@ -52,6 +53,45 @@ def _md5_priority(col: Column) -> Column:
     ('0x' || substr(md5(x), 1, 15))::BIGINT)."""
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
         "long"
+    )
+
+
+def _bucketed_prefix_sum(
+    toks: DataFrame, bucket_col: Column, order_cols: list[str]
+) -> DataFrame:
+    """Exclusive prefix sum of ``n_tokens`` over ``toks`` in
+    ``order_cols`` order, without a global window: rows are grouped by
+    ``bucket_col`` (which MUST be monotone non-decreasing along the
+    order — a range bucketing of the leading order column), per-bucket
+    totals come back as an O(n_buckets) driver offset table, and the
+    window runs WITHIN each bucket only. Bit-identical to
+    ``SUM() OVER (ORDER BY ...)`` (integer sums, associative
+    regrouping). Returns ``toks`` + ``tok_offset``."""
+    from pyspark.sql.window import Window
+
+    bucketed = toks.withColumn("_b", bucket_col)
+    totals = {
+        r["_b"]: r["t"]
+        for r in bucketed.groupBy("_b").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(totals):
+        offsets.append((int(b), acc))
+        acc += int(totals[b])
+    spark = toks.sparkSession
+    off_df = spark.createDataFrame(offsets, "_b long, _boff long")
+    w = Window.partitionBy("_b").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        bucketed.join(F.broadcast(off_df), "_b")
+        .withColumn(
+            "tok_offset",
+            (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("_boff")).cast(
+                "long"
+            ),
+        )
+        .drop("_b", "_boff")
     )
 
 
@@ -113,34 +153,14 @@ def pack_sequences(
             F.lit(0).cast("long").alias("n_seqs"),
         )
     width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
-    bucketed = toks.withColumn(
-        "_b", ((F.col("id") - F.lit(int(lo))) / F.lit(width)).cast("long")
-    )
-    # pass 1: per-bucket totals -> exclusive bucket offsets (driver,
-    # O(n_buckets) rows — bounded regardless of table size)
-    totals = {
-        r["_b"]: r["t"]
-        for r in bucketed.groupBy("_b").agg(F.sum("n_tokens").alias("t")).collect()
-    }
-    offsets, acc = [], 0
-    for b in sorted(totals):
-        offsets.append((b, acc))
-        acc += int(totals[b])
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "_b long, _boff long")
-    # pass 2: window within bucket only + broadcast offset join
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("_b").orderBy("id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    # pass 1 + 2 (bounded-window prefix sum): per-bucket totals -> an
+    # O(n_buckets) driver offset table -> broadcast join + within-bucket
+    # window only, so no partition ever holds more than ~n/n_buckets rows
     out = (
-        bucketed.join(F.broadcast(off_df), "_b")
-        .withColumn(
-            "tok_offset",
-            (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("_boff")).cast(
-                "long"
-            ),
+        _bucketed_prefix_sum(
+            toks,
+            ((F.col("id") - F.lit(int(lo))) / F.lit(width)).cast("long"),
+            ["id"],
         )
         .withColumn(
             "seq_first", F.floor(F.col("tok_offset") / ctx_len).cast("long")
@@ -349,6 +369,63 @@ def shard_assignments(
     )
 
 
+def shuffle_shard_assignments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seed: int = 0,
+    shard_tokens: int = 1 << 20,
+    *,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic GLOBAL corpus shuffle + shard assignment — the
+    step a pretraining pipeline runs after cleaning/dedup so a data
+    loader reading shards in order sees a decorrelated stream (no
+    million-page domain run, no crawl-time ordering; Brown 2020 /
+    RefinedWeb both shuffle at the document level before sharding).
+
+    The shuffled order is ``(shuf_key, id)`` where ``shuf_key`` is the
+    60-bit md5 priority of ``"<seed>:<id>"`` — a pure function of
+    (seed, id), so the permutation is reproducible across runs AND
+    across engines (DuckDB replays it as
+    ``('0x' || substr(md5(seed || ':' || id), 1, 15))::BIGINT``), and
+    changing ``seed`` yields an independent epoch permutation.
+
+    Shards then fill in shuffled order: ``shard = floor(exclusive
+    token prefix sum / shard_tokens)``, docs never split. Because
+    ``shuf_key`` is uniform on [0, 2^60) BY CONSTRUCTION, bucketing
+    its value range gives balanced buckets regardless of id skew — no
+    min/max pre-pass needed — and the prefix sum uses the same
+    bounded-window two-pass scheme as :func:`pack_sequences` (never a
+    single-partition global window).
+
+    Returns ``(id, shuf_key, n_tokens, tok_offset, shard)``.
+    """
+    pri = _md5_priority(
+        F.concat(F.lit(f"{int(seed)}:"), F.col(id_col).cast("string"))
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        pri.alias("shuf_key"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=False)
+    width = ((1 << 60) + n_buckets - 1) // n_buckets
+    out = _bucketed_prefix_sum(
+        toks,
+        (F.col("shuf_key") / F.lit(width)).cast("long"),
+        ["shuf_key", "id"],
+    )
+    return out.select(
+        "id",
+        "shuf_key",
+        "n_tokens",
+        "tok_offset",
+        F.floor(F.col("tok_offset") / F.lit(int(shard_tokens)))
+        .cast("long")
+        .alias("shard"),
+    )
+
+
 def write_shards(
     df: DataFrame,
     path: str,
@@ -383,10 +460,23 @@ def write_shards(
     asg = shard_assignments(
         df, id_col, text_col, shard_tokens, n_buckets=n_buckets
     )
-    keep = cols if cols is not None else [c for c in df.columns if c != id_col]
-    src = df.select(F.col(id_col).alias("id"), *[F.col(c) for c in keep])
-    rows = asg.join(src, "id").select(
-        F.col("id").alias(id_col), *keep, "n_tokens", "shard"
+    keep = [
+        c for c in (cols if cols is not None else df.columns) if c != id_col
+    ]
+    clash = {"n_tokens", "shard"} & set(keep)
+    if clash:
+        raise ValueError(
+            f"columns {sorted(clash)} collide with shard-output names; "
+            "rename them or pass cols= without them"
+        )
+    # join on a reserved temp key so a carried column literally named
+    # "id" (distinct from id_col) cannot collide with asg's key
+    src = df.select(F.col(id_col).alias("_shard_id"), *[F.col(c) for c in keep])
+    rows = asg.join(src, asg["id"] == src["_shard_id"]).select(
+        asg["id"].alias(id_col),
+        *[src[c] for c in keep],
+        asg["n_tokens"],
+        asg["shard"],
     )
     rows.write.mode("overwrite").partitionBy("shard").parquet(path)
     stats = (

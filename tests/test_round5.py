@@ -1576,3 +1576,76 @@ def test_write_bytes_exclusive_concurrent_readers(tmp_path):
         stop.set()
         t.join(30)
     assert torn == []
+
+
+# ------------------------------------------------ deterministic shuffle ----
+
+
+def _md5_pri(seed: int, doc_id: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:15], 16)
+
+
+def test_shuffle_shard_assignments_closed_form(spark):
+    """tok_offset is the exclusive token prefix sum in (md5(seed:id),
+    id) order and shard = off // shard_tokens — checked against a pure
+    Python replay of the same md5 priority."""
+    from duckdb_raquet_spark.functions import corpus
+
+    rows = [(i, " ".join(["w"] * (3 + i % 5))) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: (r.shuf_key, r.n_tokens, r.tok_offset, r.shard)
+        for r in corpus.shuffle_shard_assignments(
+            df, "doc_id", "text", seed=7, shard_tokens=17, n_buckets=8
+        ).collect()
+    }
+    order = sorted(range(1, 41), key=lambda i: (_md5_pri(7, i), i))
+    acc = 0
+    for i in order:
+        n = 3 + i % 5
+        assert out[i] == (_md5_pri(7, i), n, acc, acc // 17), i
+        acc += n
+
+
+def test_shuffle_seed_changes_permutation(spark):
+    from duckdb_raquet_spark.functions import corpus
+
+    rows = [(i, "a b c") for i in range(1, 31)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def perm(seed):
+        return [
+            r.id
+            for r in corpus.shuffle_shard_assignments(
+                df, "doc_id", "text", seed=seed, shard_tokens=9
+            )
+            .orderBy("tok_offset")
+            .collect()
+        ]
+
+    p0, p0b, p1 = perm(0), perm(0), perm(1)
+    assert p0 == p0b  # reproducible
+    assert p0 != p1  # seed is an independent epoch permutation
+    assert sorted(p0) == sorted(p1) == list(range(1, 31))
+
+
+def test_write_shards_carried_id_column(spark, tmp_path):
+    """A carried column literally named 'id' (distinct from id_col)
+    must survive the assignment join unambiguously; reserved output
+    names collide loudly."""
+    from duckdb_raquet_spark.functions import corpus
+
+    rows = [(i, " ".join(["t"] * 10), 100 + i) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, id long")
+    path = str(tmp_path / "sh_id")
+    man = corpus.write_shards(df, path, "doc_id", "text", shard_tokens=100)
+    assert man["n_shards"] == 2
+    back = spark.read.parquet(path)
+    assert set(back.columns) == {"doc_id", "text", "id", "n_tokens", "shard"}
+    assert back.where(F.col("id") != F.col("doc_id") + 100).count() == 0
+    with pytest.raises(ValueError, match="collide"):
+        corpus.write_shards(
+            df.withColumnRenamed("id", "shard"), path, "doc_id", "text"
+        )
