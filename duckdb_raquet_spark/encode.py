@@ -1203,6 +1203,37 @@ def rollback_to_snapshot(spark: SparkSession, path: str, snapshot_id: int) -> di
     return final
 
 
+def create_tag(
+    spark: SparkSession, path: str, name: str, snapshot_id: int | None = None
+) -> dict:
+    """Iceberg ``CREATE TAG`` analog: an immutable named pointer to a
+    snapshot (default: the current tip). Tagged snapshots — and through
+    them their chunk dirs and equality-delete files — are protected
+    from ``expire_snapshots`` for as long as the tag exists, so a tag
+    pins a reproducible table state (the "corpus-v3 trained on THIS"
+    release workflow) across ongoing CDC ingest and maintenance.
+    Creation is a CAS (exclusive file create): racing writers on the
+    same name cannot both win, and re-pointing requires an explicit
+    ``drop_tag`` + ``create_tag``."""
+    snaps = mf.read_snapshots(path, spark)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshot log at {path}")
+    sid = max(snaps) if snapshot_id is None else int(snapshot_id)
+    if sid not in snaps:
+        raise KeyError(f"no snapshot {sid} at {path}; have {sorted(snaps)}")
+    return mf.write_ref(path, name, sid, spark)
+
+
+def drop_tag(spark: SparkSession, path: str, name: str) -> None:
+    """Remove a tag; its snapshot becomes expirable again."""
+    mf.delete_ref(path, name, spark)
+
+
+def list_tags(spark: SparkSession, path: str) -> dict[str, dict]:
+    """All named refs as ``{name: {name, snapshot_id, kind}}``."""
+    return mf.read_refs(path, spark)
+
+
 def expire_snapshots(
     spark: SparkSession,
     path: str,
@@ -1227,8 +1258,13 @@ def expire_snapshots(
     if not snaps:
         raise FileNotFoundError(f"no snapshot log at {path}")
     ids = sorted(snaps)
-    keep_ids = ids[-keep_last:]
-    expired = ids[: -keep_last] if len(ids) > keep_last else []
+    # tagged snapshots are pinned: a tag's purpose is to keep its table
+    # state (and files) reachable across retention, Iceberg's ref rule
+    tagged = {
+        int(r["snapshot_id"]) for r in mf.read_refs(path, spark).values()
+    }
+    keep_ids = sorted(set(ids[-keep_last:]) | (tagged & set(ids)))
+    expired = [i for i in ids if i not in set(keep_ids)]
     retained_chunks: set[int] = set()
     for i in keep_ids:
         retained_chunks.update(int(c) for c in snaps[i]["chunks"])

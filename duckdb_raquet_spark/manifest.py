@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from typing import Any
 
@@ -321,6 +322,75 @@ def snapshot_as_of(path: str, unix_ts: float, spark=None) -> dict | None:
     snaps = read_snapshots(path, spark)
     live = [s for s in snaps.values() if s["committed_unix"] <= unix_ts]
     return max(live, key=lambda s: s["snapshot_id"]) if live else None
+
+
+# ------------------------------------------------------------- refs ----
+#
+# Named snapshot references (Iceberg's `refs` metadata: tags). A tag is
+# an IMMUTABLE pointer `_refs/<name>.json` -> snapshot id: exclusive
+# create makes "create" a CAS (two writers racing the same name cannot
+# both win), and re-pointing requires an explicit drop + create.
+# `encode.expire_snapshots` never expires a tagged snapshot, so a tag
+# pins its data files (chunk dirs + delete files) for as long as it
+# exists — the audit/bisect/release workflow over a mutating table.
+
+_REF_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
+
+
+def refs_dir(path: str) -> str:
+    return os.path.join(path, "_refs")
+
+
+def write_ref(path: str, name: str, snapshot_id: int, spark=None) -> dict:
+    from . import fsio
+
+    if not _REF_NAME_RE.match(name or ""):
+        raise ValueError(
+            f"invalid ref name {name!r}: use [A-Za-z0-9._-], start "
+            "alphanumeric, <= 128 chars"
+        )
+    ref = {"name": name, "snapshot_id": int(snapshot_id), "kind": "tag"}
+    try:
+        fsio.write_bytes_exclusive(
+            spark,
+            refs_dir(path),
+            f"{name}.json",
+            json.dumps(ref, sort_keys=True).encode(),
+        )
+    except FileExistsError:
+        raise FileExistsError(
+            f"ref {name!r} already exists at {path}; drop it first "
+            "(tags are immutable)"
+        ) from None
+    return ref
+
+
+def read_refs(path: str, spark=None) -> dict[str, dict]:
+    from . import fsio
+
+    out: dict[str, dict] = {}
+    d = refs_dir(path)
+    for fn in fsio.list_files(spark, d):
+        if fn.endswith(".json") and not fn.startswith("."):
+            r = json.loads(fsio.read_bytes(spark, d, fn))
+            out[r["name"]] = r
+    return out
+
+
+def delete_ref(path: str, name: str, spark=None) -> None:
+    from . import fsio
+
+    refs = read_refs(path, spark)
+    if name not in refs:
+        raise KeyError(f"no ref {name!r} at {path}; have {sorted(refs)}")
+    fsio.delete_file(spark, refs_dir(path), f"{name}.json")
+
+
+def resolve_ref(path: str, name: str, spark=None) -> int:
+    refs = read_refs(path, spark)
+    if name not in refs:
+        raise KeyError(f"no ref {name!r} at {path}; have {sorted(refs)}")
+    return int(refs[name]["snapshot_id"])
 
 
 def make_snapshot(

@@ -91,15 +91,21 @@ def read_blocks_at(
     *,
     snapshot_id: int | None = None,
     as_of_unix: float | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Time-travel read (Iceberg VERSION/TIMESTAMP AS OF analog): data
     rows visible at a snapshot of the `_snapshots/` log. Exactly one of
-    ``snapshot_id`` / ``as_of_unix`` selects the snapshot; neither means
+    ``snapshot_id`` / ``as_of_unix`` / ``ref`` (a tag name from
+    ``encode.create_tag``) selects the snapshot; none means
     the current snapshot. The visibility filter is on the ``chunk``
     partition column, so Spark prunes whole chunk directories at
     planning time — an old snapshot's scan reads only its own files,
     no matter how many chunks were appended since. Tables from before
     the snapshot log (no `_snapshots/` dir) read fully, as always."""
+    if ref is not None:
+        if snapshot_id is not None or as_of_unix is not None:
+            raise ValueError("pass snapshot_id, as_of_unix OR ref, not both")
+        snapshot_id = mf.resolve_ref(path, ref, spark)
     snaps = mf.read_snapshots(path, spark)
     if not snaps:
         if snapshot_id is not None or as_of_unix is not None:
@@ -138,6 +144,18 @@ def _guard_rewrites(snaps: dict, from_id: int, to_id: int, what: str) -> None:
     END at or START from the rewrite snapshot stay exact — consume to
     the boundary first (the Delta `ignoreChanges` / Iceberg
     replace-snapshot rule, made loud instead of silent)."""
+    # snapshot ids are claimed consecutively (parent + 1), so a missing
+    # id inside the range means expire_snapshots reclaimed it (possible
+    # once tags pin non-contiguous survivors) — an expired middle could
+    # hide a compact-chunks commit from this guard, so refuse loudly
+    missing = [i for i in range(from_id + 1, to_id + 1) if i not in snaps]
+    if missing:
+        raise ValueError(
+            f"{what} range ({from_id}, {to_id}] crosses expired "
+            f"snapshot(s) {missing}: history needed to prove the range "
+            "is rewrite-free is gone. Re-baseline the consumer from a "
+            "full read at a retained snapshot."
+        )
     rewrote = [
         i
         for i in sorted(snaps)
@@ -669,13 +687,19 @@ def read_rows(
     *,
     snapshot_id: int | None = None,
     as_of_unix: float | None = None,
+    ref: str | None = None,
     apply_deletes: bool = True,
     man: dict | None = None,
 ) -> DataFrame:
     """The table-level reader: time-travel block scan + decode +
     merge-on-read equality-delete anti-join. This is what SELECT means
     on a table with row-level deletes; ``read_blocks``/``decode_blocks``
-    stay the physical layer underneath (deletes not applied)."""
+    stay the physical layer underneath (deletes not applied).
+    ``ref`` reads at a named tag (``encode.create_tag``)."""
+    if ref is not None:
+        if snapshot_id is not None or as_of_unix is not None:
+            raise ValueError("pass snapshot_id, as_of_unix OR ref, not both")
+        snapshot_id = mf.resolve_ref(path, ref, spark)
     man = man or read_manifest(spark, path)
     blocks = read_blocks_at(
         spark, path, snapshot_id=snapshot_id, as_of_unix=as_of_unix

@@ -16,6 +16,8 @@ they cost the same on a 100 TB table as on the test fixtures.
     ... compact-chunks --chunks 3,4,5        # bin-pack: O(selected bytes)
     ... purge --output /path/purged          # apply deletes physically
     ... expire --keep-last 3                 # snapshots + orphan chunks/deletes
+    ... tag corpus-v3 [--snapshot 4]         # immutable ref, pins vs expiry
+    ... drop-tag corpus-v3 | tags            # refs are CAS-created files
     ... history                              # one JSON line per snapshot
     ... changes --from-snapshot 2 [--to-snapshot 5] [--cols a,b]
 
@@ -70,6 +72,16 @@ def main() -> None:
 
     p = sub.add_parser("expire")
     p.add_argument("--keep-last", type=int, default=1)
+
+    p = sub.add_parser("tag")
+    p.add_argument("name")
+    p.add_argument("--snapshot", type=int, default=None,
+                   help="snapshot id to pin (default: current tip)")
+
+    p = sub.add_parser("drop-tag")
+    p.add_argument("name")
+
+    sub.add_parser("tags")
 
     sub.add_parser("history")
 
@@ -159,6 +171,18 @@ def main() -> None:
             spark, args.path, keep_last=args.keep_last
         )
         print(json.dumps({"op": "expire", "table": args.path, **out}))
+    elif args.cmd == "tag":
+        ref = encode.create_tag(
+            spark, args.path, args.name, snapshot_id=args.snapshot
+        )
+        print(json.dumps({"op": "tag", "table": args.path, **ref}))
+    elif args.cmd == "drop-tag":
+        encode.drop_tag(spark, args.path, args.name)
+        print(json.dumps({"op": "drop-tag", "table": args.path,
+                          "name": args.name}))
+    elif args.cmd == "tags":
+        for r in encode.list_tags(spark, args.path).values():
+            print(json.dumps(r))
     elif args.cmd == "history":
         _rows_out(scan.table_history(spark, args.path))
     elif args.cmd == "changes":

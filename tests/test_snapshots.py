@@ -300,3 +300,78 @@ def test_concurrent_commit_detected(spark, tt_table, tmp_path):
         mf.write_snapshot(path, dup, spark)
     # the original commit is untouched
     assert mf.current_snapshot(path, spark)["num_rows"] == cur["num_rows"]
+
+
+# -------------------------------------------------------- tags (refs) ----
+
+
+def test_tag_create_read_drop(spark, tt_table, tmp_path):
+    path = str(tmp_path / "tbl")
+    shutil.copytree(tt_table, path)
+    ref = encode.create_tag(spark, path, "corpus-v1", snapshot_id=0)
+    tip = encode.create_tag(spark, path, "latest")  # default: current tip
+    assert ref == {"name": "corpus-v1", "snapshot_id": 0, "kind": "tag"}
+    assert tip["snapshot_id"] == 1
+    assert sorted(encode.list_tags(spark, path)) == ["corpus-v1", "latest"]
+    # read at tag == read at its snapshot
+    man = scan.read_manifest(spark, path)
+    base = _urls_of(synth.synth_webtext(spark, 300, num_partitions=4))
+    assert _decode_urls(
+        scan.read_blocks_at(spark, path, ref="corpus-v1"), man
+    ) == base
+    got = sorted(
+        r["url"] for r in
+        scan.read_rows(spark, path, ["url"], ref="corpus-v1").collect()
+    )
+    assert got == base
+    # tags are immutable: re-pointing needs drop + create
+    with pytest.raises(FileExistsError):
+        encode.create_tag(spark, path, "corpus-v1", snapshot_id=1)
+    with pytest.raises(ValueError):
+        encode.create_tag(spark, path, "bad/name")
+    with pytest.raises(KeyError):
+        encode.create_tag(spark, path, "nope", snapshot_id=42)
+    with pytest.raises(ValueError):
+        scan.read_rows(spark, path, ref="corpus-v1", snapshot_id=0)
+    encode.drop_tag(spark, path, "corpus-v1")
+    with pytest.raises(KeyError):
+        scan.read_rows(spark, path, ref="corpus-v1")
+    with pytest.raises(KeyError):
+        encode.drop_tag(spark, path, "corpus-v1")
+
+
+def test_tag_protects_from_expiry(spark, tt_table, tmp_path):
+    """expire_snapshots never reclaims a tagged snapshot or its chunks;
+    dropping the tag makes it expirable again."""
+    path = str(tmp_path / "tbl")
+    shutil.copytree(tt_table, path)
+    encode.create_tag(spark, path, "pinned", snapshot_id=0)
+    res = encode.expire_snapshots(spark, path, keep_last=1)
+    assert res["retained_snapshots"] == [0, 1]
+    assert res["expired_snapshots"] == [] and res["removed_chunks"] == []
+    man = scan.read_manifest(spark, path)
+    base = _urls_of(synth.synth_webtext(spark, 300, num_partitions=4))
+    assert _decode_urls(
+        scan.read_blocks_at(spark, path, ref="pinned"), man
+    ) == base
+    encode.drop_tag(spark, path, "pinned")
+    res = encode.expire_snapshots(spark, path, keep_last=1)
+    assert res["retained_snapshots"] == [1]
+    assert res["expired_snapshots"] == [0]
+
+
+def test_incremental_read_refuses_expired_middle(spark, tt_table, tmp_path):
+    """Once tags pin non-contiguous survivors, a changelog range whose
+    middle snapshots were expired must refuse loudly: the history that
+    proves the range rewrite-free is gone."""
+    path = str(tmp_path / "tbl")
+    shutil.copytree(tt_table, path)
+    extra = synth.synth_webtext(spark, 20, num_partitions=1, start=2_000_000)
+    encode.append_chunk(spark, extra, path)  # snapshots now 0, 1, 2
+    encode.create_tag(spark, path, "base", snapshot_id=0)
+    res = encode.expire_snapshots(spark, path, keep_last=1)
+    assert res["retained_snapshots"] == [0, 2]
+    with pytest.raises(ValueError, match="expired"):
+        scan.read_changes(spark, path, 0, 2).collect()
+    with pytest.raises(ValueError, match="expired"):
+        scan.read_appended_between(spark, path, 0, 2).collect()
