@@ -632,6 +632,7 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "dedup_minhash_filter",
         "corpus_shards",
         "corpus_shuffle",
+        "txt_bigram_lm",
     ):
         timed(timings, name, lambda n=name: force(qs[n](spark, sf_dir)))
 

@@ -288,6 +288,81 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Conditional-LM quality score: per-document mean bigram
+    -log2-probability under the corpus's own add-one-smoothed bigram
+    model — the next step from :func:`unigram_logprob_scores` toward
+    the CCNet/KenLM perplexity filter (a unigram model cannot see
+    "scrambled common words": shuffled boilerplate scores fluent under
+    unigrams but improbable under ANY conditional model).
+
+    Model: ``P(cur | prev) = (c(prev,cur) + 1) / (c_prefix(prev) + V)``
+    where ``c_prefix(prev)`` counts ``prev`` as a bigram prefix and
+    ``V`` is the number of distinct continuation types. Rarity is
+    quantized to whole bits with the same integer-exact trick as the
+    unigram scorer: ``floor(log2(a/b)) == bit_length(a div b) - 1``
+    whenever ``a >= b`` (here ``c_prefix + V >= c_bigram + 1`` always),
+    so per-doc sums are exact integers and the score is reproducible
+    across engines and aggregation orders.
+
+    Plan at 10^12 docs (mirrors the unigram scorer's shape): explode
+    collapses to per-doc ``(prev, cur, n)`` counts FIRST — the Zipf-hot
+    bigram ("of the") carries one row per document into every join —
+    then global bigram counts, prefix counts and V are map-side
+    hash aggregates over successively tinier tables; the model joins
+    back by (prev, cur) / prev with AQE free to broadcast. No model
+    artifact is materialized; the corpus is its own training set.
+
+    Returns one row per document with >= 2 tokens:
+    ``(id, n_bigrams, mean_rarity_bits)``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_t")
+    ).where(F.size("_t") >= 2)
+    # sequence(1, size-1) needs size >= 2: Spark's sequence(1, 0) is a
+    # DESCENDING [1, 0], not empty — hence the filter above
+    pairs = toks.select(
+        "_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t) - 1), "
+                "i -> struct(_t[i-1] AS prev, _t[i] AS cur))"
+            )
+        ).alias("_p"),
+    ).select("_id", F.col("_p.prev").alias("_prev"), F.col("_p.cur").alias("_cur"))
+    doc_bg = pairs.groupBy("_id", "_prev", "_cur").agg(
+        F.count("*").alias("_n")
+    )
+    bg = doc_bg.groupBy("_prev", "_cur").agg(F.sum("_n").alias("_cb"))
+    prefix = bg.groupBy("_prev").agg(F.sum("_cb").alias("_cp"))
+    vocab = bg.agg(F.countDistinct("_cur").alias("_v"))
+    rarity = (
+        F.length(
+            F.conv(F.expr("(_cp + _v) div (_cb + 1)").cast("string"), 10, 2)
+        )
+        - 1
+    )
+    return (
+        doc_bg.join(bg, ["_prev", "_cur"])
+        .join(prefix, "_prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("_id")
+        .agg(
+            F.sum("_n").alias("n_bigrams"),
+            F.sum(rarity.cast("long") * F.col("_n")).alias("_sum_rarity"),
+        )
+        .select(
+            F.col("_id").alias("id"),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            (F.col("_sum_rarity").cast("double") / F.col("n_bigrams")).alias(
+                "mean_rarity_bits"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------------ boilerplate ----
 
 

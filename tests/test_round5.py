@@ -1649,3 +1649,47 @@ def test_write_shards_carried_id_column(spark, tmp_path):
         corpus.write_shards(
             df.withColumnRenamed("id", "shard"), path, "doc_id", "text"
         )
+
+
+# --------------------------------------------------- bigram LM scoring ----
+
+
+def test_bigram_logprob_closed_form(spark):
+    """Hand-computable corpus: 'a b a b' (x2 docs) + 'a c'. Bigram
+    counts: (a,b)=4, (b,a)=2, (a,c)=1; prefixes: a=5, b=2; V=3
+    continuations {a,b,c}. Add-one rarities in whole bits:
+    (a,b): (5+3)//(4+1)=1 -> 0 bits; (b,a): (2+3)//(2+1)=1 -> 0;
+    (a,c): (5+3)//(1+1)=4 -> 2 bits."""
+    from duckdb_raquet_spark.functions import text as textfn
+
+    rows = [(1, "a b a b"), (2, "a b a b"), (3, "a c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: (r.n_bigrams, r.mean_rarity_bits)
+        for r in textfn.bigram_logprob_scores(df, "doc_id", "text").collect()
+    }
+    assert out[1] == (3, 0.0)  # a-b, b-a, a-b: all 0 bits
+    assert out[2] == (3, 0.0)
+    assert out[3] == (1, 2.0)  # a-c: rare continuation
+    # docs with < 2 tokens produce no row
+    df1 = spark.createDataFrame([(9, "solo"), (10, "x y")], "doc_id long, text string")
+    got = textfn.bigram_logprob_scores(df1, "doc_id", "text")
+    assert [r.id for r in got.collect()] == [10]
+
+
+def test_bigram_scrambled_text_scores_worse(spark):
+    """The conditional model's point: scrambling common words preserves
+    the unigram score but raises bigram rarity."""
+    from duckdb_raquet_spark.functions import text as textfn
+
+    fluent = "the cat sat on the mat " * 10
+    scrambled = "the on cat mat sat the " * 10
+    base = [(i, fluent.strip()) for i in range(50)]
+    df = spark.createDataFrame(
+        base + [(100, scrambled.strip())], "doc_id long, text string"
+    )
+    out = {
+        r.id: r.mean_rarity_bits
+        for r in textfn.bigram_logprob_scores(df, "doc_id", "text").collect()
+    }
+    assert out[100] > out[0]
