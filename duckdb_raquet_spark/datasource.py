@@ -28,6 +28,10 @@ Reader
 * The Python DataSource API has no column-pruning hook yet, so
   ``.option("columns", "url,text")`` selects which payloads decode;
   the default decodes all.
+* Time travel: ``.option("snapshotId", 3)`` or ``.option("ref",
+  "corpus-v1")`` (a tag from ``encode.create_tag``) pins chunk
+  visibility and the equality-delete set to that snapshot; the read
+  schema stays the current manifest's, matching ``scan.read_rows``.
 
 Writer
 ------
@@ -175,6 +179,26 @@ class RaquetReader(DataSourceReader):
         cols_opt = options.get("columns")
         self.cols = [c.strip() for c in cols_opt.split(",")] if cols_opt else None
         self.env = _Envelope()
+        # time travel: .option("snapshotId", 3) or .option("ref",
+        # "corpus-v1") pins chunk visibility AND the delete set to that
+        # snapshot; the read schema stays the current manifest's, same
+        # contract as scan.read_rows (old chunks' missing payloads
+        # decode as NULL via the evolution machinery)
+        sid_opt = options.get("snapshotid", options.get("snapshotId"))
+        ref_opt = options.get("ref")
+        if sid_opt is not None and ref_opt is not None:
+            raise ValueError("pass snapshotId OR ref, not both")
+        if ref_opt is not None:
+            sid_opt = mf.resolve_ref(self.path, ref_opt, None)
+        self.snapshot: dict | None = None
+        if sid_opt is not None:
+            snaps = mf.read_snapshots(self.path, None)
+            sid = int(sid_opt)
+            if sid not in snaps:
+                raise KeyError(
+                    f"no snapshot {sid} at {self.path}; have {sorted(snaps)}"
+                )
+            self.snapshot = snaps[sid]
         # equality-delete files (encode.delete_rows): value sets load
         # driver-side and ship with the pickled reader — the same
         # broadcast-sized contract as scan._apply_delete_entries.
@@ -182,7 +206,12 @@ class RaquetReader(DataSourceReader):
         # single-column keys, tuples for composite keys; v2 files carry
         # a per-ROW sequence, so one file can yield several groups.
         self.deletes: list[tuple[tuple[str, ...], int, set]] = []
-        for e in self.man.get("delete_files", []):
+        entries = (
+            self.snapshot.get("delete_files", [])
+            if self.snapshot is not None
+            else self.man.get("delete_files", [])
+        )
+        for e in entries:
             import pyarrow.dataset as pa_ds
 
             from .manifest import delete_entry_cols
@@ -267,10 +296,14 @@ class RaquetReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         data = os.path.join(self.path, "data")
-        # visibility: only chunks of the current snapshot (rolled-back
+        # visibility: only chunks of the selected snapshot (rolled-back
         # orphan dirs awaiting expiry must not be planned); pre-log and
         # flat tables have no snapshot/chunk dirs and walk everything
-        snap = mf.current_snapshot(self.path, None)
+        snap = (
+            self.snapshot
+            if self.snapshot is not None
+            else mf.current_snapshot(self.path, None)
+        )
         visible = None
         if snap is not None and snap.get("layout") != "flat":
             visible = {int(c) for c in snap["chunks"]} | {-1}

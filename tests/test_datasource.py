@@ -152,3 +152,40 @@ def test_datasource_read_applies_equality_deletes(registered, tmp_path):
     # engine reader and datasource agree row-for-row
     eng = scan.read_rows(spark, path, ["url"]).collect()
     assert sorted(r["url"] for r in eng) == sorted(urls)
+
+
+def test_datasource_time_travel_by_snapshot_and_ref(registered, tmp_path):
+    """.option('snapshotId', N) / .option('ref', 'tag') pin chunk
+    visibility AND the equality-delete set to that snapshot — the
+    DataFrame-source twin of scan.read_rows(ref=...)."""
+    spark = registered
+    path = str(tmp_path / "tt_ds")
+    df = synth.synth_webtext(spark, 120, num_partitions=2)
+    encode.encode_to_path(spark, df, path, chunks=2, target_rows_per_block=32)
+    extra = synth.synth_webtext(spark, 30, num_partitions=1, start=5_000_000)
+    encode.append_chunk(spark, extra, path)  # snapshot 1
+    encode.create_tag(spark, path, "v0", snapshot_id=0)
+    # delete some rows at the tip (snapshot 2): the tagged read must
+    # NOT apply the later delete
+    langs = [r[0] for r in df.select("lang").distinct().collect()]
+    encode.delete_rows(spark, path, "lang", [langs[0]])
+    n_lang0 = df.where(F.col("lang") == langs[0]).count()
+    cur = spark.read.format("raquet").load(path)
+    old_id = spark.read.format("raquet").option("snapshotId", 0).load(path)
+    old_ref = spark.read.format("raquet").option("ref", "v0").load(path)
+    assert old_id.count() == 120 and old_ref.count() == 120
+    assert cur.count() == 150 - (
+        n_lang0 + extra.where(F.col("lang") == langs[0]).count()
+    )
+    assert old_ref.where(F.col("lang") == langs[0]).count() == n_lang0
+    # snapshot 1 sees the append but still no delete
+    assert (
+        spark.read.format("raquet").option("snapshotId", 1).load(path).count()
+        == 150
+    )
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("raquet").option("snapshotId", 0).option(
+            "ref", "v0"
+        ).load(path).count()
+    with pytest.raises(Exception, match="no snapshot"):
+        spark.read.format("raquet").option("snapshotId", 9).load(path).count()
