@@ -911,6 +911,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.round("jac", 4).alias("jac"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(delta) ingest dedup: even doc_ids play the already-ingested
+    base, odd ones the new batch; keep odd docs whose text is not in
+    the base AND is first-in-batch (min id per digest). The anti-join
+    carries 192-bit digests, never text — bytes ∝ batch, not corpus."""
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    kept = dedup.incremental_exact_dedup(delta, base, "doc_id", "text")
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    ).orderBy("doc_id")
+
+
 def q_dedup_minhash_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup FILTER (the step a pipeline actually
     runs): LSH candidate pairs -> exact-Jaccard verification ->
@@ -1938,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "corpus_shuffle": q_corpus_shuffle,
         "txt_bigram_lm": q_txt_bigram_lm,
+        "dedup_incremental": q_dedup_incremental,
         # --- past the driver's 50-query cap: long-green pure-Column
         # queries displaced by the round-5 tail (each driver-scored
         # green in r1-r4 and judge-checkable via check_oracle.py) plus
@@ -2728,6 +2743,24 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id)::BIGINT AS min_id,
                    max(doc_id)::BIGINT AS max_id
             FROM o GROUP BY 1 ORDER BY shard""",
+        # O(delta) ingest dedup: NOT EXISTS (not NOT IN) so a NULL base
+        # text never poisons the filter, matching the anti-join; GROUP
+        # BY text groups NULLs, matching the NULL-digest group
+        "dedup_incremental": """
+            WITH d AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+            ),
+            f AS (
+              SELECT doc_id, text FROM d
+              WHERE NOT EXISTS (
+                SELECT 1 FROM documents b
+                WHERE b.doc_id % 2 = 0 AND b.text = d.text
+              )
+            ),
+            k AS (SELECT min(doc_id) AS keep FROM f GROUP BY text)
+            SELECT doc_id::BIGINT AS doc_id, lang FROM documents
+            WHERE doc_id IN (SELECT keep FROM k)
+            ORDER BY doc_id""",
         # add-one bigram model replayed exactly: rarity bits =
         # bit_length((c_prefix + V) // (c_bigram + 1)) - 1, valid
         # because c_prefix + V >= c_bigram + 1 always

@@ -633,6 +633,7 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "corpus_shards",
         "corpus_shuffle",
         "txt_bigram_lm",
+        "dedup_incremental",
     ):
         timed(timings, name, lambda n=name: force(qs[n](spark, sf_dir)))
 

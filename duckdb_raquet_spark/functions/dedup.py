@@ -759,6 +759,59 @@ def line_dedup(
     )
 
 
+def incremental_exact_dedup(
+    delta: DataFrame,
+    base: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    base_is_digests: bool = False,
+) -> DataFrame:
+    """O(delta) exact dedup for a GROWING corpus: keep the rows of
+    ``delta`` whose text (a) does not already appear in ``base`` and
+    (b) is the first occurrence within the delta (smallest id — the
+    same keep-first convention as :func:`exact_dedup`).
+
+    At 10^12 docs you never re-dedup the whole corpus per ingest. The
+    base collapses once to its 192-bit digest set (``(_len, _md5,
+    _xx)``, ~45 bytes/doc — persist it as the dedup INDEX and pass
+    ``base_is_digests=True`` on later batches); each new batch then
+    costs one digest scan of the delta plus one anti-join against the
+    index — bytes moved are proportional to the BATCH, never the
+    corpus, and AQE broadcasts the delta side of the anti-join when
+    the batch is small.
+
+    Composition with the table layer: ``delta`` = the decoded rows of
+    ``scan.read_appended_between(path, N)`` (the chunk-set delta of two
+    snapshots), and the kept rows' complement feeds
+    ``encode.delete_rows`` — ingest → dedup → commit is O(batch) end
+    to end. ``streaming.dedup_exact_stream`` is the per-micro-batch
+    twin with watermark-bounded state; this is the batch/table form.
+
+    NULL text is never considered a duplicate OF THE BASE (anti-join
+    keys with NULL never match), but NULL-text rows dedup among
+    themselves within the delta, exactly like :func:`exact_dedup`.
+
+    Returns the kept delta rows (all original columns).
+    """
+    dig = ["_len", "_md5", "_xx"]
+    d = delta.select(
+        F.col(id_col).alias("_iid"), *exact_digest_cols(text_col)
+    )
+    b = (
+        base.select(*dig)
+        if base_is_digests
+        else base.select(*exact_digest_cols(text_col))
+    )
+    fresh = d.join(b, dig, "left_anti")
+    keep = fresh.groupBy(*dig).agg(F.min("_iid").alias("_keep_id"))
+    return delta.join(
+        keep.select("_keep_id"),
+        delta[id_col] == F.col("_keep_id"),
+        "left_semi",
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,

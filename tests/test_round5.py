@@ -1693,3 +1693,88 @@ def test_bigram_scrambled_text_scores_worse(spark):
         for r in textfn.bigram_logprob_scores(df, "doc_id", "text").collect()
     }
     assert out[100] > out[0]
+
+
+# ---------------------------------------------- incremental exact dedup ----
+
+
+def test_incremental_exact_dedup_closed_form(spark):
+    from duckdb_raquet_spark.functions import dedup
+
+    base = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "alpha"),   # dup of base -> dropped
+            (11, "gamma"),   # fresh, first -> kept
+            (12, "gamma"),   # dup within delta -> dropped
+            (13, "delta"),   # fresh -> kept
+            (14, None),      # NULL text: never a dup of base -> kept
+            (15, None),      # but NULLs dedup among themselves -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    kept = dedup.incremental_exact_dedup(delta, base, "doc_id", "text")
+    assert sorted(r.doc_id for r in kept.collect()) == [11, 13, 14]
+    assert kept.columns == ["doc_id", "text"]
+
+
+def test_incremental_exact_dedup_digest_index(spark):
+    """base_is_digests: the persisted 192-bit index reproduces the
+    raw-base decision exactly."""
+    from duckdb_raquet_spark.functions import dedup
+
+    rows = [(i, f"text {i % 7}") for i in range(1, 21)]
+    base = spark.createDataFrame(rows[:10], "doc_id long, text string")
+    delta = spark.createDataFrame(rows[10:], "doc_id long, text string")
+    idx = base.select(*dedup.exact_digest_cols("text"))
+    a = dedup.incremental_exact_dedup(delta, base, "doc_id", "text")
+    b = dedup.incremental_exact_dedup(
+        delta, idx, "doc_id", "text", base_is_digests=True
+    )
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
+
+
+def test_incremental_dedup_over_table_delta(spark, tmp_path):
+    """The table composition: read_appended_between gives the chunk
+    delta of two snapshots; incremental dedup against the base snapshot
+    keeps exactly the genuinely-new texts, and the drop complement
+    applies as one equality-delete commit."""
+    from duckdb_raquet_spark import encode, scan, synth
+    from duckdb_raquet_spark.functions import dedup
+
+    path = str(tmp_path / "inc_tbl")
+    base_df = synth.synth_webtext(spark, 100, num_partitions=2)
+    encode.encode_to_path(spark, base_df, path, chunks=2,
+                          target_rows_per_block=64)
+    # delta: 20 fresh rows + 10 rows whose text duplicates the base
+    fresh = synth.synth_webtext(spark, 20, num_partitions=1, start=800_000)
+    dup_src = base_df.orderBy("url").limit(10).collect()
+    dups = spark.createDataFrame(
+        [(f"https://dup{i}.example.com/", r["warc_ts"], r["html"], r["text"],
+          r["lang"]) for i, r in enumerate(dup_src)],
+        base_df.schema.names,
+    )
+    encode.append_chunk(spark, fresh.unionByName(dups), path)
+    man = scan.read_manifest(spark, path)
+    delta_rows = scan.decode_blocks(
+        scan.read_appended_between(spark, path, 0), man, with_chunk=False
+    )
+    base_rows = scan.read_rows(spark, path, snapshot_id=0)
+    kept = dedup.incremental_exact_dedup(
+        delta_rows, base_rows, "url", "text"
+    )
+    kept_urls = {r.url for r in kept.select("url").collect()}
+    fresh_urls = {r.url for r in fresh.select("url").collect()}
+    assert kept_urls == fresh_urls  # every dup dropped, every fresh kept
+    # the complement feeds delete_rows: table shrinks to base + fresh
+    drop_urls = [
+        r.url for r in delta_rows.select("url").exceptAll(
+            kept.select("url")
+        ).collect()
+    ]
+    encode.delete_rows(spark, path, "url", drop_urls)
+    assert scan.read_rows(spark, path).count() == 120
