@@ -245,6 +245,57 @@ def main() -> None:
         )
     )
 
+    # 9. deterministic global shuffle: the prefix sum must never become
+    #    a single-partition window — the windows run within md5-range
+    #    buckets and the O(n_buckets) offset table joins as a broadcast
+    p = formatted(qs["corpus_shuffle"](spark, args.sf_dir))
+    sections.append(
+        (
+            "corpus_shuffle",
+            p,
+            [
+                ("bucketed windows only", "Window" in p),
+                (
+                    "no single-partition exchange",
+                    "Exchange SinglePartition" not in p,
+                ),
+                ("offset table broadcast", "BroadcastHashJoin" in p),
+            ],
+        )
+    )
+
+    # 10. bigram LM: all-JVM scoring (no Python eval anywhere) and the
+    #     1-row vocab total rides a broadcast, never a shuffle
+    p = formatted(qs["txt_bigram_lm"](spark, args.sf_dir))
+    sections.append(
+        (
+            "txt_bigram_lm",
+            p,
+            [
+                (
+                    "no Python nodes",
+                    "EvalPython" not in p and "MapInPandas" not in p,
+                ),
+                ("vocab broadcast", "BroadcastNestedLoopJoin" in p),
+            ],
+        )
+    )
+
+    # 11. incremental dedup: the batch-vs-index comparison is one
+    #     anti-join and the keep-first re-attach one semi-join — digests
+    #     move, documents don't
+    p = formatted(qs["dedup_incremental"](spark, args.sf_dir))
+    sections.append(
+        (
+            "dedup_incremental",
+            p,
+            [
+                ("digest anti-join", "LeftAnti" in p),
+                ("keep-first semi-join", "LeftSemi" in p),
+            ],
+        )
+    )
+
     lines = ["# Plan audit (auto-generated by tools/plan_audit.py)", ""]
     failures = 0
     for title, plan, checks in sections:
