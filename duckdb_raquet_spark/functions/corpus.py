@@ -435,6 +435,7 @@ def write_shards(
     *,
     n_buckets: int = 1024,
     cols: list[str] | None = None,
+    seed: int | None = None,
 ) -> dict:
     """Export a cleaned corpus as size-bounded training shards: one
     Parquet partition directory per shard (``shard=K/``) plus a
@@ -444,6 +445,12 @@ def write_shards(
     (SURVEY.md: checkpoint-resumable encoding), letting a training job
     consume / resume / verify shard-by-shard without listing data
     files.
+
+    ``seed`` switches the fill order from id order to the seeded
+    deterministic GLOBAL shuffle (:func:`shuffle_shard_assignments`) —
+    the usual export for training, where shard K must be a random
+    sample of the corpus, not a crawl-order run; the manifest records
+    the seed so the permutation is reproducible.
 
     Plan: one :func:`shard_assignments` pass (the text column is
     tokenized exactly once, inside ``pack_sequences``'s checkpointed
@@ -457,8 +464,14 @@ def write_shards(
     import json
 
     spark = df.sparkSession
-    asg = shard_assignments(
-        df, id_col, text_col, shard_tokens, n_buckets=n_buckets
+    asg = (
+        shard_assignments(
+            df, id_col, text_col, shard_tokens, n_buckets=n_buckets
+        )
+        if seed is None
+        else shuffle_shard_assignments(
+            df, id_col, text_col, seed, shard_tokens, n_buckets=n_buckets
+        )
     )
     keep = [
         c for c in (cols if cols is not None else df.columns) if c != id_col
@@ -494,6 +507,7 @@ def write_shards(
     manifest = {
         "format": "raquet-shards/1",
         "shard_tokens": int(shard_tokens),
+        "seed": seed,
         "id_col": id_col,
         "columns": keep,
         "n_shards": len(stats),

@@ -1778,3 +1778,33 @@ def test_incremental_dedup_over_table_delta(spark, tmp_path):
     ]
     encode.delete_rows(spark, path, "url", drop_urls)
     assert scan.read_rows(spark, path).count() == 120
+
+
+def test_write_shards_shuffled(spark, tmp_path):
+    """seed= fills shards in the global-shuffle order: every doc lands
+    exactly once, shard token sums stay bounded, the manifest records
+    the seed, and the assignment differs from id order."""
+    from duckdb_raquet_spark.functions import corpus
+
+    rows = [(i, " ".join(["tok"] * 10)) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "shuf_shards")
+    man = corpus.write_shards(
+        df, path, "doc_id", "text", shard_tokens=200, n_buckets=4, seed=7
+    )
+    assert man["seed"] == 7 and man["n_shards"] == 3
+    assert [s["n_docs"] for s in man["shards"]] == [20, 20, 20]
+    back = spark.read.parquet(path)
+    assert sorted(r.doc_id for r in back.collect()) == list(range(1, 61))
+    # shuffled: shard 0 is NOT simply ids 1..20
+    s0 = sorted(r.doc_id for r in back.where("shard = 0").collect())
+    assert s0 != list(range(1, 21))
+    # and reproducible: same seed -> same assignment
+    path2 = str(tmp_path / "shuf_shards2")
+    man2 = corpus.write_shards(
+        df, path2, "doc_id", "text", shard_tokens=200, n_buckets=4, seed=7
+    )
+    back2 = spark.read.parquet(path2)
+    a = {(r.doc_id, r.shard) for r in back.select("doc_id", "shard").collect()}
+    b = {(r.doc_id, r.shard) for r in back2.select("doc_id", "shard").collect()}
+    assert a == b and man2["shards"] == man["shards"]
