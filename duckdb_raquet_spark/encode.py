@@ -1144,6 +1144,16 @@ def append_chunk(
     return final
 
 
+def rollback_to_tag(spark: SparkSession, path: str, name: str) -> dict:
+    """Roll the table back to the state a tag pins (Iceberg's
+    ``rollback_to_snapshot(table.refs['tag'].snapshot_id)`` shorthand):
+    resolve the ref, then :func:`rollback_to_snapshot`. The tag's pin
+    guarantees the target snapshot (and its files) still exist — a
+    tagged state is always restorable, however much ingest and expiry
+    happened since."""
+    return rollback_to_snapshot(spark, path, mf.resolve_ref(path, name, spark))
+
+
 def rollback_to_snapshot(spark: SparkSession, path: str, snapshot_id: int) -> dict:
     """Roll a chunked table back to an earlier snapshot's visible chunk
     set (Iceberg rollback semantics: a NEW snapshot is committed whose
@@ -1239,10 +1249,14 @@ def expire_snapshots(
     path: str,
     *,
     keep_last: int = 1,
+    older_than_unix: float | None = None,
     delete_orphan_chunks: bool = True,
 ) -> dict:
     """Iceberg ``expire_snapshots`` + ``remove_orphan_files`` analog:
-    retain the newest ``keep_last`` snapshots, delete the older
+    retain the newest ``keep_last`` snapshots — plus, when
+    ``older_than_unix`` is given, EVERY snapshot committed at or after
+    it (Iceberg's ``older_than``/``retain_last`` pair: age is the
+    retention policy, ``keep_last`` the floor) — delete the older
     snapshot files, and (optionally) delete chunk directories no
     retained snapshot references — the physical reclamation step after
     rollbacks/compaction at 100 TB, where orphaned chunks are real
@@ -1263,8 +1277,15 @@ def expire_snapshots(
     tagged = {
         int(r["snapshot_id"]) for r in mf.read_refs(path, spark).values()
     }
-    keep_ids = sorted(set(ids[-keep_last:]) | (tagged & set(ids)))
-    expired = [i for i in ids if i not in set(keep_ids)]
+    keep = set(ids[-keep_last:]) | (tagged & set(ids))
+    if older_than_unix is not None:
+        keep |= {
+            i
+            for i in ids
+            if snaps[i].get("committed_unix", 0) >= older_than_unix
+        }
+    keep_ids = sorted(keep)
+    expired = [i for i in ids if i not in keep]
     retained_chunks: set[int] = set()
     for i in keep_ids:
         retained_chunks.update(int(c) for c in snaps[i]["chunks"])

@@ -18,6 +18,8 @@ they cost the same on a 100 TB table as on the test fixtures.
     ... expire --keep-last 3                 # snapshots + orphan chunks/deletes
     ... tag corpus-v3 [--snapshot 4]         # immutable ref, pins vs expiry
     ... drop-tag corpus-v3 | tags            # refs are CAS-created files
+    ... rollback --tag corpus-v3             # or --snapshot N
+    ... expire --keep-last 1 --older-than 1767225600   # age + floor + tags
     ... history                              # one JSON line per snapshot
     ... changes --from-snapshot 2 [--to-snapshot 5] [--cols a,b]
 
@@ -72,6 +74,13 @@ def main() -> None:
 
     p = sub.add_parser("expire")
     p.add_argument("--keep-last", type=int, default=1)
+    p.add_argument("--older-than", type=float, default=None,
+                   help="unix ts: retain every snapshot committed at/after it")
+
+    p = sub.add_parser("rollback")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--snapshot", type=int, default=None)
+    g.add_argument("--tag", default=None)
 
     p = sub.add_parser("tag")
     p.add_argument("name")
@@ -168,9 +177,26 @@ def main() -> None:
         }))
     elif args.cmd == "expire":
         out = encode.expire_snapshots(
-            spark, args.path, keep_last=args.keep_last
+            spark, args.path, keep_last=args.keep_last,
+            older_than_unix=args.older_than,
         )
         print(json.dumps({"op": "expire", "table": args.path, **out}))
+    elif args.cmd == "rollback":
+        from duckdb_raquet_spark import manifest as mf
+
+        if args.tag is not None:
+            man = encode.rollback_to_tag(spark, args.path, args.tag)
+        else:
+            man = encode.rollback_to_snapshot(spark, args.path, args.snapshot)
+        snap = mf.current_snapshot(args.path, spark)
+        print(json.dumps({
+            "op": "rollback",
+            "table": args.path,
+            "to": args.tag if args.tag is not None else args.snapshot,
+            "new_snapshot": snap["snapshot_id"],
+            "visible_chunks": snap["chunks"],
+            "num_rows": man["num_rows"],
+        }))
     elif args.cmd == "tag":
         ref = encode.create_tag(
             spark, args.path, args.name, snapshot_id=args.snapshot

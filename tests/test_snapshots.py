@@ -375,3 +375,33 @@ def test_incremental_read_refuses_expired_middle(spark, tt_table, tmp_path):
         scan.read_changes(spark, path, 0, 2).collect()
     with pytest.raises(ValueError, match="expired"):
         scan.read_appended_between(spark, path, 0, 2).collect()
+
+
+def test_rollback_to_tag_and_age_expiry(spark, tt_table, tmp_path):
+    """rollback_to_tag restores the tagged state; age-based expiry
+    retains every snapshot at/after older_than_unix plus the keep_last
+    floor and tag pins."""
+    path = str(tmp_path / "tbl")
+    shutil.copytree(tt_table, path)
+    encode.create_tag(spark, path, "base", snapshot_id=0)
+    man = encode.rollback_to_tag(spark, path, "base")  # snapshot 2
+    base = _urls_of(synth.synth_webtext(spark, 300, num_partitions=4))
+    assert man["num_rows"] == 300
+    assert _decode_urls(
+        scan.read_blocks_at(spark, path), scan.read_manifest(spark, path)
+    ) == base
+    snaps = mf.read_snapshots(path, spark)
+    assert sorted(snaps) == [0, 1, 2]
+    # age policy: cutoff after snapshot 1's commit -> 0 survives only
+    # via its tag, 1 expires, 2 is recent
+    cutoff = snaps[1]["committed_unix"] + 0.001
+    res = encode.expire_snapshots(
+        spark, path, keep_last=1, older_than_unix=cutoff
+    )
+    assert res["retained_snapshots"] == [0, 2]
+    assert res["expired_snapshots"] == [1]
+    # everything newer than an ancient cutoff is retained
+    res = encode.expire_snapshots(spark, path, keep_last=1, older_than_unix=0)
+    assert res["expired_snapshots"] == []
+    with pytest.raises(KeyError):
+        encode.rollback_to_tag(spark, path, "nope")
