@@ -1767,6 +1767,24 @@ def q_txt_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def q_txt_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's selection step: deterministic priority sampling (Duffield
+    2007) of 50 docs with weight 2^llr_bits — the k smallest
+    md5_uniform >> (llr_bits - min), integer-exact, id tiebreak. The
+    sample leans target-like without being a hard top-k cutoff."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text", (F.col("source") == "src0").alias("tgt"))
+    )
+    scores = tx.dsir_scores(docs, "doc_id", "text", "tgt", n_buckets=4096)
+    sel = corpusfn.priority_sample(scores, "doc_id", "llr_bits", 50, seed=5)
+    return sel.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "llr_bits"
+    ).orderBy("doc_id")
+
+
 def q_txt_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016): six
     merge rounds over the normalized document corpus. The corpus is
@@ -1953,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "txt_bigram_lm": q_txt_bigram_lm,
         "dedup_incremental": q_dedup_incremental,
+        "txt_dsir_sample": q_txt_dsir_sample,
         # --- past the driver's 50-query cap: long-green pure-Column
         # queries displaced by the round-5 tail (each driver-scored
         # green in r1-r4 and judge-checkable via check_oracle.py) plus
@@ -2028,6 +2047,49 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
 # global (unblocked) all-pairs oracle: MinHash+LSH must reproduce the
 # exact >=0.5 pair set without ever computing the quadratic product —
 # locally verified recall 1.0 (25/25 pairs at sf0.01)
+# DSIR whole-bit LLR scores as a reusable CTE (final CTE: `scores`);
+# shared by the txt_dsir oracle and the txt_dsir_sample selection step
+_DSIR_SCORES_CTE = """
+            WITH d AS (
+              SELECT doc_id, text, (source = 'src0') AS is_target
+              FROM documents
+            ), tk AS (
+              SELECT doc_id, is_target,
+                list_filter(string_split(text, ' '), w -> w <> '') AS t
+              FROM d
+            ), g AS (
+              SELECT doc_id, is_target,
+                unnest(list_transform(range(1, len(t)),
+                       i -> t[i] || ' ' || t[i + 1])) AS gram
+              FROM tk
+            ), p AS (
+              SELECT doc_id, is_target,
+                (('0x' || substr(md5(gram), 1, 15))::BIGINT % 4096) AS b,
+                count(*)::BIGINT AS c
+              FROM g GROUP BY 1, 2, 3
+            ), m AS (
+              SELECT b,
+                sum(CASE WHEN is_target THEN c ELSE 0 END)::BIGINT AS tb,
+                sum(c)::BIGINT AS rb
+              FROM p GROUP BY b
+            ), tot AS (
+              SELECT sum(tb)::BIGINT AS tt, sum(rb)::BIGINT AS rr FROM m
+            ), s AS (
+              SELECT doc_id,
+                sum(c)::BIGINT AS n_grams,
+                (sum(c) * (length(bin(rr + 1)) - length(bin(tt + 1)))
+                 + sum(c * (length(bin(tb + 1))
+                            - length(bin(rb + 1)))))::BIGINT AS llr_bits
+              FROM p JOIN m USING (b) CROSS JOIN tot
+              GROUP BY doc_id, tt, rr
+            ), scores AS (
+              SELECT d.doc_id, d.is_target,
+                coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+                coalesce(s.llr_bits, 0)::BIGINT AS llr_bits
+              FROM d LEFT JOIN s USING (doc_id)
+            )"""
+
+
 _JACCARD_PAIRS_GLOBAL = (
     _SHINGLE_CTE
     + """
@@ -3254,44 +3316,26 @@ def oracle_sql() -> dict[str, str]:
               unnest(range(0, nc))::INT AS epoch
             FROM n WHERE nc > 0
             ORDER BY doc_id, epoch""",
-        "txt_dsir": """
-            WITH d AS (
-              SELECT doc_id, text, (source = 'src0') AS is_target
-              FROM documents
-            ), tk AS (
-              SELECT doc_id, is_target,
-                list_filter(string_split(text, ' '), w -> w <> '') AS t
-              FROM d
-            ), g AS (
-              SELECT doc_id, is_target,
-                unnest(list_transform(range(1, len(t)),
-                       i -> t[i] || ' ' || t[i + 1])) AS gram
-              FROM tk
-            ), p AS (
-              SELECT doc_id, is_target,
-                (('0x' || substr(md5(gram), 1, 15))::BIGINT % 4096) AS b,
-                count(*)::BIGINT AS c
-              FROM g GROUP BY 1, 2, 3
-            ), m AS (
-              SELECT b,
-                sum(CASE WHEN is_target THEN c ELSE 0 END)::BIGINT AS tb,
-                sum(c)::BIGINT AS rb
-              FROM p GROUP BY b
-            ), tot AS (
-              SELECT sum(tb)::BIGINT AS tt, sum(rb)::BIGINT AS rr FROM m
-            ), s AS (
-              SELECT doc_id,
-                sum(c)::BIGINT AS n_grams,
-                (sum(c) * (length(bin(rr + 1)) - length(bin(tt + 1)))
-                 + sum(c * (length(bin(tb + 1))
-                            - length(bin(rb + 1)))))::BIGINT AS llr_bits
-              FROM p JOIN m USING (b) CROSS JOIN tot
-              GROUP BY doc_id, tt, rr
+        "txt_dsir": _DSIR_SCORES_CTE + """
+            SELECT doc_id, is_target, n_grams, llr_bits FROM scores
+            ORDER BY doc_id""",
+        # priority sampling (Duffield 2007) with w = 2^llr_bits: the k
+        # smallest h >> least(llr_bits - min, 59), md5-uniform h, id
+        # tiebreak — pure integers, replayed bit-for-bit
+        "txt_dsir_sample": _DSIR_SCORES_CTE + """,
+            keyed AS (
+              SELECT doc_id, llr_bits,
+                ('0x' || substr(md5('5:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                  AS h,
+                llr_bits - (SELECT min(llr_bits) FROM scores) AS rel
+              FROM scores
+            ),
+            sel AS (
+              SELECT doc_id, llr_bits FROM keyed
+              ORDER BY (h >> least(rel, 59)), doc_id
+              LIMIT 50
             )
-            SELECT d.doc_id, d.is_target,
-              coalesce(s.n_grams, 0)::BIGINT AS n_grams,
-              coalesce(s.llr_bits, 0)::BIGINT AS llr_bits
-            FROM d LEFT JOIN s USING (doc_id)
+            SELECT doc_id::BIGINT AS doc_id, llr_bits FROM sel
             ORDER BY doc_id""",
         "txt_bpe": _bpe_oracle_sql(6),
         "txt_url_block": r"""

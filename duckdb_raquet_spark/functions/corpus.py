@@ -41,6 +41,7 @@ __all__ = [
     "domain_quota",
     "chunk_dedup_filter",
     "mix_epochs",
+    "priority_sample",
     "shard_assignments",
     "shuffle_shard_assignments",
     "write_shards",
@@ -367,6 +368,61 @@ def shard_assignments(
         "tok_offset",
         F.col("seq_first").alias("shard"),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_bits_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    selection step of importance-resampling pipelines (DSIR's "R":
+    score, then sample by weight; Xie et al. 2023), as priority
+    sampling (Duffield, Lund & Thorup 2007): doc i gets priority
+    ``w_i / u_i`` and the k highest-priority docs are the sample.
+
+    Weights are powers of two, ``w_i = 2^bits_i`` with ``bits_i`` an
+    integer column (the repo's whole-bit LLR/rarity scores plug in
+    directly), and ``u_i`` is the md5-uniform of ``"<seed>:<id>"`` on
+    [0, 2^60) — so the priority ORDER is realized integer-exactly as
+    the k SMALLEST values of ``h_i >> (bits_i - min_bits)`` (common
+    weight scaling cancels in the order; the shift is capped at 59, a
+    2^59 dynamic range, beyond which heavier docs tie at key 0 and the
+    id breaks ties deterministically). No floats anywhere, so the
+    sample is reproducible across runs AND engines (DuckDB: ``h >>
+    least(bits - mn, 59)``).
+
+    Plan at 10^12 docs: one narrow (id, bits) projection
+    (localCheckpoint — scanned by the 1-row min aggregate and the
+    top-k), a pure-Column key, and a distributed
+    ``TakeOrderedAndProject`` top-k — never a global sort; the k
+    winners semi-join back to the full rows.
+
+    Returns the k sampled rows of ``df`` (all original columns).
+    """
+    nw = df.select(
+        F.col(id_col).alias("_pid"),
+        F.col(weight_bits_col).cast("long").alias("_pw"),
+    ).localCheckpoint(eager=False)
+    row = nw.agg(F.min("_pw").alias("mn")).first()
+    if row is None or row["mn"] is None:
+        return df.limit(0)
+    mn = int(row["mn"])
+    h = _md5_priority(
+        F.concat(F.lit(f"{int(seed)}:"), F.col("_pid").cast("string"))
+    )
+    keyed = (
+        nw.withColumn("_h", h)
+        .withColumn(
+            "_s",
+            F.least(F.col("_pw") - F.lit(mn), F.lit(59)).cast("int"),
+        )
+        .withColumn("_key", F.expr("shiftright(_h, _s)"))
+    )
+    top = keyed.orderBy("_key", "_pid").limit(int(k)).select("_pid")
+    return df.join(top, df[id_col] == F.col("_pid"), "left_semi")
 
 
 def shuffle_shard_assignments(

@@ -1808,3 +1808,40 @@ def test_write_shards_shuffled(spark, tmp_path):
     a = {(r.doc_id, r.shard) for r in back.select("doc_id", "shard").collect()}
     b = {(r.doc_id, r.shard) for r in back2.select("doc_id", "shard").collect()}
     assert a == b and man2["shards"] == man["shards"]
+
+
+# ----------------------------------------------------- priority sample ----
+
+
+def test_priority_sample_closed_form(spark):
+    """The sample is exactly the k smallest md5_uniform >> (bits - min)
+    with id tiebreak — replayed in pure Python."""
+    from duckdb_raquet_spark.functions import corpus
+
+    rows = [(i, (i * 13) % 7) for i in range(1, 41)]  # bits in 0..6
+    df = spark.createDataFrame(rows, "doc_id long, bits long")
+    got = sorted(
+        r.doc_id
+        for r in corpus.priority_sample(df, "doc_id", "bits", 10, seed=5).collect()
+    )
+    keys = sorted(
+        (_md5_pri(5, i) >> min(b, 59), i) for i, b in rows
+    )
+    want = sorted(i for _k, i in keys[:10])
+    assert got == want
+
+
+def test_priority_sample_weight_monotone(spark):
+    """A doc with overwhelming weight is always sampled; k >= n returns
+    everything; all columns survive."""
+    from duckdb_raquet_spark.functions import corpus
+
+    rows = [(i, 0, f"d{i}") for i in range(1, 31)] + [(99, 59, "heavy")]
+    df = spark.createDataFrame(rows, "doc_id long, bits long, tag string")
+    out = corpus.priority_sample(df, "doc_id", "bits", 5, seed=1)
+    assert 99 in {r.doc_id for r in out.collect()}
+    assert out.columns == ["doc_id", "bits", "tag"]
+    assert corpus.priority_sample(df, "doc_id", "bits", 100).count() == 31
+    assert corpus.priority_sample(
+        df.limit(0), "doc_id", "bits", 5
+    ).count() == 0
