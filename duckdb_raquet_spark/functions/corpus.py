@@ -43,6 +43,7 @@ __all__ = [
     "mix_epochs",
     "priority_sample",
     "shard_assignments",
+    "verify_shards",
     "shuffle_shard_assignments",
     "write_shards",
 ]
@@ -368,6 +369,63 @@ def shard_assignments(
         "tok_offset",
         F.col("seq_first").alias("shard"),
     )
+
+
+def verify_shards(spark, path: str) -> dict:
+    """Consumer-side shard verification: recompute every shard's
+    (n_docs, n_tokens, id range) from the Parquet data with one
+    aggregate and diff it against ``_shards_manifest.json`` — the
+    check a training job runs before resuming from shard K (the
+    shard-level twin of the encoder's lineage validation). Token
+    counts come from the persisted ``n_tokens`` column, so
+    verification never re-tokenizes text.
+
+    Returns ``{"ok": bool, "n_shards": int, "mismatches": [...]}``
+    where each mismatch names the shard and the (manifest, actual)
+    pair that disagrees — empty when the export is intact.
+    """
+    import json
+
+    from .. import fsio
+
+    man = json.loads(fsio.read_bytes(spark, path, "_shards_manifest.json"))
+    id_col = man["id_col"]
+    actual = {
+        int(r["shard"]): (
+            int(r["n_docs"]), int(r["n_tokens"]),
+            int(r["min_id"]), int(r["max_id"]),
+        )
+        for r in spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .collect()
+    }
+    mismatches: list[dict] = []
+    seen = set()
+    for s in man["shards"]:
+        k = int(s["shard"])
+        seen.add(k)
+        want = (
+            int(s["n_docs"]), int(s["n_tokens"]),
+            int(s["min_id"]), int(s["max_id"]),
+        )
+        got = actual.get(k)
+        if got != want:
+            mismatches.append({"shard": k, "manifest": want, "actual": got})
+    for k in sorted(set(actual) - seen):
+        mismatches.append(
+            {"shard": k, "manifest": None, "actual": actual[k]}
+        )
+    return {
+        "ok": not mismatches,
+        "n_shards": man["n_shards"],
+        "mismatches": mismatches,
+    }
 
 
 def priority_sample(

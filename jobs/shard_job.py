@@ -39,6 +39,8 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=1024)
     ap.add_argument("--cols", default=None,
                     help="comma list of columns to carry (default: all)")
+    ap.add_argument("--verify", action="store_true",
+                    help="re-read the export and diff it vs the manifest")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -57,7 +59,7 @@ def main() -> None:
         cols=args.cols.split(",") if args.cols else None,
         seed=args.seed,
     )
-    print(json.dumps({
+    out = {
         "op": "shard-export",
         "output": args.output,
         "n_shards": man["n_shards"],
@@ -65,7 +67,12 @@ def main() -> None:
         "n_tokens": sum(s["n_tokens"] for s in man["shards"]),
         "shard_tokens": man["shard_tokens"],
         "seed": man["seed"],
-    }))
+    }
+    if args.verify:
+        res = corpus.verify_shards(spark, args.output)
+        out["verified"] = res["ok"]
+        out["mismatches"] = res["mismatches"]
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -1845,3 +1845,22 @@ def test_priority_sample_weight_monotone(spark):
     assert corpus.priority_sample(
         df.limit(0), "doc_id", "bits", 5
     ).count() == 0
+
+
+def test_verify_shards_detects_tampering(spark, tmp_path):
+    from duckdb_raquet_spark.functions import corpus
+
+    rows = [(i, " ".join(["t"] * 10)) for i in range(1, 31)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "vsh")
+    corpus.write_shards(df, path, "doc_id", "text", shard_tokens=100)
+    res = corpus.verify_shards(spark, path)
+    assert res["ok"] and res["mismatches"] == [] and res["n_shards"] == 3
+    # drop one shard's files -> that shard mismatches, others stay ok
+    import shutil as sh
+
+    sh.rmtree(f"{path}/shard=1")
+    res = corpus.verify_shards(spark, path)
+    assert not res["ok"]
+    assert [m["shard"] for m in res["mismatches"]] == [1]
+    assert res["mismatches"][0]["actual"] is None
