@@ -14,6 +14,11 @@ doc_id labeled with its component's canonical keeper.
 
 Output table: (doc_id, keep_id, reason) where reason in
 ('exact', 'near', 'unique'); plus one JSON summary line on stdout.
+With --digest-index, the job runs INCREMENTALLY across invocations:
+docs whose 192-bit digest is already in the index are dropped before
+any tokenization (exact matches only — near-dup detection stays
+per-batch), and this run's kept digests are appended, so dedup of a
+growing corpus costs O(batch) per ingest, never O(history).
 With --delete-from, the drop list is additionally applied to a
 committed raquet table as ONE Iceberg-style equality-delete commit
 (encode.delete_rows) — the dedup sweep physically rewrites nothing.
@@ -45,6 +50,13 @@ def main() -> None:
         "safe here because the consumer is connected components",
     )
     ap.add_argument(
+        "--digest-index",
+        default=None,
+        help="parquet dir of (_len,_md5,_xx) digests from prior runs: "
+        "docs already in it are dropped up front (O(batch) incremental "
+        "dedup), and this run's kept docs are appended to it",
+    )
+    ap.add_argument(
         "--delete-from",
         default=None,
         help="raquet table path: apply the drop list as one equality-"
@@ -63,6 +75,23 @@ def main() -> None:
     docs = spark.read.parquet(args.input).select(
         F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
     )
+
+    # 0. cross-RUN incremental dedup: anti-join the batch's digests
+    #    against the persisted index (bytes ∝ batch, never the history;
+    #    within-batch dedup stays with steps 1-3 so reason labels hold)
+    dig = ["_len", "_md5", "_xx"]
+    n_dropped_by_index = 0
+    if args.digest_index:
+        try:
+            idx = spark.read.parquet(args.digest_index).select(*dig)
+        except Exception:
+            idx = None  # first run: no index yet
+        if idx is not None:
+            d0 = docs.select("doc_id", *dedup.exact_digest_cols("text"))
+            fresh_ids = d0.join(idx, dig, "left_anti").select("doc_id")
+            n_before = docs.count()
+            docs = docs.join(fresh_ids, "doc_id", "left_semi")
+            n_dropped_by_index = n_before - docs.count()
 
     # 1. exact dedup on the 192-bit digest — collapses byte-identical
     #    copies before any tokenization (ONE digest definition shared
@@ -122,6 +151,18 @@ def main() -> None:
         "dropped_by_reason": by_reason,
         "output": args.output,
     }
+    if args.digest_index:
+        # append this run's KEPT digests so the next batch dedups
+        # against everything ever kept (the index grows by kept docs
+        # only, ~45 bytes each)
+        keepers = out.where(F.col("doc_id") == F.col("keep_id")).select(
+            "doc_id"
+        )
+        d.join(keepers, "doc_id", "left_semi").select(*dig).write.mode(
+            "append"
+        ).parquet(args.digest_index)
+        summary["digest_index"] = args.digest_index
+        summary["dropped_by_index"] = n_dropped_by_index
     if args.delete_from:
         from duckdb_raquet_spark import encode
 
