@@ -623,9 +623,130 @@ def _find_vp8l_chunk(payload: bytes) -> bytes:
     raise ValueError("webp: no VP8L chunk found")
 
 
+# ------------------------ optional lossy-VP8 path (system libwebp) ----
+#
+# The from-scratch VP8L decoder above stays the PRIMARY path. Lossy
+# VP8 needs RFC 6386's ~1,100 probability/dequant constants, which
+# this offline sandbox cannot source — so, exactly like the reference
+# (which decodes ALL webp through libwebp,
+# /root/reference/src/raster/band_decoder.cpp:129-154), we bind the
+# SYSTEM libwebp when it exists and keep the counted-skip containment
+# (`image_features(on_error='mark')`, `media_coverage`) when it does
+# not. Import-try gated: no hard dependency, no behavior change on
+# hosts without the library.
+
+
+def _load_libwebp():
+    import ctypes
+    import ctypes.util
+
+    name = ctypes.util.find_library("webp") or "libwebp.so.7"
+    try:
+        lib = ctypes.CDLL(name)
+        lib.WebPDecodeRGBA.restype = ctypes.c_void_p
+        lib.WebPDecodeRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        if hasattr(lib, "WebPFree"):
+            lib.WebPFree.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "WebPEncodeRGBA"):
+            lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+            lib.WebPEncodeRGBA.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_float, ctypes.POINTER(ctypes.c_void_p),
+            ]
+        return lib
+    except Exception:
+        return None
+
+
+_LIBWEBP = _load_libwebp()
+
+
+def _webp_free(ptr: int) -> None:
+    import ctypes
+
+    if hasattr(_LIBWEBP, "WebPFree"):
+        _LIBWEBP.WebPFree(ctypes.c_void_p(ptr))
+    else:  # pre-0.5 libwebp: buffers come from malloc
+        ctypes.CDLL(None).free(ctypes.c_void_p(ptr))
+
+
+def decode_vp8_lossy(payload: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a lossy-VP8 (or any) WebP file via the system libwebp —
+    the whole RIFF container goes to ``WebPDecodeRGBA``. Raises the
+    same 'not supported' ValueError as before when the library is
+    absent, so containment semantics are unchanged on hosts without
+    it."""
+    if _LIBWEBP is None:
+        raise ValueError(
+            "lossy VP8 webp not supported (VP8L only; system libwebp "
+            "not found)"
+        )
+    import ctypes
+
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    ptr = _LIBWEBP.WebPDecodeRGBA(
+        payload, len(payload), ctypes.byref(w), ctypes.byref(h)
+    )
+    if not ptr:
+        raise ValueError("libwebp: decode failed")
+    try:
+        n = w.value * h.value * 4
+        buf = ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8 * n)).contents
+        arr = (
+            np.frombuffer(buf, dtype=np.uint8)
+            .reshape(h.value, w.value, 4)
+            .copy()
+        )
+    finally:
+        _webp_free(ptr)
+    return arr, {
+        "width": w.value,
+        "height": h.value,
+        "channels": 4,
+        "format": "webp",
+        "lossy": True,
+    }
+
+
+def encode_vp8_lossy(rgba: np.ndarray, quality: float = 75.0) -> bytes:
+    """Encode (H, W, 4) RGBA uint8 as a LOSSY VP8 WebP via the system
+    libwebp (fixture/support twin of :func:`decode_vp8_lossy`)."""
+    if _LIBWEBP is None or not hasattr(_LIBWEBP, "WebPEncodeRGBA"):
+        raise ValueError("system libwebp (with WebPEncodeRGBA) not found")
+    import ctypes
+
+    if rgba.ndim != 3 or rgba.shape[2] != 4 or rgba.dtype != np.uint8:
+        raise ValueError("encode_vp8_lossy needs (H, W, 4) uint8")
+    h, w = rgba.shape[:2]
+    out = ctypes.c_void_p()
+    size = _LIBWEBP.WebPEncodeRGBA(
+        np.ascontiguousarray(rgba).tobytes(), w, h, w * 4,
+        float(quality), ctypes.byref(out),
+    )
+    if not size or not out.value:
+        raise ValueError("libwebp: encode failed")
+    try:
+        data = ctypes.string_at(out.value, size)
+    finally:
+        _webp_free(out.value)
+    return data
+
+
 def decode_webp(payload: bytes) -> tuple[np.ndarray, dict]:
-    """Decode a WebP file (lossless VP8L, incl. inside VP8X)."""
-    arr, meta = decode_vp8l(_find_vp8l_chunk(payload))
+    """Decode a WebP file: lossless VP8L (from-scratch decoder, incl.
+    inside VP8X) with lossy VP8 routed to the system libwebp when
+    present."""
+    try:
+        arr, meta = decode_vp8l(_find_vp8l_chunk(payload))
+    except ValueError as e:
+        if "lossy VP8" in str(e) and _LIBWEBP is not None:
+            arr, meta = decode_vp8_lossy(payload)
+        else:
+            raise
     meta["n_bytes"] = len(payload)
     return arr, meta
 

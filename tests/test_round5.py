@@ -637,7 +637,12 @@ def test_lossy_vp8_counted_not_dropped(spark):
     lossy = mm.synth_webp_lossy_bytes(5)
     hdr = wc.parse_webp_header(lossy)
     assert (hdr["width"], hdr["height"]) == (16, 13)  # observable dims
-    with pytest.raises(ValueError, match="lossy"):
+    # the synthetic payload is a structurally-valid container around a
+    # FAKE bitstream: without libwebp it raises 'lossy VP8 ... not
+    # supported'; with libwebp it reaches the real decoder and fails
+    # there — either way a loud ValueError, so containment (counted
+    # NULL-feature rows) is identical on both host types
+    with pytest.raises(ValueError, match="lossy|libwebp"):
         wc.decode_webp(lossy)
 
     rows = [
@@ -1864,3 +1869,69 @@ def test_verify_shards_detects_tampering(spark, tmp_path):
     assert not res["ok"]
     assert [m["shard"] for m in res["mismatches"]] == [1]
     assert res["mismatches"][0]["actual"] is None
+
+
+# ------------------------------------------- lossy VP8 via system libwebp ----
+
+
+def _gradient_rgba(h=48, w=64):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (x * 4).astype(np.uint8),
+            (y * 5).astype(np.uint8),
+            ((x + y) * 2).astype(np.uint8),
+            np.full((h, w), 255, np.uint8),
+        ],
+        axis=-1,
+    )
+
+
+def test_lossy_vp8_roundtrip_via_libwebp():
+    import numpy as np
+
+    from duckdb_raquet_spark.functions import webpcodec as wc
+
+    if wc._LIBWEBP is None:
+        pytest.skip("system libwebp not present")
+    rgba = _gradient_rgba()
+    data = wc.encode_vp8_lossy(rgba, quality=90)
+    assert data[12:16] == b"VP8 "  # genuinely lossy chunk
+    arr, meta = wc.decode_webp(data)
+    assert arr.shape == rgba.shape and meta["lossy"] is True
+    assert meta["n_bytes"] == len(data)
+    # lossy but close on a smooth gradient
+    assert np.abs(arr.astype(int) - rgba.astype(int)).mean() < 4.0
+    # header-only dims still come from our own parser, no libwebp
+    hdr = wc.parse_webp_header(data)
+    assert (hdr["width"], hdr["height"]) == (64, 48)
+
+
+def test_lossy_vp8_containment_without_libwebp(monkeypatch):
+    """Hosts without libwebp keep the exact counted-skip behavior."""
+    from duckdb_raquet_spark.functions import webpcodec as wc
+
+    if wc._LIBWEBP is None:
+        pytest.skip("system libwebp not present")
+    data = wc.encode_vp8_lossy(_gradient_rgba(), quality=80)
+    monkeypatch.setattr(wc, "_LIBWEBP", None)
+    with pytest.raises(ValueError, match="not supported"):
+        wc.decode_webp(data)
+
+
+def test_image_features_decodes_lossy_webp(spark):
+    """End to end through the Arrow UDF: a lossy-VP8 payload now yields
+    real features instead of a marked skip (and VP8L rows still decode
+    through the from-scratch path)."""
+    from duckdb_raquet_spark.functions import multimodal, webpcodec as wc
+
+    if wc._LIBWEBP is None:
+        pytest.skip("system libwebp not present")
+    lossy = wc.encode_vp8_lossy(_gradient_rgba(), quality=80)
+    df = spark.createDataFrame([(1, bytearray(lossy))], "img_id long, img binary")
+    out = multimodal.image_features(df, "img_id", "img", on_error="mark").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["width"] == 64 and r["height"] == 48
