@@ -194,6 +194,19 @@ def rewrite_boundaries(
     for sid in (from_snapshot_id, to_id):
         if sid not in snaps:
             raise KeyError(f"no snapshot {sid} at {path}; have {sorted(snaps)}")
+    # an expired middle (possible once tags pin non-contiguous
+    # survivors) would make the returned pairs reference missing
+    # snapshots AND could hide a rewrite from the op scan — refuse
+    # here, where the consumer plans, not later inside read_changes
+    missing = [
+        i for i in range(from_snapshot_id + 1, to_id + 1) if i not in snaps
+    ]
+    if missing:
+        raise ValueError(
+            f"rewrite_boundaries range ({from_snapshot_id}, {to_id}] "
+            f"crosses expired snapshot(s) {missing}: re-baseline the "
+            "consumer from a full read at a retained snapshot."
+        )
     rewrites = [
         i
         for i in sorted(snaps)

@@ -405,3 +405,16 @@ def test_rollback_to_tag_and_age_expiry(spark, tt_table, tmp_path):
     assert res["expired_snapshots"] == []
     with pytest.raises(KeyError):
         encode.rollback_to_tag(spark, path, "nope")
+
+
+def test_rewrite_boundaries_refuses_expired_middle(spark, tt_table, tmp_path):
+    path = str(tmp_path / "tbl")
+    shutil.copytree(tt_table, path)
+    extra = synth.synth_webtext(spark, 20, num_partitions=1, start=2_500_000)
+    encode.append_chunk(spark, extra, path)  # snapshots 0, 1, 2
+    encode.create_tag(spark, path, "base", snapshot_id=0)
+    encode.expire_snapshots(spark, path, keep_last=1)  # 1 expires
+    with pytest.raises(ValueError, match="expired"):
+        scan.rewrite_boundaries(spark, path, 0, 2)
+    # contiguous retained ranges still plan fine
+    assert scan.rewrite_boundaries(spark, path, 0, 0) == []
