@@ -191,6 +191,7 @@ class RaquetReader(DataSourceReader):
         if ref_opt is not None:
             sid_opt = mf.resolve_ref(self.path, ref_opt, None)
         self.snapshot: dict | None = None
+        snap_entries: list | None = None
         if sid_opt is not None:
             snaps = mf.read_snapshots(self.path, None)
             sid = int(sid_opt)
@@ -199,6 +200,13 @@ class RaquetReader(DataSourceReader):
                     f"no snapshot {sid} at {self.path}; have {sorted(snaps)}"
                 )
             self.snapshot = snaps[sid]
+            # replay rename-column ops committed AFTER the pinned
+            # snapshot (scan.read_delete_entries' rule): decode serves
+            # CURRENT names, so a tag taken before url->uri must key
+            # its delete set on uri, not the stale label
+            snap_entries = mf.remap_delete_entries(
+                snaps, sid, list(self.snapshot.get("delete_files", []))
+            )
         # equality-delete files (encode.delete_rows): value sets load
         # driver-side and ship with the pickled reader — the same
         # broadcast-sized contract as scan._apply_delete_entries.
@@ -207,8 +215,8 @@ class RaquetReader(DataSourceReader):
         # a per-ROW sequence, so one file can yield several groups.
         self.deletes: list[tuple[tuple[str, ...], int, set]] = []
         entries = (
-            self.snapshot.get("delete_files", [])
-            if self.snapshot is not None
+            snap_entries
+            if snap_entries is not None
             else self.man.get("delete_files", [])
         )
         for e in entries:

@@ -371,6 +371,23 @@ def shard_assignments(
     )
 
 
+def _shard_stats(spark, path: str, id_col: str) -> DataFrame:
+    """Per-shard lineage aggregate over an exported shard directory —
+    the ONE definition of what a shard manifest records, used by both
+    the author (:func:`write_shards`) and the consumer check
+    (:func:`verify_shards`) so they can never drift apart."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+    )
+
+
 def verify_shards(spark, path: str) -> dict:
     """Consumer-side shard verification: recompute every shard's
     (n_docs, n_tokens, id range) from the Parquet data with one
@@ -395,15 +412,7 @@ def verify_shards(spark, path: str) -> dict:
             int(r["n_docs"]), int(r["n_tokens"]),
             int(r["min_id"]), int(r["max_id"]),
         )
-        for r in spark.read.parquet(path)
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens"),
-            F.min(id_col).alias("min_id"),
-            F.max(id_col).alias("max_id"),
-        )
-        .collect()
+        for r in _shard_stats(spark, path, id_col).collect()
     }
     mismatches: list[dict] = []
     seen = set()
@@ -590,7 +599,7 @@ def write_shards(
     keep = [
         c for c in (cols if cols is not None else df.columns) if c != id_col
     ]
-    clash = {"n_tokens", "shard"} & set(keep)
+    clash = {"n_tokens", "shard", "_shard_id"} & set(keep)
     if clash:
         raise ValueError(
             f"columns {sorted(clash)} collide with shard-output names; "
@@ -606,18 +615,7 @@ def write_shards(
         asg["shard"],
     )
     rows.write.mode("overwrite").partitionBy("shard").parquet(path)
-    stats = (
-        spark.read.parquet(path)
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens"),
-            F.min(id_col).alias("min_id"),
-            F.max(id_col).alias("max_id"),
-        )
-        .orderBy("shard")
-        .collect()
-    )
+    stats = _shard_stats(spark, path, id_col).orderBy("shard").collect()
     manifest = {
         "format": "raquet-shards/1",
         "shard_tokens": int(shard_tokens),

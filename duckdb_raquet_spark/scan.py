@@ -148,14 +148,7 @@ def _guard_rewrites(snaps: dict, from_id: int, to_id: int, what: str) -> None:
     # id inside the range means expire_snapshots reclaimed it (possible
     # once tags pin non-contiguous survivors) — an expired middle could
     # hide a compact-chunks commit from this guard, so refuse loudly
-    missing = [i for i in range(from_id + 1, to_id + 1) if i not in snaps]
-    if missing:
-        raise ValueError(
-            f"{what} range ({from_id}, {to_id}] crosses expired "
-            f"snapshot(s) {missing}: history needed to prove the range "
-            "is rewrite-free is gone. Re-baseline the consumer from a "
-            "full read at a retained snapshot."
-        )
+    _check_contiguous(snaps, from_id, to_id, what)
     rewrote = [
         i
         for i in sorted(snaps)
@@ -169,6 +162,23 @@ def _guard_rewrites(snaps: dict, from_id: int, to_id: int, what: str) -> None:
             "sub-ranges from scan.rewrite_boundaries(path, "
             f"{from_id}, {to_id}) in order instead — each is exact, "
             "and the skipped replace steps are net no-ops."
+        )
+
+
+def _check_contiguous(snaps: dict, from_id: int, to_id: int, what: str) -> None:
+    """Refuse incremental ranges crossing EXPIRED history: snapshot ids
+    are claimed consecutively (parent + 1), so a missing id in
+    ``(from_id, to_id]`` proves ``expire_snapshots`` reclaimed it — and
+    an expired middle could hide a data-rewrite commit from the op
+    scan. Single source for ``_guard_rewrites`` and
+    ``rewrite_boundaries``."""
+    missing = [i for i in range(from_id + 1, to_id + 1) if i not in snaps]
+    if missing:
+        raise ValueError(
+            f"{what} range ({from_id}, {to_id}] crosses expired "
+            f"snapshot(s) {missing}: history needed to prove the range "
+            "is rewrite-free is gone. Re-baseline the consumer from a "
+            "full read at a retained snapshot."
         )
 
 
@@ -198,15 +208,7 @@ def rewrite_boundaries(
     # survivors) would make the returned pairs reference missing
     # snapshots AND could hide a rewrite from the op scan — refuse
     # here, where the consumer plans, not later inside read_changes
-    missing = [
-        i for i in range(from_snapshot_id + 1, to_id + 1) if i not in snaps
-    ]
-    if missing:
-        raise ValueError(
-            f"rewrite_boundaries range ({from_snapshot_id}, {to_id}] "
-            f"crosses expired snapshot(s) {missing}: re-baseline the "
-            "consumer from a full read at a retained snapshot."
-        )
+    _check_contiguous(snaps, from_snapshot_id, to_id, "rewrite_boundaries")
     rewrites = [
         i
         for i in sorted(snaps)

@@ -13,12 +13,15 @@ doc_id labeled with its component's canonical keeper.
         --delete-col doc_id]
 
 Output table: (doc_id, keep_id, reason) where reason in
-('exact', 'near', 'unique'); plus one JSON summary line on stdout.
-With --digest-index, the job runs INCREMENTALLY across invocations:
-docs whose 192-bit digest is already in the index are dropped before
-any tokenization (exact matches only — near-dup detection stays
-per-batch), and this run's kept digests are appended, so dedup of a
-growing corpus costs O(batch) per ingest, never O(history).
+('exact', 'near', 'unique', 'index'); plus one JSON summary line on
+stdout. With --digest-index, the job runs INCREMENTALLY across
+invocations: docs whose 192-bit digest is already in the index are
+dropped before any tokenization (exact matches only — near-dup
+detection stays per-batch) yet still appear in the output with
+reason='index' and a NULL keep_id (the keeper lives in a prior run),
+so --delete-from removes them too; this run's kept digests are
+appended afterward, so dedup of a growing corpus costs O(batch) per
+ingest, never O(history).
 With --delete-from, the drop list is additionally applied to a
 committed raquet table as ONE Iceberg-style equality-delete commit
 (encode.delete_rows) — the dedup sweep physically rewrites nothing.
@@ -78,20 +81,34 @@ def main() -> None:
 
     # 0. cross-RUN incremental dedup: anti-join the batch's digests
     #    against the persisted index (bytes ∝ batch, never the history;
-    #    within-batch dedup stays with steps 1-3 so reason labels hold)
+    #    within-batch dedup stays with steps 1-3 so reason labels hold).
+    #    Index-dropped docs are NOT discarded: they re-enter the
+    #    decision table with reason='index' and a NULL keep_id (their
+    #    keeper lives in a prior run), so --delete-from still deletes
+    #    them and every input doc has an output row.
     dig = ["_len", "_md5", "_xx"]
+    idx_dropped = None
     n_dropped_by_index = 0
     if args.digest_index:
         try:
             idx = spark.read.parquet(args.digest_index).select(*dig)
-        except Exception:
-            idx = None  # first run: no index yet
+        except Exception as e:
+            # only a MISSING path means "first run"; permissions or a
+            # schema-mismatched index must not silently disable
+            # incremental dedup (and then append to the wrong place)
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                idx = None
+            else:
+                raise
         if idx is not None:
             d0 = docs.select("doc_id", *dedup.exact_digest_cols("text"))
-            fresh_ids = d0.join(idx, dig, "left_anti").select("doc_id")
-            n_before = docs.count()
-            docs = docs.join(fresh_ids, "doc_id", "left_semi")
-            n_dropped_by_index = n_before - docs.count()
+            idx_dropped = d0.join(idx, dig, "left_semi").select("doc_id")
+            n_dropped_by_index = idx_dropped.count()
+            if n_dropped_by_index:
+                docs = docs.join(idx_dropped, "doc_id", "left_anti")
+            else:
+                idx_dropped = None
 
     # 1. exact dedup on the 192-bit digest — collapses byte-identical
     #    copies before any tokenization (ONE digest definition shared
@@ -132,14 +149,27 @@ def main() -> None:
             .alias("reason"),
         )
     )
+    if idx_dropped is not None:
+        keep_type = dict(decided.dtypes)["keep_id"]
+        decided = decided.unionByName(
+            idx_dropped.select(
+                "doc_id",
+                F.lit(None).cast(keep_type).alias("keep_id"),
+                F.lit("index").alias("reason"),
+            )
+        )
     decided.write.mode("overwrite").parquet(args.output)
 
     out = spark.read.parquet(args.output)
     n_total = out.count()
-    n_keep = out.where(F.col("doc_id") == F.col("keep_id")).count()
+    # eqNullSafe: reason='index' rows carry a NULL keep_id (the keeper
+    # is in a prior run) and must count as DROPPED, not vanish from
+    # both sides of a null-poisoned comparison
+    is_kept = F.col("doc_id").eqNullSafe(F.col("keep_id"))
+    n_keep = out.where(is_kept).count()
     by_reason = {
         r["reason"]: r["cnt"]
-        for r in out.where(F.col("doc_id") != F.col("keep_id"))
+        for r in out.where(~is_kept)
         .groupBy("reason")
         .agg(F.count("*").alias("cnt"))
         .collect()
@@ -155,7 +185,7 @@ def main() -> None:
         # append this run's KEPT digests so the next batch dedups
         # against everything ever kept (the index grows by kept docs
         # only, ~45 bytes each)
-        keepers = out.where(F.col("doc_id") == F.col("keep_id")).select(
+        keepers = out.where(is_kept).select(
             "doc_id"
         )
         d.join(keepers, "doc_id", "left_semi").select(*dig).write.mode(
@@ -167,7 +197,7 @@ def main() -> None:
         from duckdb_raquet_spark import encode
 
         col = args.delete_col or args.id_col
-        drops = out.where(F.col("doc_id") != F.col("keep_id")).select(
+        drops = out.where(~is_kept).select(
             F.col("doc_id").alias(col)
         )
         summary["deleted_from"] = args.delete_from

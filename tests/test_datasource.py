@@ -189,3 +189,26 @@ def test_datasource_time_travel_by_snapshot_and_ref(registered, tmp_path):
         ).load(path).count()
     with pytest.raises(Exception, match="no snapshot"):
         spark.read.format("raquet").option("snapshotId", 9).load(path).count()
+
+
+def test_datasource_tagged_read_survives_rename(registered, tmp_path):
+    """Delete on a column, tag, then RENAME that column: the tagged
+    DataSource read must remap the pinned snapshot's delete entries to
+    the current logical name (decode serves current names), exactly
+    like scan.read_delete_entries does."""
+    spark = registered
+    path = str(tmp_path / "tt_ren")
+    df = synth.synth_webtext(spark, 120, num_partitions=2)
+    encode.encode_to_path(spark, df, path, chunks=2, target_rows_per_block=32)
+    langs = [r[0] for r in df.select("lang").distinct().collect()]
+    encode.delete_rows(spark, path, "lang", [langs[0]])  # snapshot 1
+    encode.create_tag(spark, path, "v-del", snapshot_id=1)
+    encode.evolve_rename_column(spark, path, "lang", "language")
+    n_lang0 = df.where(F.col("lang") == langs[0]).count()
+    got = spark.read.format("raquet").option("ref", "v-del").load(path)
+    assert got.count() == 120 - n_lang0
+    assert "language" in got.columns and "lang" not in got.columns
+    assert got.where(F.col("language") == langs[0]).count() == 0
+    # engine reader agrees
+    eng = scan.read_rows(spark, path, ref="v-del")
+    assert eng.count() == 120 - n_lang0
