@@ -1233,6 +1233,21 @@ def q_rt_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.decode_blocks(blocks, man, ["doc_id", "text", "lang"])
 
 
+def q_rt_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot tags (Iceberg refs): tag the pre-append snapshot of the
+    time-travel table and read THROUGH the tag name — the release/audit
+    workflow. Must equal the plain documents table however much was
+    appended since; the tag also pins the state against expiry."""
+    q_rt_time_travel(spark, sf_dir)  # ensure the 2-snapshot table
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/raquet_entry_tt_{tag}_v{drs.__version__}"
+    if "orig" not in encode.list_tags(spark, path):
+        encode.create_tag(spark, path, "orig", snapshot_id=0)
+    man = scan.read_manifest(spark, path)
+    blocks = scan.read_blocks_at(spark, path, ref="orig")
+    return scan.decode_blocks(blocks, man, ["doc_id", "text", "lang"])
+
+
 def q_rt_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only schema evolution (Iceberg ALTER TABLE analog):
     encode 2 chunks (n_chars deliberately mis-typed as int), ADD COLUMN
@@ -1972,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_bigram_lm": q_txt_bigram_lm,
         "dedup_incremental": q_dedup_incremental,
         "txt_dsir_sample": q_txt_dsir_sample,
+        "rt_tag": q_rt_tag,
         # --- past the driver's 50-query cap: long-green pure-Column
         # queries displaced by the round-5 tail (each driver-scored
         # green in r1-r4 and judge-checkable via check_oracle.py) plus
@@ -2336,6 +2352,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "rt_roundtrip": "SELECT doc_id, text, lang FROM documents",
         "rt_time_travel": "SELECT doc_id, text, lang FROM documents",
+        "rt_tag": "SELECT doc_id, text, lang FROM documents",
         "rt_pinned_codecs": "SELECT doc_id, text, lang FROM documents",
         "rt_pinned_zstd": "SELECT doc_id, text, lang FROM documents",
         "rt_maponly": "SELECT doc_id, text, lang FROM documents",
