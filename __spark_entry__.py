@@ -925,6 +925,19 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate SPANS (Lee 2022 ExactSubstr): stride-1
+    20-token windows digested corpus-wide; non-first occurrences merge
+    into maximal per-doc token spans — the removal plan, catching
+    repeats at ANY offset (not just chunk-aligned). Digest-only
+    shuffle; islands merge runs within each doc only."""
+    docs = _read(spark, sf_dir, "documents")
+    spans = dedup.repeated_spans(docs, "doc_id", "text", min_tokens=20)
+    return spans.withColumnRenamed("id", "doc_id").orderBy(
+        "doc_id", "span_start"
+    )
+
+
 def q_dedup_minhash_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup FILTER (the step a pipeline actually
     runs): LSH candidate pairs -> exact-Jaccard verification ->
@@ -1988,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "txt_dsir_sample": q_txt_dsir_sample,
         "rt_tag": q_rt_tag,
+        "dedup_spans": q_dedup_spans,
         # --- past the driver's 50-query cap: long-green pure-Column
         # queries displaced by the round-5 tail (each driver-scored
         # green in r1-r4 and judge-checkable via check_oracle.py) plus
@@ -2822,6 +2836,44 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id)::BIGINT AS min_id,
                    max(doc_id)::BIGINT AS max_id
             FROM o GROUP BY 1 ORDER BY shard""",
+        # ExactSubstr spans: stride-1 window digests, keep-first via
+        # the packed (doc, pos) min (fixture-safe; the Spark side uses
+        # the overflow-proof struct min), islands via pos - row_number
+        "dedup_spans": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            o AS (
+              SELECT doc_id,
+                unnest([{'pos': i - 1,
+                         'd': md5(array_to_string(w[i:(i + 19)], ' '))}
+                        FOR i IN range(1, len(w) - 20 + 2)],
+                       recursive := true)
+              FROM t WHERE len(w) >= 20
+            ),
+            p AS (
+              SELECT doc_id, pos, d,
+                     doc_id::BIGINT * 1048576 + pos AS packed
+              FROM o
+            ),
+            k AS (SELECT d, min(packed) AS keep, count(*) AS c
+                  FROM p GROUP BY d),
+            dup AS (
+              SELECT doc_id, pos FROM p JOIN k USING (d)
+              WHERE c > 1 AND packed <> keep
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                pos - row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY pos) AS g
+              FROM dup
+            )
+            SELECT doc_id::BIGINT AS doc_id,
+                   min(pos)::BIGINT AS span_start,
+                   (max(pos) + 20)::BIGINT AS span_end,
+                   count(*)::BIGINT AS n_windows
+            FROM isl GROUP BY doc_id, g
+            ORDER BY doc_id, span_start""",
         # O(delta) ingest dedup: NOT EXISTS (not NOT IN) so a NULL base
         # text never poisons the filter, matching the anti-join; GROUP
         # BY text groups NULLs, matching the NULL-digest group

@@ -759,6 +759,85 @@ def line_dedup(
     )
 
 
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_tokens: int = 20,
+) -> DataFrame:
+    """Sliding-window EXACT-SUBSTRING duplicate detection — the
+    ExactSubstr variant of Lee et al. 2022 (arXiv:2107.06499), which
+    :func:`chunk_dedup`'s aligned non-overlapping passages only
+    approximate: every STRIDE-1 window of ``min_tokens`` tokens is
+    digested, a window occurrence is duplicated iff its digest occurs
+    elsewhere in the corpus and this occurrence is not the corpus-wide
+    first (min ``struct(doc, pos)``, the :func:`chunk_dedup` keeper
+    convention), and per document the overlapping duplicated windows
+    merge into MAXIMAL token spans — the removal plan ExactSubstr cuts
+    out of the text, catching repeats at ANY offset.
+
+    Cost model at 10^12 docs: one 16-byte digest row per TOKEN (Lee
+    2022 pays a corpus-wide suffix array for the same coverage) — the
+    explode carries digests, never text; the keeper is ONE map-side
+    partial hash aggregate (a boilerplate window shared by 10^8 pages
+    costs one combiner row per partition); the span merge is a window
+    WITHIN each document only (bounded by doc length), via the
+    ``pos - row_number()`` islands trick — never a global window.
+
+    Returns one row per maximal duplicated span:
+    ``(id, span_start, span_end, n_windows)`` — token offsets, 0-based
+    start, exclusive end. Docs with no duplicated window emit no row.
+    """
+    toks = tokens_col(F.col(text_col))
+    lw = int(min_tokens)
+    n_win = F.size(toks) - lw + 1
+    digs = F.transform(
+        # sequence(0, -1) is DESCENDING in Spark: gate on n_win > 0
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.md5(
+            F.array_join(F.slice(toks, i + 1, lw), " ").cast("binary")
+        ),
+    )
+    occ = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.when(n_win > 0, digs).alias("_d"),
+        )
+        .select("id", F.posexplode("_d").alias("pos", "_w"))
+        .withColumn(
+            "_occ",
+            F.struct(F.col("id").cast("long").alias("id"), F.col("pos")),
+        )
+    )
+    g = occ.groupBy("_w").agg(
+        F.min("_occ").alias("_keep"), F.count(F.lit(1)).alias("_c")
+    )
+    dup = (
+        occ.join(g, "_w")
+        .where((F.col("_c") > 1) & (F.col("_occ") != F.col("_keep")))
+        .select("id", "pos")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    return (
+        dup.withColumn("_isl", F.col("pos") - F.row_number().over(w))
+        .groupBy("id", "_isl")
+        .agg(
+            F.min("pos").alias("_s"),
+            (F.max("pos") + F.lit(lw)).alias("_e"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.col("_s").cast("long").alias("span_start"),
+            F.col("_e").cast("long").alias("span_end"),
+            F.col("_n").cast("long").alias("n_windows"),
+        )
+    )
+
+
 def incremental_exact_dedup(
     delta: DataFrame,
     base: DataFrame,

@@ -1935,3 +1935,50 @@ def test_image_features_decodes_lossy_webp(spark):
     assert len(out) == 1
     r = out[0]
     assert r["width"] == 64 and r["height"] == 48
+
+
+# ------------------------------------------------ exact-substring spans ----
+
+
+def test_repeated_spans_closed_form(spark):
+    """Two docs share a 12-token run; with 10-token windows the run
+    yields 3 duplicated windows in the LATER doc only (keep-first),
+    merged into ONE maximal span covering the full 12 tokens."""
+    from duckdb_raquet_spark.functions import dedup
+
+    shared = [f"s{i}" for i in range(12)]
+    a = " ".join(["a0", "a1"] + shared + ["a2", "a3"])
+    b = " ".join(["b0", "b1", "b2"] + shared + ["b4"])
+    # non-repeating filler: a periodic string (e.g. "x y z " * 5) would
+    # contain genuine self-repeated windows and rightly emit a span
+    c = " ".join(f"u{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    rows = dedup.repeated_spans(df, "doc_id", "text", min_tokens=10).collect()
+    assert len(rows) == 1  # doc 1 keeps (first occurrence); doc 3 unique
+    r = rows[0]
+    # shared run sits at tokens 3..14 in doc 2 -> windows at pos 3,4,5
+    assert (r.id, r.span_start, r.span_end, r.n_windows) == (2, 3, 15, 4 - 1)
+
+
+def test_repeated_spans_multiple_islands(spark):
+    """Two separated repeats in one doc stay two spans; in-doc repeats
+    of a window count too (self-repetition is a dup of pos-min)."""
+    from duckdb_raquet_spark.functions import dedup
+
+    run1 = [f"x{i}" for i in range(10)]
+    run2 = [f"y{i}" for i in range(10)]
+    src = " ".join(run1 + ["gap1", "gap2", "gap3"] + run2)
+    copy = " ".join(
+        run1 + ["z1", "z2", "z3", "z4", "z5", "z6", "z7", "z8", "z9", "z10"]
+        + run2
+    )
+    df = spark.createDataFrame(
+        [(1, src), (2, copy)], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r.id, r.span_start, r.span_end)
+        for r in dedup.repeated_spans(df, "doc_id", "text", min_tokens=10).collect()
+    )
+    assert rows == [(2, 0, 10), (2, 20, 30)]
