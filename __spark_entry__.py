@@ -2838,7 +2838,8 @@ def oracle_sql() -> dict[str, str]:
             FROM o GROUP BY 1 ORDER BY shard""",
         # ExactSubstr spans: stride-1 window digests, keep-first via
         # the packed (doc, pos) min (fixture-safe; the Spark side uses
-        # the overflow-proof struct min), islands via pos - row_number
+        # the overflow-proof struct min), gap-aware islands (lag +
+        # running sum; positions merge iff their spans overlap/touch)
         "dedup_spans": """
             WITH t AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -2862,11 +2863,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, pos FROM p JOIN k USING (d)
               WHERE c > 1 AND packed <> keep
             ),
+            starts AS (
+              SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                               ORDER BY pos) <= 20
+                     THEN 0 ELSE 1 END AS s
+              FROM dup
+            ),
             isl AS (
               SELECT doc_id, pos,
-                pos - row_number() OVER (PARTITION BY doc_id
-                                         ORDER BY pos) AS g
-              FROM dup
+                sum(s) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS g
+              FROM starts
             )
             SELECT doc_id::BIGINT AS doc_id,
                    min(pos)::BIGINT AS span_start,

@@ -116,7 +116,14 @@ def write_bytes_exclusive(spark, dir_uri: str, filename: str, data: bytes) -> st
     if not is_remote(dir_uri):
         os.makedirs(dir_uri, exist_ok=True)
         final = os.path.join(dir_uri, filename)
-        tmp = final + f".tmp.{os.getpid()}.{threading.get_ident()}"
+        # dot-prefixed (hidden) temp name: consumers list by exact
+        # suffix (".json") so temps are already invisible to them, and
+        # the Hadoop hidden-file convention also keeps naive "snap-*"
+        # globs from ever seeing an in-flight write
+        tmp = os.path.join(
+            dir_uri,
+            f".{filename}.tmp.{os.getpid()}.{threading.get_ident()}",
+        )
         with open(tmp, "wb") as f:
             f.write(data)
         try:
@@ -132,7 +139,10 @@ def write_bytes_exclusive(spark, dir_uri: str, filename: str, data: bytes) -> st
     fs.mkdirs(jdir)
     final = dir_uri.rstrip("/") + "/" + filename
     jfinal = jvm.org.apache.hadoop.fs.Path(final)
-    tmp = final + f".tmp.{os.getpid()}.{threading.get_ident()}"
+    tmp = (
+        dir_uri.rstrip("/")
+        + f"/.{filename}.tmp.{os.getpid()}.{threading.get_ident()}"
+    )
     jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
     out = fs.create(jtmp, True)
     try:

@@ -782,8 +782,10 @@ def repeated_spans(
     explode carries digests, never text; the keeper is ONE map-side
     partial hash aggregate (a boilerplate window shared by 10^8 pages
     costs one combiner row per partition); the span merge is a window
-    WITHIN each document only (bounded by doc length), via the
-    ``pos - row_number()`` islands trick — never a global window.
+    WITHIN each document only (bounded by doc length), via gap-aware
+    islands (``lag`` + running sum: positions ``p < q`` merge iff
+    ``q - p <= min_tokens``, i.e. their spans overlap or touch) —
+    never a global window.
 
     Returns one row per maximal duplicated span:
     ``(id, span_start, span_end, n_windows)`` — token offsets, 0-based
@@ -810,19 +812,39 @@ def repeated_spans(
             F.struct(F.col("id").cast("long").alias("id"), F.col("pos")),
         )
     )
-    g = occ.groupBy("_w").agg(
-        F.min("_occ").alias("_keep"), F.count(F.lit(1)).alias("_c")
+    # keep only duplicated digests BEFORE the occurrence join: the
+    # inner join then emits only duplicated occurrences (instead of
+    # re-emitting every occ row and filtering after)
+    g = (
+        occ.groupBy("_w")
+        .agg(F.min("_occ").alias("_keep"), F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > 1)
     )
     dup = (
         occ.join(g, "_w")
-        .where((F.col("_c") > 1) & (F.col("_occ") != F.col("_keep")))
+        .where(F.col("_occ") != F.col("_keep"))
         .select("id", "pos")
     )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("id").orderBy("pos")
+    # gap-aware island merge: windows at pos p and q (p < q) cover
+    # [p, p+lw) and [q, q+lw), which overlap or touch iff q - p <= lw —
+    # the plain pos - row_number trick merges only CONSECUTIVE
+    # positions and would emit overlapping "maximal" spans for
+    # duplicated windows separated by a sub-window gap
+    new_isl = F.when(
+        F.lag("pos").over(w).isNull()
+        | ((F.col("pos") - F.lag("pos").over(w)) > lw),
+        F.lit(1),
+    ).otherwise(F.lit(0))
     return (
-        dup.withColumn("_isl", F.col("pos") - F.row_number().over(w))
+        dup.withColumn(
+            "_isl",
+            F.sum(new_isl).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
         .groupBy("id", "_isl")
         .agg(
             F.min("pos").alias("_s"),

@@ -1563,10 +1563,15 @@ def test_write_bytes_exclusive_concurrent_readers(tmp_path):
     def reader():
         while not stop.is_set():
             for fn in os.listdir(d):
+                # the consumer contract (manifest.py): published names
+                # end in ".json" and are never dot-prefixed; in-flight
+                # temps (".<name>.tmp.<pid>.<tid>") are invisible
+                if fn.startswith(".") or not fn.endswith(".json"):
+                    continue
                 try:
                     json.loads((tmp_path / "casr" / fn).read_bytes())
                 except FileNotFoundError:
-                    pass  # temp unlinked between listdir and read: fine
+                    pass  # unlinked between listdir and read: fine
                 except Exception as e:  # torn read
                     torn.append((fn, repr(e)))
 
@@ -1982,3 +1987,24 @@ def test_repeated_spans_multiple_islands(spark):
         for r in dedup.repeated_spans(df, "doc_id", "text", min_tokens=10).collect()
     )
     assert rows == [(2, 0, 10), (2, 20, 30)]
+
+
+def test_repeated_spans_sub_window_gap_merges(spark):
+    """Duplicated windows at positions 0 and 3 (gap < window length)
+    have overlapping spans [0,10) and [3,13) and must merge into ONE
+    maximal span [0,13) — the consecutive-position islands trick would
+    wrongly emit two overlapping 'maximal' spans."""
+    from duckdb_raquet_spark.functions import dedup
+
+    r = [f"r{i}" for i in range(10)]
+    # doc 1 holds both source sequences: r0..r9, then r3..r9 q0 q1 q2
+    a = " ".join(r + ["sep"] + r[3:] + ["q0", "q1", "q2"])
+    # doc 2: r0..r9 q0 q1 q2 -> dup windows at pos 0 and pos 3 ONLY
+    b = " ".join(r + ["q0", "q1", "q2"])
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    rows = dedup.repeated_spans(df, "doc_id", "text", min_tokens=10).collect()
+    assert [(x.id, x.span_start, x.span_end, x.n_windows) for x in rows] == [
+        (2, 0, 13, 2)
+    ]
