@@ -81,6 +81,10 @@ def main() -> None:
         df = flagged.where(~F.col("blocked")).drop("host", "blocked")
         funnel["after_blocklist"] = df.count()
 
+    # everything above is cheap pure-Column / broadcast work that can
+    # re-run per pass; everything below (the dedup chain) must run ONCE
+    pre_dedup = df
+
     # 4. cross-RUN incremental exact dedup against the persisted index
     dig = ["_len", "_md5", "_xx"]
     if args.digest_index:
@@ -119,18 +123,29 @@ def main() -> None:
         )
         funnel["after_domain_quota"] = df.count()
 
-    # 8. seeded-shuffle shard export + lineage + verification
-    man = corpus.write_shards(
-        df, args.output, idc, txc,
-        shard_tokens=args.shard_tokens, seed=args.seed,
-    )
-    ver = corpus.verify_shards(spark, args.output)
+    # 8. seeded-shuffle shard export + lineage + verification.
+    #    Persist the survivor ID SET only (narrow — bytes per row, at
+    #    any corpus scale) and re-derive the row set from the cheap
+    #    pre-dedup frame with one semi-join: the shard writer's two
+    #    passes and the digest append then re-run only Column stages,
+    #    never the dedup chain (LSH, verification, components).
+    ids = df.select(idc).persist()
+    funnel["survivors"] = ids.count()
+    try:
+        out = pre_dedup.join(ids, idc, "left_semi")
+        man = corpus.write_shards(
+            out, args.output, idc, txc,
+            shard_tokens=args.shard_tokens, seed=args.seed,
+        )
+        ver = corpus.verify_shards(spark, args.output)
 
-    # 9. the survivors' digests extend the cross-run index
-    if args.digest_index:
-        df.select(*dedup.exact_digest_cols(txc)).write.mode(
-            "append"
-        ).parquet(args.digest_index)
+        # 9. the survivors' digests extend the cross-run index
+        if args.digest_index:
+            out.select(*dedup.exact_digest_cols(txc)).write.mode(
+                "append"
+            ).parquet(args.digest_index)
+    finally:
+        ids.unpersist()
 
     print(json.dumps({
         "op": "corpus-pipeline",
