@@ -2008,3 +2008,60 @@ def test_repeated_spans_sub_window_gap_merges(spark):
     assert [(x.id, x.span_start, x.span_end, x.n_windows) for x in rows] == [
         (2, 0, 13, 2)
     ]
+
+
+def test_repeated_spans_property_random_corpus(spark):
+    """Random small corpora (seeded): repeated_spans equals a pure
+    Python replay — window digests, corpus-wide keep-first by (doc,
+    pos), gap-aware interval merge (positions p < q merge iff
+    q - p <= min_tokens)."""
+    import random
+
+    from duckdb_raquet_spark.functions import dedup
+
+    rng = random.Random(50_5)
+    lw = 4
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab -> many repeats
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(1, 13)
+    ]
+
+    # pure-Python reference
+    first: dict[tuple, tuple] = {}
+    occs: list[tuple[int, int, tuple]] = []
+    for i, t in docs:
+        toks = t.split() if t else []
+        for p in range(len(toks) - lw + 1):
+            key = tuple(toks[p : p + lw])
+            occs.append((i, p, key))
+            if key not in first or (i, p) < first[key]:
+                first[key] = (i, p)
+    counts: dict[tuple, int] = {}
+    for _, _, key in occs:
+        counts[key] = counts.get(key, 0) + 1
+    dup_pos: dict[int, list[int]] = {}
+    for i, p, key in occs:
+        if counts[key] > 1 and first[key] != (i, p):
+            dup_pos.setdefault(i, []).append(p)
+    expect = []
+    for i, ps in dup_pos.items():
+        ps.sort()
+        s, e, n = ps[0], ps[0] + lw, 1
+        for q in ps[1:]:
+            if q - (e - lw) <= lw:  # overlaps/touches previous window
+                e, n = q + lw, n + 1
+            else:
+                expect.append((i, s, e, n))
+                s, e, n = q, q + lw, 1
+        expect.append((i, s, e, n))
+    expect.sort()
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.id, r.span_start, r.span_end, r.n_windows)
+        for r in dedup.repeated_spans(
+            df, "doc_id", "text", min_tokens=lw
+        ).collect()
+    )
+    assert got == expect
