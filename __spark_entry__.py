@@ -1261,6 +1261,46 @@ def q_rt_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.decode_blocks(blocks, man, ["doc_id", "text", "lang"])
 
 
+def q_rt_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (Iceberg WAP): encode the even-doc half as
+    the committed table, stage-append the odd half (parked under
+    _staged/, invisible to read_rows / time travel / the datasource),
+    then AUDIT-read the staged view — which must equal the full
+    documents table. Publish is exercised in tests; here the staged
+    record persists so the query is idempotent across runs."""
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/raquet_entry_wap_{tag}_v{drs.__version__}"
+    staged: dict = {}
+    try:
+        if (
+            scan.read_manifest(spark, path).get("engine")
+            == f"duckdb_raquet_spark/{drs.__version__}"
+        ):
+            staged = encode.list_staged(spark, path)
+    except Exception:
+        pass
+    if not staged:
+        shutil.rmtree(os.path.join(path, "_staged"), ignore_errors=True)
+        docs = _webtext(spark, sf_dir)
+        encode.encode_to_path(
+            spark,
+            docs.where(F.col("doc_id") % 2 == 0),
+            path,
+            chunks=2,
+            target_rows_per_block=512,
+        )
+        rec = encode.append_chunk(
+            spark, docs.where(F.col("doc_id") % 2 == 1), path, staged=True
+        )
+        staged = {rec["token"]: rec}
+    token = sorted(staged)[0]
+    return scan.read_staged_rows(
+        spark, path, token, ["doc_id", "text", "lang"]
+    )
+
+
 def q_rt_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only schema evolution (Iceberg ALTER TABLE analog):
     encode 2 chunks (n_chars deliberately mis-typed as int), ADD COLUMN
@@ -2002,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_dsir_sample": q_txt_dsir_sample,
         "rt_tag": q_rt_tag,
         "dedup_spans": q_dedup_spans,
+        "rt_wap": q_rt_wap,
         # --- past the driver's 50-query cap: long-green pure-Column
         # queries displaced by the round-5 tail (each driver-scored
         # green in r1-r4 and judge-checkable via check_oracle.py) plus
@@ -2367,6 +2408,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_roundtrip": "SELECT doc_id, text, lang FROM documents",
         "rt_time_travel": "SELECT doc_id, text, lang FROM documents",
         "rt_tag": "SELECT doc_id, text, lang FROM documents",
+        "rt_wap": "SELECT doc_id, text, lang FROM documents",
         "rt_pinned_codecs": "SELECT doc_id, text, lang FROM documents",
         "rt_pinned_zstd": "SELECT doc_id, text, lang FROM documents",
         "rt_maponly": "SELECT doc_id, text, lang FROM documents",

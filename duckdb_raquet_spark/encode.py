@@ -31,6 +31,7 @@ import json
 import math
 import os
 import time
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -950,6 +951,7 @@ def append_chunk(
     effort: str = selector.EFFORT_MAX,
     codec_overrides: dict[str, str] | None = None,
     shuffle: str = "hash",
+    staged: bool = False,
     _replace_chunks: list[int] | None = None,
     _op: str = "append",
     _expected_parent=_NO_CAS,
@@ -984,6 +986,8 @@ def append_chunk(
     reads must fail the compaction, or its keys would be missing from
     the rewritten chunk while its entry (seq < new chunk id) no longer
     applies to it."""
+    if staged and (_replace_chunks or _op != "append"):
+        raise ValueError("only plain appends can be staged")
     man, base_snap = mf.committed_manifest(path, spark)
     if _expected_parent is not _NO_CAS:
         seen = _expected_parent["snapshot_id"] if _expected_parent else None
@@ -1100,15 +1104,18 @@ def append_chunk(
     )
     chunk_man["lineage_chunks"] = k + 1
     final = mf.finalize_manifest(chunk_man, codec_histogram=hist, **totals)
-    _append_manifest_row(
-        spark,
-        path,
-        final,
-        man["columns"],
-        target=os.path.join(_data_path(path), "chunk=-1"),
-        mode="overwrite",
-    )
-    mf.write_sidecar(path, final, spark)
+    if not staged:
+        # staged commits must stay invisible: the chunk=-1 manifest
+        # row and the sidecar are what pre-log readers plan from
+        _append_manifest_row(
+            spark,
+            path,
+            final,
+            man["columns"],
+            target=os.path.join(_data_path(path), "chunk=-1"),
+            mode="overwrite",
+        )
+        mf.write_sidecar(path, final, spark)
     # lineage records THIS chunk's bytes (aggregate the chunk=<k>
     # partition alone, as the chunked encode loop does) — the finalized
     # manifest's raw/enc_bytes are whole-table totals and would
@@ -1133,9 +1140,28 @@ def append_chunk(
             **(
                 {"compacted_from": replace} if replace else {"appended": True}
             ),
+            **({"staged": True} if staged else {}),
         },
         spark,
     )
+    if staged:
+        # write-audit-publish: park the would-be commit under _staged/
+        # instead of the snapshot log — no reader of the table sees the
+        # new chunk until publish_staged turns this record into a real
+        # snapshot (under the same CAS as any commit)
+        rec = {
+            "token": uuid.uuid4().hex[:12],
+            "op": _op,
+            "chunk": k,
+            "parent_snapshot_id": (
+                base_snap["snapshot_id"] if base_snap else None
+            ),
+            "chunks": sorted(list(visible) + [k]),
+            "manifest": final,
+            "created_unix": int(time.time()),
+        }
+        mf.write_staged(path, rec, spark)
+        return rec
     _commit_snapshot(
         spark, path, chunks=list(visible) + [k], op=_op, final=final,
         expected_parent=base_snap,
@@ -1244,6 +1270,86 @@ def list_tags(spark: SparkSession, path: str) -> dict[str, dict]:
     return mf.read_refs(path, spark)
 
 
+def list_staged(spark: SparkSession, path: str) -> dict[str, dict]:
+    """Staged write-audit-publish commits awaiting publish, keyed by
+    token (see :func:`append_chunk` ``staged=True``)."""
+    return mf.read_staged(path, spark)
+
+
+def publish_staged(
+    spark: SparkSession, path: str, token: str, *, rebase: bool = False
+) -> dict:
+    """Publish a staged append (Iceberg write-audit-publish, the
+    cherry-pick step): turn the parked ``_staged/`` record into a real
+    snapshot under the same CAS as any commit. If the snapshot log
+    advanced since staging, the default is to refuse (the audit ran
+    against a stale base); ``rebase=True`` re-anchors the append onto
+    the CURRENT snapshot — safe for plain appends (the new chunk's
+    payloads are self-contained; only the visible set and totals
+    change) provided the schema is unchanged."""
+    rec = mf.get_staged(path, token, spark)
+    cur_man, cur_snap = mf.committed_manifest(path, spark)
+    cur_id = cur_snap["snapshot_id"] if cur_snap else None
+    k = int(rec["chunk"])
+    if cur_id == rec["parent_snapshot_id"]:
+        final = rec["manifest"]
+        chunks = [int(c) for c in rec["chunks"]]
+    else:
+        if not rebase:
+            raise mf.ConcurrentCommitError(
+                f"snapshot log at {path} advanced from "
+                f"{rec['parent_snapshot_id']} to {cur_id} since this "
+                "commit was staged; audit against the new base and "
+                "publish with rebase=True (plain appends compose), or "
+                "drop_staged"
+            )
+        same = [
+            (c["name"], c["spark_type"]) for c in cur_man["columns"]
+        ] == [
+            (c["name"], c["spark_type"])
+            for c in rec["manifest"]["columns"]
+        ]
+        if not same:
+            raise ValueError(
+                "cannot rebase staged append: the table schema changed "
+                "since staging; drop_staged and re-stage"
+            )
+        chunks = sorted({int(c) for c in cur_snap["chunks"]} | {k})
+        totals, hist = _aggregate_written(
+            spark, path, visible_chunks=chunks
+        )
+        # current manifest is the base: it carries the delete files and
+        # evolution state committed since staging
+        final = mf.finalize_manifest(
+            dict(cur_man), codec_histogram=hist, **totals
+        )
+    _append_manifest_row(
+        spark,
+        path,
+        final,
+        final["columns"],
+        target=os.path.join(_data_path(path), "chunk=-1"),
+        mode="overwrite",
+    )
+    mf.write_sidecar(path, final, spark)
+    _commit_snapshot(
+        spark, path, chunks=chunks, op="append", final=final,
+        expected_parent=cur_snap, extra={"staged_token": token},
+    )
+    mf.delete_staged(path, token, spark)
+    return final
+
+
+def drop_staged(spark: SparkSession, path: str, token: str) -> dict:
+    """Abandon a staged commit: the ``_staged/`` record is removed;
+    the staged chunk directory becomes a normal orphan (id burned,
+    invisible to every reader) and is reclaimed by
+    :func:`expire_snapshots`."""
+    rec = mf.get_staged(path, token, spark)
+    mf.delete_staged(path, token, spark)
+    return {"dropped": token, "chunk": int(rec["chunk"])}
+
+
 def expire_snapshots(
     spark: SparkSession,
     path: str,
@@ -1289,6 +1395,10 @@ def expire_snapshots(
     retained_chunks: set[int] = set()
     for i in keep_ids:
         retained_chunks.update(int(c) for c in snaps[i]["chunks"])
+    # staged (write-audit-publish) commits pin their chunk dirs: the
+    # data is referenced by a live _staged/ record awaiting publish
+    for rec in mf.read_staged(path, spark).values():
+        retained_chunks.add(int(rec["chunk"]))
     for i in expired:
         fsio.delete_file(
             spark, mf.snapshots_dir(path), f"snap-{i:05d}.json"

@@ -393,6 +393,61 @@ def resolve_ref(path: str, name: str, spark=None) -> int:
     return int(refs[name]["snapshot_id"])
 
 
+# ------------------------------------------------- staged commits (WAP) ----
+#
+# Iceberg write-audit-publish: a staged commit's data files land on
+# disk and its would-be snapshot is parked under `_staged/` instead of
+# the snapshot log, so readers of the table never see it. An audit
+# job reads the staged view explicitly (scan.read_staged_rows), then
+# `encode.publish_staged` turns the record into a real snapshot (same
+# CAS as any commit) or `encode.drop_staged` abandons it (the chunk
+# dir becomes a normal orphan, reclaimed by expire_snapshots).
+
+
+def staged_dir(path: str) -> str:
+    return os.path.join(path, "_staged")
+
+
+def write_staged(path: str, rec: dict, spark=None) -> None:
+    from . import fsio
+
+    # exclusive create: tokens are unique, a collision is a logic bug
+    fsio.write_bytes_exclusive(
+        spark,
+        staged_dir(path),
+        f"staged-{rec['token']}.json",
+        json.dumps(rec, sort_keys=True).encode(),
+    )
+
+
+def read_staged(path: str, spark=None) -> dict[str, dict]:
+    from . import fsio
+
+    out: dict[str, dict] = {}
+    d = staged_dir(path)
+    for fn in fsio.list_files(spark, d):
+        if fn.startswith("staged-") and fn.endswith(".json"):
+            r = json.loads(fsio.read_bytes(spark, d, fn))
+            out[r["token"]] = r
+    return out
+
+
+def get_staged(path: str, token: str, spark=None) -> dict:
+    recs = read_staged(path, spark)
+    if token not in recs:
+        raise KeyError(
+            f"no staged commit {token!r} at {path}; have {sorted(recs)}"
+        )
+    return recs[token]
+
+
+def delete_staged(path: str, token: str, spark=None) -> None:
+    from . import fsio
+
+    get_staged(path, token, spark)  # loud if absent
+    fsio.delete_file(spark, staged_dir(path), f"staged-{token}.json")
+
+
 def make_snapshot(
     *,
     snapshot_id: int,

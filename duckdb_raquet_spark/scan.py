@@ -726,6 +726,19 @@ def read_rows(
         if apply_deletes
         else []
     )
+    return _decode_with_entries(spark, path, blocks, man, cols, entries)
+
+
+def _decode_with_entries(
+    spark: SparkSession,
+    path: str,
+    blocks: DataFrame,
+    man: dict,
+    cols: list[str] | None,
+    entries: list[dict],
+) -> DataFrame:
+    """Decode + merge-on-read equality-delete anti-join — the shared
+    tail of :func:`read_rows` and :func:`read_staged_rows`."""
     if not entries:
         return decode_blocks(blocks, man, cols)
     names = [c["name"] for c in man["columns"]]
@@ -741,6 +754,28 @@ def read_rows(
     rows = decode_blocks(blocks, man, dec_cols, with_chunk=True)
     rows = _apply_delete_entries(spark, path, rows, entries)
     return rows.select(*want)
+
+
+def read_staged_rows(
+    spark: SparkSession,
+    path: str,
+    token: str,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """AUDIT read of a staged write-audit-publish commit
+    (``encode.append_chunk(..., staged=True)``): the table AS IF the
+    staged append were published — the parent snapshot's chunks plus
+    the staged chunk, with the parent's equality deletes applied.
+    Readers without the token (read_rows, the datasource, time travel)
+    never see the staged chunk."""
+    rec = mf.get_staged(path, token, spark)
+    man = rec["manifest"]
+    blocks = _read_raw(spark, path).where(
+        (F.col(BLOCK) != bk.MANIFEST_BLOCK)
+        & F.col("chunk").isin([int(c) for c in rec["chunks"]])
+    )
+    entries = list(man.get("delete_files") or [])
+    return _decode_with_entries(spark, path, blocks, man, cols, entries)
 
 
 def _clear_stale_table_meta(spark: SparkSession, src: str, dst: str) -> None:

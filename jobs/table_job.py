@@ -22,6 +22,10 @@ they cost the same on a 100 TB table as on the test fixtures.
     ... expire --keep-last 1 --older-than 1767225600   # age + floor + tags
     ... history                              # one JSON line per snapshot
     ... changes --from-snapshot 2 [--to-snapshot 5] [--cols a,b]
+    ... stage-append --input rows.parquet    # write-audit-publish: stage
+    ... audit --token T [--cols a,b] [--limit N]   # read the staged view
+    ... publish --token T [--rebase]         # CAS-commit the staged append
+    ... drop-staged --token T | staged       # abandon / list
 
 Mutations print ONE JSON summary line; `history`/`changes` print JSON
 rows (same contract as query_job).
@@ -99,6 +103,25 @@ def main() -> None:
     p.add_argument("--to-snapshot", type=int, default=None)
     p.add_argument("--cols", default=None)
     p.add_argument("--limit", type=int, default=None)
+
+    p = sub.add_parser("stage-append")
+    p.add_argument("--input", required=True, help="parquet of full rows")
+
+    p = sub.add_parser("audit")
+    p.add_argument("--token", required=True)
+    p.add_argument("--cols", default=None)
+    p.add_argument("--limit", type=int, default=None)
+
+    p = sub.add_parser("publish")
+    p.add_argument("--token", required=True)
+    p.add_argument("--rebase", action="store_true",
+                   help="re-anchor onto the current snapshot if the log "
+                        "advanced since staging (plain appends compose)")
+
+    p = sub.add_parser("drop-staged")
+    p.add_argument("--token", required=True)
+
+    sub.add_parser("staged")
 
     args = ap.parse_args()
 
@@ -209,6 +232,45 @@ def main() -> None:
     elif args.cmd == "tags":
         for r in encode.list_tags(spark, args.path).values():
             print(json.dumps(r))
+    elif args.cmd == "stage-append":
+        rec = encode.append_chunk(
+            spark, spark.read.parquet(args.input), args.path, staged=True
+        )
+        print(json.dumps({
+            "op": "stage-append",
+            "table": args.path,
+            "token": rec["token"],
+            "chunk": rec["chunk"],
+            "parent_snapshot_id": rec["parent_snapshot_id"],
+            "num_rows": rec["manifest"]["num_rows"],
+        }))
+    elif args.cmd == "audit":
+        cols = args.cols.split(",") if args.cols else None
+        _rows_out(
+            scan.read_staged_rows(spark, args.path, args.token, cols),
+            args.limit,
+        )
+    elif args.cmd == "publish":
+        final = encode.publish_staged(
+            spark, args.path, args.token, rebase=args.rebase
+        )
+        from duckdb_raquet_spark import manifest as mf
+
+        snap = mf.current_snapshot(args.path, spark)
+        print(json.dumps({
+            "op": "publish",
+            "table": args.path,
+            "token": args.token,
+            "new_snapshot": snap["snapshot_id"],
+            "num_rows": final["num_rows"],
+        }))
+    elif args.cmd == "drop-staged":
+        out = encode.drop_staged(spark, args.path, args.token)
+        print(json.dumps({"op": "drop-staged", "table": args.path, **out}))
+    elif args.cmd == "staged":
+        for r in encode.list_staged(spark, args.path).values():
+            print(json.dumps({k: v for k, v in r.items()
+                              if k != "manifest"}))
     elif args.cmd == "history":
         _rows_out(scan.table_history(spark, args.path))
     elif args.cmd == "changes":

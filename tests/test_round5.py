@@ -2065,3 +2065,87 @@ def test_repeated_spans_property_random_corpus(spark):
         ).collect()
     )
     assert got == expect
+
+
+# ------------------------------------------------ write-audit-publish ----
+
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    """Staged append: invisible to every normal reader, visible to the
+    audit read, published under the commit CAS."""
+    path = str(tmp_path / "wap")
+    base = _webtext(spark, n=40)
+    extra = _webtext(spark, n=20, shift=100)
+    encode.encode_to_path(spark, base, path, chunks=2,
+                          target_rows_per_block=32)
+    n0 = scan.read_rows(spark, path).count()
+    rec = encode.append_chunk(spark, extra, path, staged=True)
+    assert rec["token"] in encode.list_staged(spark, path)
+    # no normal reader sees the staged chunk
+    assert scan.read_rows(spark, path).count() == n0
+    assert mf.current_snapshot(path)["snapshot_id"] == \
+        rec["parent_snapshot_id"]
+    # the audit read sees parent + staged
+    audit = scan.read_staged_rows(spark, path, rec["token"])
+    assert audit.count() == n0 + 20
+    got = {r.doc_id for r in audit.select("doc_id").collect()}
+    assert got == {r.doc_id for r in base.select("doc_id").collect()} | {
+        r.doc_id for r in extra.select("doc_id").collect()
+    }
+    # publish = a real snapshot; the staged record is consumed
+    final = encode.publish_staged(spark, path, rec["token"])
+    assert final["num_rows"] == n0 + 20
+    assert scan.read_rows(spark, path).count() == n0 + 20
+    assert encode.list_staged(spark, path) == {}
+    snap = mf.current_snapshot(path)
+    assert snap["staged_token"] == rec["token"]
+    # double publish is loud
+    with pytest.raises(KeyError):
+        encode.publish_staged(spark, path, rec["token"])
+
+
+def test_wap_publish_cas_refuses_then_rebases(spark, tmp_path):
+    """A commit between staging and publish fails the publish CAS;
+    rebase=True re-anchors the append onto the new base (the
+    concurrent delete still applies to the base rows)."""
+    path = str(tmp_path / "wapcas")
+    encode.encode_to_path(spark, _webtext(spark, n=40), path, chunks=2,
+                          target_rows_per_block=32)
+    rec = encode.append_chunk(
+        spark, _webtext(spark, n=10, shift=200), path, staged=True
+    )
+    # concurrent writer advances the log: delete one base doc
+    encode.delete_rows(spark, path, "doc_id", [3])
+    with pytest.raises(mf.ConcurrentCommitError):
+        encode.publish_staged(spark, path, rec["token"])
+    final = encode.publish_staged(spark, path, rec["token"], rebase=True)
+    rows = scan.read_rows(spark, path)
+    assert rows.count() == 40 - 1 + 10
+    assert rows.where(F.col("doc_id") == 3).count() == 0
+    assert rows.where(F.col("doc_id") == 203).count() == 1
+    assert len(final.get("delete_files", [])) == 1
+
+
+def test_wap_drop_and_expiry_pin(spark, tmp_path):
+    """A live staged record pins its chunk dir against orphan
+    reclamation; dropping the record makes it a normal orphan."""
+    path = str(tmp_path / "wapexp")
+    encode.encode_to_path(spark, _webtext(spark, n=40), path, chunks=2,
+                          target_rows_per_block=32)
+    rec = encode.append_chunk(
+        spark, _webtext(spark, n=10, shift=300), path, staged=True
+    )
+    cdir = os.path.join(path, "data", f"chunk={rec['chunk']}")
+    assert os.path.isdir(cdir)
+    # make snapshot history so expire has something to chew on
+    encode.delete_rows(spark, path, "doc_id", [1])
+    out = encode.expire_snapshots(spark, path, keep_last=1)
+    assert rec["chunk"] not in out["removed_chunks"]
+    assert os.path.isdir(cdir)  # pinned by the live staged record
+    dropped = encode.drop_staged(spark, path, rec["token"])
+    assert dropped["chunk"] == rec["chunk"]
+    out2 = encode.expire_snapshots(spark, path, keep_last=1)
+    assert rec["chunk"] in out2["removed_chunks"]
+    assert not os.path.isdir(cdir)
+    with pytest.raises(KeyError):
+        scan.read_staged_rows(spark, path, rec["token"])
