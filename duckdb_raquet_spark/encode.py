@@ -1424,6 +1424,11 @@ def expire_snapshots(
         for i in keep_ids:
             for e in snaps[i].get("delete_files", []):
                 retained_deletes.add(os.path.basename(e["dir"]))
+        # staged records' audit views apply their parent's deletes:
+        # those dirs must survive until the record publishes or drops
+        for rec in mf.read_staged(path, spark).values():
+            for e in rec["manifest"].get("delete_files", []) or []:
+                retained_deletes.add(os.path.basename(e["dir"]))
         ddir = os.path.join(path, DELETES_DIR)
         for name in fsio.list_dirs(spark, ddir):
             if name not in retained_deletes:

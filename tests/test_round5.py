@@ -2149,3 +2149,26 @@ def test_wap_drop_and_expiry_pin(spark, tmp_path):
     assert not os.path.isdir(cdir)
     with pytest.raises(KeyError):
         scan.read_staged_rows(spark, path, rec["token"])
+
+
+def test_wap_expiry_pins_staged_delete_files(spark, tmp_path):
+    """The audit view applies the parent's equality deletes, so a live
+    staged record must pin those delete dirs against expiry even after
+    a rollback makes them unreferenced by retained snapshots."""
+    path = str(tmp_path / "wapdel")
+    encode.encode_to_path(spark, _webtext(spark, n=40), path, chunks=2,
+                          target_rows_per_block=32)
+    encode.delete_rows(spark, path, "doc_id", [5])          # snapshot 1
+    rec = encode.append_chunk(                               # parent = 1
+        spark, _webtext(spark, n=10, shift=400), path, staged=True
+    )
+    encode.rollback_to_snapshot(spark, path, 0)              # drops deletes
+    out = encode.expire_snapshots(spark, path, keep_last=1)
+    assert out["removed_delete_files"] == []  # pinned by the staged record
+    audit = scan.read_staged_rows(spark, path, rec["token"])
+    assert audit.where(F.col("doc_id") == 5).count() == 0
+    assert audit.count() == 40 - 1 + 10
+    # once dropped, the delete dir is reclaimable
+    encode.drop_staged(spark, path, rec["token"])
+    out2 = encode.expire_snapshots(spark, path, keep_last=1)
+    assert len(out2["removed_delete_files"]) == 1
