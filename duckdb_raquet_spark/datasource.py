@@ -32,6 +32,9 @@ Reader
   "corpus-v1")`` (a tag from ``encode.create_tag``) pins chunk
   visibility and the equality-delete set to that snapshot; the read
   schema stays the current manifest's, matching ``scan.read_rows``.
+* Write-audit-publish: ``.option("stagedToken", t)`` reads the audit
+  view of a staged append (``scan.read_staged_rows``'s twin); plain
+  reads never see staged chunks.
 
 Writer
 ------
@@ -192,7 +195,21 @@ class RaquetReader(DataSourceReader):
             sid_opt = mf.resolve_ref(self.path, ref_opt, None)
         self.snapshot: dict | None = None
         snap_entries: list | None = None
-        if sid_opt is not None:
+        # write-audit-publish: .option("stagedToken", t) reads the
+        # AUDIT view of a staged append (encode.append_chunk
+        # staged=True) — parent chunks + the staged chunk, the parent's
+        # delete set, the staged manifest's schema
+        tok_opt = options.get("stagedtoken", options.get("stagedToken"))
+        if tok_opt is not None:
+            if sid_opt is not None or ref_opt is not None:
+                raise ValueError(
+                    "pass stagedToken OR snapshotId/ref, not both"
+                )
+            rec = mf.get_staged(self.path, tok_opt, None)
+            self.man = rec["manifest"]
+            self.snapshot = {"chunks": rec["chunks"], "op": "staged"}
+            snap_entries = list(rec["manifest"].get("delete_files") or [])
+        elif sid_opt is not None:
             snaps = mf.read_snapshots(self.path, None)
             sid = int(sid_opt)
             if sid not in snaps:

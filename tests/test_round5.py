@@ -2172,3 +2172,33 @@ def test_wap_expiry_pins_staged_delete_files(spark, tmp_path):
     encode.drop_staged(spark, path, rec["token"])
     out2 = encode.expire_snapshots(spark, path, keep_last=1)
     assert len(out2["removed_delete_files"]) == 1
+
+
+def test_wap_datasource_staged_token(spark, tmp_path):
+    """spark.read.format('raquet').option('stagedToken', t) serves the
+    audit view; a plain datasource read of the same table stays blind
+    to the staged chunk."""
+    from duckdb_raquet_spark.datasource import RaquetDataSource
+
+    spark.dataSource.register(RaquetDataSource)
+    path = str(tmp_path / "wapds")
+    encode.encode_to_path(spark, _webtext(spark, n=40), path, chunks=2,
+                          target_rows_per_block=32)
+    encode.delete_rows(spark, path, "doc_id", [7])
+    rec = encode.append_chunk(
+        spark, _webtext(spark, n=10, shift=500), path, staged=True
+    )
+    plain = spark.read.format("raquet").load(path)
+    assert plain.count() == 39
+    audit = (
+        spark.read.format("raquet")
+        .option("stagedToken", rec["token"])
+        .load(path)
+    )
+    assert audit.count() == 39 + 10
+    got = {r.doc_id for r in audit.select("doc_id").collect()}
+    assert 7 not in got and 505 in got
+    with pytest.raises(Exception):
+        spark.read.format("raquet").option(
+            "stagedToken", rec["token"]
+        ).option("snapshotId", 0).load(path).count()
