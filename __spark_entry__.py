@@ -938,6 +938,20 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr APPLIED (Lee 2022's cut, not just the detection):
+    duplicated 20-token spans are removed from every non-first
+    occurrence and the text rebuilt; untouched docs stay
+    byte-identical (single-space split round-trips exactly)."""
+    docs = _read(spark, sf_dir, "documents")
+    spans = dedup.repeated_spans(docs, "doc_id", "text", min_tokens=20)
+    return (
+        dedup.remove_spans(docs, spans, "doc_id", "text")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_minhash_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup FILTER (the step a pipeline actually
     runs): LSH candidate pairs -> exact-Jaccard verification ->
@@ -2043,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_tag": q_rt_tag,
         "dedup_spans": q_dedup_spans,
         "rt_wap": q_rt_wap,
+        "dedup_spans_removed": q_dedup_spans_removed,
         # --- past the driver's 50-query cap: long-green pure-Column
         # queries displaced by the round-5 tail (each driver-scored
         # green in r1-r4 and judge-checkable via check_oracle.py) plus
@@ -2924,6 +2939,65 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_windows
             FROM isl GROUP BY doc_id, g
             ORDER BY doc_id, span_start""",
+        # ExactSubstr applied: same spans CTE, then per-doc covered
+        # positions -> index-lambda list_filter cut; span-free docs
+        # keep their text via the LEFT JOIN's NULL arm (byte-identical)
+        "dedup_spans_removed": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            o AS (
+              SELECT doc_id,
+                unnest([{'pos': i - 1,
+                         'd': md5(array_to_string(w[i:(i + 19)], ' '))}
+                        FOR i IN range(1, len(w) - 20 + 2)],
+                       recursive := true)
+              FROM t WHERE len(w) >= 20
+            ),
+            p AS (
+              SELECT doc_id, pos, d,
+                     doc_id::BIGINT * 1048576 + pos AS packed
+              FROM o
+            ),
+            k AS (SELECT d, min(packed) AS keep, count(*) AS c
+                  FROM p GROUP BY d),
+            dup AS (
+              SELECT doc_id, pos FROM p JOIN k USING (d)
+              WHERE c > 1 AND packed <> keep
+            ),
+            starts AS (
+              SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                               ORDER BY pos) <= 20
+                     THEN 0 ELSE 1 END AS s
+              FROM dup
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                sum(s) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS g
+              FROM starts
+            ),
+            spans AS (
+              SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e
+              FROM isl GROUP BY doc_id, g
+            ),
+            cov AS (
+              SELECT doc_id, list(DISTINCT pos) AS droplist FROM (
+                SELECT doc_id, unnest(range(s, e)) AS pos FROM spans
+              ) GROUP BY doc_id
+            )
+            SELECT d.doc_id::BIGINT AS doc_id,
+              -- coalesce: duck's array_to_string([]) is NULL, Spark's
+              -- array_join([]) is '' (a fully-covered doc empties)
+              CASE WHEN cov.doc_id IS NULL THEN d.text
+                   ELSE coalesce(array_to_string(
+                     list_filter(string_split(d.text, ' '),
+                                 (x, i) -> NOT list_contains(cov.droplist,
+                                                             i - 1)),
+                     ' '), '') END AS text
+            FROM documents d LEFT JOIN cov USING (doc_id)
+            ORDER BY doc_id""",
         # O(delta) ingest dedup: NOT EXISTS (not NOT IN) so a NULL base
         # text never poisons the filter, matching the anti-join; GROUP
         # BY text groups NULLs, matching the NULL-digest group

@@ -860,6 +860,49 @@ def repeated_spans(
     )
 
 
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Apply an ExactSubstr removal plan (:func:`repeated_spans`): drop
+    every token whose 0-based position falls inside one of the doc's
+    ``(span_start, span_end)`` intervals and rebuild the text — the
+    cut Lee et al. 2022 make after detection. Tokenization is
+    :func:`~..functions.text.tokens_col`'s single-space split, whose
+    ``array_join(' ')`` inverse round-trips any string exactly, so
+    docs outside every span keep their text byte-identical (they skip
+    the rebuild entirely via the left join's NULL arm).
+
+    Plan at 10^12 docs: spans collapse to one bounded array per
+    DUPLICATED doc (rows ∝ docs with removals, not corpus size), join
+    back on id, and the cut is one higher-order ``filter`` over token
+    positions — zero Python, no window, one equi-join.
+    """
+    sp = spans.groupBy(F.col("id").alias("_sid")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("_spans")
+    )
+    out = df.join(sp, F.col(id_col).cast("long") == F.col("_sid"), "left")
+    toks = tokens_col(F.col(text_col))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("_spans"), lambda s: (i >= s["s"]) & (i < s["e"])
+        ),
+    )
+    return out.withColumn(
+        text_col,
+        F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+            F.array_join(kept, " ")
+        ),
+    ).drop("_sid", "_spans")
+
+
 def incremental_exact_dedup(
     delta: DataFrame,
     base: DataFrame,

@@ -2202,3 +2202,25 @@ def test_wap_datasource_staged_token(spark, tmp_path):
         spark.read.format("raquet").option(
             "stagedToken", rec["token"]
         ).option("snapshotId", 0).load(path).count()
+
+
+def test_remove_spans_closed_form(spark):
+    """remove_spans cuts exactly the spanned tokens; docs without
+    spans keep their text byte-identical (odd whitespace included)."""
+    from duckdb_raquet_spark.functions import dedup
+
+    r = [f"r{i}" for i in range(10)]
+    a = " ".join(r + ["sep"] + [f"a{i}" for i in range(5)])
+    b = " ".join(["b0", "b1"] + r + ["b2"])
+    c = "c0  c1   c2"  # double spaces must survive untouched
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    spans = dedup.repeated_spans(df, "doc_id", "text", min_tokens=10)
+    out = {
+        r_.doc_id: r_.text
+        for r_ in dedup.remove_spans(df, spans, "doc_id", "text").collect()
+    }
+    assert out[1] == a  # first occurrence keeps everything
+    assert out[2] == "b0 b1 b2"  # the 10-token repeat is cut
+    assert out[3] == c  # untouched, byte-identical
