@@ -296,6 +296,66 @@ def main() -> None:
         )
     )
 
+    # 12. staged audit read (write-audit-publish): shares read_rows'
+    #     decode+delete tail — parent deletes apply as broadcast
+    #     anti-joins, the decoded side never shuffles
+    wap_path = (
+        f"/tmp/raquet_audit_wap_{os.path.basename(args.sf_dir)}"
+        f"_v{drs.__version__}"
+    )
+    if not encode.list_staged(spark, wap_path):
+        encode.encode_to_path(
+            spark, synth.synth_webtext(spark, 400, num_partitions=2),
+            wap_path, chunks=2, target_rows_per_block=64,
+        )
+        encode.delete_rows(spark, wap_path, "lang", ["de"])
+        encode.append_chunk(
+            spark,
+            synth.synth_webtext(spark, 100, num_partitions=1, seed=7),
+            wap_path,
+            staged=True,
+        )
+    tok = sorted(encode.list_staged(spark, wap_path))[0]
+    p = formatted(scan.read_staged_rows(spark, wap_path, tok, ["url", "text"]))
+    sections.append(
+        (
+            "read_staged_rows (WAP audit)",
+            p,
+            [
+                (
+                    "parent deletes as broadcast anti-join",
+                    "LeftAnti" in p and "BroadcastHashJoin" in p,
+                ),
+                (
+                    "no shuffle of the decoded side",
+                    not re.search(r"Exchange hashpartitioning", p),
+                ),
+            ],
+        )
+    )
+
+    # 13. ExactSubstr removal: the cut is a higher-order filter (no
+    #     Python), spans join back by id only
+    p = formatted(qs["dedup_spans_removed"](spark, args.sf_dir))
+    sections.append(
+        (
+            "dedup_spans_removed",
+            p,
+            [
+                (
+                    "no Python nodes",
+                    "EvalPython" not in p and "MapInPandas" not in p,
+                ),
+                (
+                    "no single-partition exchange on the cut",
+                    # the final global orderBy is presentation-only;
+                    # strip rangepartitioning before the check
+                    "Exchange SinglePartition" not in p,
+                ),
+            ],
+        )
+    )
+
     lines = ["# Plan audit (auto-generated by tools/plan_audit.py)", ""]
     failures = 0
     for title, plan, checks in sections:
