@@ -634,6 +634,7 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "corpus_shuffle",
         "txt_bigram_lm",
         "dedup_incremental",
+        "dedup_spans_removed",
     ):
         timed(timings, name, lambda n=name: force(qs[n](spark, sf_dir)))
 
