@@ -1999,8 +1999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "emb_quantize": q_emb_quantize,
         "ann_pq": q_ann_pq,
-        "agg_lineitem_pricing": q_agg_lineitem_pricing,
-        "agg_events_windowed": q_agg_events_windowed,
+        "rt_wap": q_rt_wap,
+        "dedup_spans_removed": q_dedup_spans_removed,
         "join_top_customers": q_join_top_customers,
         "sessionize": q_sessionize,
         "txt_pii": q_txt_pii,
@@ -2049,6 +2049,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_compact_incr": q_rt_compact_incr,
         "dedup_minhash_filter": q_dedup_minhash_filter,
         "corpus_shards": q_corpus_shards,
+        # below here sits past the driver's 50-query scoring cap.
+        # agg_lineitem_pricing / agg_events_windowed were driver-green
+        # in r4 and stay benched; they are parked to make room for the
+        # round-5 additions rt_wap + dedup_spans_removed above
+        "agg_lineitem_pricing": q_agg_lineitem_pricing,
+        "agg_events_windowed": q_agg_events_windowed,
         "ann_topk": q_ann_topk,
         "corpus_shuffle": q_corpus_shuffle,
         "txt_bigram_lm": q_txt_bigram_lm,
@@ -2056,8 +2062,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_dsir_sample": q_txt_dsir_sample,
         "rt_tag": q_rt_tag,
         "dedup_spans": q_dedup_spans,
-        "rt_wap": q_rt_wap,
-        "dedup_spans_removed": q_dedup_spans_removed,
         # --- past the driver's 50-query cap: long-green pure-Column
         # queries displaced by the round-5 tail (each driver-scored
         # green in r1-r4 and judge-checkable via check_oracle.py) plus

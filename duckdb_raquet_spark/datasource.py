@@ -206,6 +206,18 @@ class RaquetReader(DataSourceReader):
                     "pass stagedToken OR snapshotId/ref, not both"
                 )
             rec = mf.get_staged(self.path, tok_opt, None)
+            # DataSource.schema() serves the CURRENT manifest; schema
+            # evolution committed after staging would silently desync
+            # the declared schema from the staged decode — refuse loud
+            spec = lambda m: [  # noqa: E731
+                (c["name"], c["spark_type"], c.get("physical", c["name"]))
+                for c in m["columns"]
+            ]
+            if spec(self.man) != spec(rec["manifest"]):
+                raise ValueError(
+                    "table schema changed since this commit was staged; "
+                    "drop_staged and re-stage against the new schema"
+                )
             self.man = rec["manifest"]
             self.snapshot = {"chunks": rec["chunks"], "op": "staged"}
             snap_entries = list(rec["manifest"].get("delete_files") or [])

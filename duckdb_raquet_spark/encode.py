@@ -989,6 +989,14 @@ def append_chunk(
     if staged and (_replace_chunks or _op != "append"):
         raise ValueError("only plain appends can be staged")
     man, base_snap = mf.committed_manifest(path, spark)
+    if staged and base_snap is None:
+        # pre-snapshot-log readers plan every chunk dir on disk, so a
+        # "staged" chunk would be visible immediately — the opposite of
+        # the WAP contract
+        raise ValueError(
+            "staged appends need a snapshot-log table (pre-log tables "
+            "read all chunk dirs); append once to create the log first"
+        )
     if _expected_parent is not _NO_CAS:
         seen = _expected_parent["snapshot_id"] if _expected_parent else None
         now = base_snap["snapshot_id"] if base_snap else None
@@ -1395,10 +1403,12 @@ def expire_snapshots(
     retained_chunks: set[int] = set()
     for i in keep_ids:
         retained_chunks.update(int(c) for c in snaps[i]["chunks"])
-    # staged (write-audit-publish) commits pin their chunk dirs: the
-    # data is referenced by a live _staged/ record awaiting publish
-    for rec in mf.read_staged(path, spark).values():
-        retained_chunks.add(int(rec["chunk"]))
+    # staged (write-audit-publish) commits pin their WHOLE visible set:
+    # the audit view reads the parent chunks too, and a rollback +
+    # expire between staging and publish must not truncate it silently
+    staged_recs = mf.read_staged(path, spark)
+    for rec in staged_recs.values():
+        retained_chunks.update(int(c) for c in rec["chunks"])
     for i in expired:
         fsio.delete_file(
             spark, mf.snapshots_dir(path), f"snap-{i:05d}.json"
@@ -1426,7 +1436,7 @@ def expire_snapshots(
                 retained_deletes.add(os.path.basename(e["dir"]))
         # staged records' audit views apply their parent's deletes:
         # those dirs must survive until the record publishes or drops
-        for rec in mf.read_staged(path, spark).values():
+        for rec in staged_recs.values():
             for e in rec["manifest"].get("delete_files", []) or []:
                 retained_deletes.add(os.path.basename(e["dir"]))
         ddir = os.path.join(path, DELETES_DIR)

@@ -770,6 +770,20 @@ def read_staged_rows(
     never see the staged chunk."""
     rec = mf.get_staged(path, token, spark)
     man = rec["manifest"]
+    # schema evolution committed AFTER staging would make the staged
+    # manifest's decode bind against files the current schema renamed/
+    # added/widened — refuse loudly rather than serve wrong columns
+    # (publish_staged applies the same rule to rebase)
+    cur = mf.committed_manifest(path, spark)[0]
+    _spec = lambda m: [  # noqa: E731
+        (c["name"], c["spark_type"], c.get("physical", c["name"]))
+        for c in m["columns"]
+    ]
+    if cur is not None and _spec(cur) != _spec(man):
+        raise ValueError(
+            "table schema changed since this commit was staged; "
+            "drop_staged and re-stage against the new schema"
+        )
     blocks = _read_raw(spark, path).where(
         (F.col(BLOCK) != bk.MANIFEST_BLOCK)
         & F.col("chunk").isin([int(c) for c in rec["chunks"]])

@@ -2224,3 +2224,62 @@ def test_remove_spans_closed_form(spark):
     assert out[1] == a  # first occurrence keeps everything
     assert out[2] == "b0 b1 b2"  # the 10-token repeat is cut
     assert out[3] == c  # untouched, byte-identical
+
+
+def test_wap_expiry_pins_parent_chunks(spark, tmp_path):
+    """Expiry must retain the staged record's WHOLE visible set, not
+    just its own chunk — a rollback + expire between staging and
+    publish otherwise silently truncates the audit view."""
+    path = str(tmp_path / "wapparent")
+    encode.encode_to_path(spark, _webtext(spark, n=40), path, chunks=2,
+                          target_rows_per_block=32)                # snap 0
+    encode.append_chunk(spark, _webtext(spark, n=10, shift=600), path)  # 1
+    rec = encode.append_chunk(                                     # parent 1
+        spark, _webtext(spark, n=10, shift=700), path, staged=True
+    )
+    encode.rollback_to_snapshot(spark, path, 0)  # chunk 2 leaves 'main'
+    out = encode.expire_snapshots(spark, path, keep_last=1)
+    # chunk 2 (the committed append) is in the staged record's chunks
+    assert 2 not in out["removed_chunks"]
+    audit = scan.read_staged_rows(spark, path, rec["token"])
+    assert audit.count() == 60  # 40 + 10 committed + 10 staged, untruncated
+    encode.drop_staged(spark, path, rec["token"])
+    out2 = encode.expire_snapshots(spark, path, keep_last=1)
+    assert set(out2["removed_chunks"]) >= {2, rec["chunk"]}
+
+
+def test_wap_staged_refused_without_snapshot_log(spark, tmp_path):
+    """Pre-log tables read every chunk dir, so staging must refuse."""
+    path = str(tmp_path / "wapprelog")
+    encode.encode_to_path(spark, _webtext(spark, n=40), path, chunks=2,
+                          target_rows_per_block=32)
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "_snapshots"))
+    with pytest.raises(ValueError, match="snapshot-log"):
+        encode.append_chunk(
+            spark, _webtext(spark, n=10, shift=800), path, staged=True
+        )
+
+
+def test_wap_audit_refuses_post_stage_evolution(spark, tmp_path):
+    """Schema evolution after staging makes the staged decode bind
+    wrong — both audit surfaces refuse loudly."""
+    from duckdb_raquet_spark.datasource import RaquetDataSource
+
+    spark.dataSource.register(RaquetDataSource)
+    path = str(tmp_path / "wapevol")
+    encode.encode_to_path(spark, _webtext(spark, n=40), path, chunks=2,
+                          target_rows_per_block=32)
+    rec = encode.append_chunk(
+        spark, _webtext(spark, n=10, shift=900), path, staged=True
+    )
+    encode.evolve_rename_column(spark, path, "lang", "language")
+    with pytest.raises(ValueError, match="schema changed"):
+        scan.read_staged_rows(spark, path, rec["token"]).count()
+    with pytest.raises(Exception, match="schema changed"):
+        spark.read.format("raquet").option(
+            "stagedToken", rec["token"]
+        ).load(path).count()
+    with pytest.raises(ValueError, match="cannot rebase"):
+        encode.publish_staged(spark, path, rec["token"], rebase=True)
