@@ -607,6 +607,16 @@ def q_enc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "column string, codec string, n_blocks int")
 
 
+def q_rt_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE analog (Iceberg compute_table_stats): per-column
+    encoded bytes / share / codec mix from blob lengths, exact NDV
+    merged from per-block cat_counts, numeric min/max from num_stats —
+    one metadata-only aggregate, no payload decode (rows-only check,
+    like enc_metrics)."""
+    _, _, path = _blocks(spark, sf_dir)  # ensure the fixture table
+    return scan.column_stats(spark, path).orderBy("column")
+
+
 def q_key_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-key algebra over the encoded table: resolution extraction,
     ts-bucket extraction, parent keys (quadbin_* analogs) — engine-
@@ -2062,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_dsir_sample": q_txt_dsir_sample,
         "rt_tag": q_rt_tag,
         "dedup_spans": q_dedup_spans,
+        "rt_analyze": q_rt_analyze,
         # --- past the driver's 50-query cap: long-green pure-Column
         # queries displaced by the round-5 tail (each driver-scored
         # green in r1-r4 and judge-checkable via check_oracle.py) plus

@@ -1236,6 +1236,96 @@ def summary_stats(blocks: DataFrame, stat_key: str) -> DataFrame:
     )
 
 
+def column_stats(spark: SparkSession, path: str) -> DataFrame:
+    """ANALYZE TABLE analog (Iceberg ``compute_table_stats``): one row
+    per column with storage + statistics, computed from block METADATA
+    and blob lengths only — no payload decodes, one aggregate pass:
+
+    ``(column, codec_mix, n_blocks, enc_bytes, enc_share, ndv,
+    min_val, max_val)``
+
+    * ``enc_bytes`` / ``enc_share`` — where the compressed budget goes
+      (the first question a codec engineer asks of a 100 TB table);
+    * ``ndv`` — EXACT distinct count for categorical (dict-eligible)
+      columns, merged from the per-block ``cat_counts`` key sets; NULL
+      for high-cardinality columns (no per-block set is kept for them
+      by design — the stats would be table-sized);
+    * ``min_val``/``max_val`` — from per-block ``num_stats`` for
+      int/timestamp columns (``len_<col>`` char-length stats are
+      served by :func:`summary_stats`, not repeated here).
+
+    The whole pass is one hash aggregate over the blocks table's
+    metadata columns; per-column rows materialize driver-side from the
+    single result row (O(#columns))."""
+    man = read_manifest(spark, path)
+    blocks = read_blocks(spark, path)
+    aggs = []
+    for c in man["columns"]:
+        name = c["name"]
+        p = c.get("physical", name)
+        blob = F.col(f"{p}_blob")
+        keys = F.map_keys(
+            F.coalesce(
+                F.col("cat_counts").getItem(name),
+                F.create_map().cast("map<string,bigint>"),
+            )
+        )
+        ns = F.col("num_stats").getItem(name)
+        aggs += [
+            F.count(F.when(blob.isNotNull(), 1)).alias(f"nb__{name}"),
+            F.coalesce(F.sum(F.octet_length(blob)), F.lit(0)).alias(
+                f"enc__{name}"
+            ),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list(keys)))
+            ).alias(f"ndv__{name}"),
+            # a block WITHOUT cat stats for this column means the
+            # column is not dict-eligible there: the merged key set is
+            # then a subset, not the NDV — track it to null the result
+            F.count(
+                F.when(
+                    blob.isNotNull()
+                    & F.col("cat_counts").getItem(name).isNull(),
+                    1,
+                )
+            ).alias(f"nocat__{name}"),
+            F.min(ns.getField("min")).alias(f"min__{name}"),
+            F.max(ns.getField("max")).alias(f"max__{name}"),
+        ]
+    row = blocks.agg(*aggs).collect()[0]
+    total = sum(int(row[f"enc__{c['name']}"] or 0) for c in man["columns"])
+    out = []
+    for c in man["columns"]:
+        name = c["name"]
+        enc = int(row[f"enc__{name}"] or 0)
+        ndv = (
+            int(row[f"ndv__{name}"])
+            if int(row[f"nocat__{name}"] or 0) == 0
+            and int(row[f"ndv__{name}"] or 0) > 0
+            else None
+        )
+        out.append(
+            (
+                name,
+                json.dumps(
+                    man.get("codec_histogram", {}).get(name, {}),
+                    sort_keys=True,
+                ),
+                int(row[f"nb__{name}"] or 0),
+                enc,
+                round(enc / total, 4) if total else 0.0,
+                ndv,
+                row[f"min__{name}"],
+                row[f"max__{name}"],
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "column string, codec_mix string, n_blocks long, enc_bytes long,"
+        " enc_share double, ndv long, min_val long, max_val long",
+    )
+
+
 def cat_value_counts(blocks: DataFrame, col: str) -> DataFrame:
     """Per-value counts of a low-cardinality column from the per-block
     ``cat_counts`` maps — decode-free GROUP BY (the per-block top-K stats

@@ -68,6 +68,8 @@ def main() -> None:
     p = sub.add_parser("counts")
     p.add_argument("--col", required=True, help="categorical column, e.g. lang")
 
+    sub.add_parser("analyze")
+
     p = sub.add_parser("decode")
     p.add_argument("--cols", default=None)
     p.add_argument("--limit", type=int, default=None)
@@ -116,6 +118,8 @@ def main() -> None:
         _warn_stale_stats(man)
         blocks = scan.read_blocks(spark, args.path)
         _rows_out(scan.cat_value_counts(blocks, args.col), None)
+    elif args.cmd == "analyze":
+        _rows_out(scan.column_stats(spark, args.path), None)
     elif args.cmd == "rollup":
         _warn_stale_stats(man)
         blocks = scan.read_blocks(spark, args.path)

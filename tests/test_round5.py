@@ -2283,3 +2283,31 @@ def test_wap_audit_refuses_post_stage_evolution(spark, tmp_path):
         ).load(path).count()
     with pytest.raises(ValueError, match="cannot rebase"):
         encode.publish_staged(spark, path, rec["token"], rebase=True)
+
+
+def test_column_stats_analyze(spark, tmp_path):
+    """ANALYZE analog: per-column enc bytes from blob lengths, exact
+    NDV from merged cat_counts key sets, numeric min/max from
+    num_stats — no payload decode."""
+    path = str(tmp_path / "analyze")
+    web = _webtext(spark, n=60)
+    encode.encode_to_path(spark, web, path, chunks=2,
+                          target_rows_per_block=32)
+    rows = {r.column: r for r in scan.column_stats(spark, path).collect()}
+    assert set(rows) == {"url", "warc_ts", "text", "lang", "doc_id"}
+    assert abs(sum(r.enc_share for r in rows.values()) - 1.0) < 0.01
+    langs = {x.lang for x in web.select("lang").distinct().collect()}
+    assert rows["lang"].ndv == len(langs)
+    ts = [
+        int(x[0].timestamp() * 1_000_000)
+        for x in web.select("warc_ts").collect()
+    ]
+    assert rows["warc_ts"].min_val == min(ts)
+    assert rows["warc_ts"].max_val == max(ts)
+    assert rows["doc_id"].min_val == 0 and rows["doc_id"].max_val == 59
+    total_enc = sum(r.enc_bytes for r in rows.values())
+    assert total_enc > 0 and rows["text"].enc_bytes > rows["lang"].enc_bytes
+    # url is high-cardinality-ish but small here; ndv either exact
+    # (if every block kept cat stats) or NULL — never a wrong number
+    if rows["url"].ndv is not None:
+        assert rows["url"].ndv == web.select("url").distinct().count()
