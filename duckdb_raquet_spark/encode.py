@@ -1298,6 +1298,10 @@ def publish_staged(
     rec = mf.get_staged(path, token, spark)
     cur_man, cur_snap = mf.committed_manifest(path, spark)
     cur_id = cur_snap["snapshot_id"] if cur_snap else None
+    if rec["op"] == "delete":
+        return _publish_staged_delete(
+            spark, path, token, rec, cur_man, cur_snap, rebase=rebase
+        )
     k = int(rec["chunk"])
     if cur_id == rec["parent_snapshot_id"]:
         final = rec["manifest"]
@@ -1348,13 +1352,66 @@ def publish_staged(
     return final
 
 
+def _publish_staged_delete(
+    spark, path, token, rec, cur_man, cur_snap, *, rebase: bool
+) -> dict:
+    """Publish a staged DELETE: the value file already sits under
+    ``_deletes/`` (unreferenced); publishing appends its entry to the
+    manifest under the commit CAS. Rebase is safe by the sequence
+    rule — the entry's per-row ``_dseq`` was stamped at stage time, so
+    chunks appended since stay untouched, exactly as if the delete had
+    committed first — provided its key columns survived evolution."""
+    cur_id = cur_snap["snapshot_id"] if cur_snap else None
+    entry = rec["entry"]
+    if cur_id == rec["parent_snapshot_id"]:
+        man = rec["manifest"]
+    else:
+        if not rebase:
+            raise mf.ConcurrentCommitError(
+                f"snapshot log at {path} advanced from "
+                f"{rec['parent_snapshot_id']} to {cur_id} since this "
+                "delete was staged; audit against the new base and "
+                "publish with rebase=True, or drop_staged"
+            )
+        spec = {
+            c["name"]: c["spark_type"] for c in cur_man["columns"]
+        }
+        staged_spec = {
+            c["name"]: c["spark_type"]
+            for c in rec["manifest"]["columns"]
+        }
+        stale = [
+            c for c in entry["cols"] if spec.get(c) != staged_spec.get(c)
+        ]
+        if stale:
+            raise ValueError(
+                f"cannot rebase staged delete: key columns {stale} "
+                "changed since staging; drop_staged and re-stage"
+            )
+        man = dict(cur_man)
+        man["delete_files"] = list(man.get("delete_files", [])) + [entry]
+    man, _ = _meta_commit(
+        spark, path, man, "delete",
+        {"delete_files": man["delete_files"], "staged_token": token},
+        parent=cur_snap,
+    )
+    mf.delete_staged(path, token, spark)
+    return man
+
+
 def drop_staged(spark: SparkSession, path: str, token: str) -> dict:
     """Abandon a staged commit: the ``_staged/`` record is removed;
-    the staged chunk directory becomes a normal orphan (id burned,
-    invisible to every reader) and is reclaimed by
-    :func:`expire_snapshots`."""
+    a staged APPEND's chunk directory becomes a normal orphan (id
+    burned, invisible to every reader, reclaimed by
+    :func:`expire_snapshots`); a staged DELETE's value file is
+    unreferenced by every snapshot, so it is reclaimed eagerly."""
     rec = mf.get_staged(path, token, spark)
     mf.delete_staged(path, token, spark)
+    if rec["op"] == "delete":
+        from . import fsio
+
+        fsio.delete_dir(spark, os.path.join(path, rec["entry"]["dir"]))
+        return {"dropped": token, "delete_dir": rec["entry"]["dir"]}
     return {"dropped": token, "chunk": int(rec["chunk"])}
 
 
@@ -1808,7 +1865,9 @@ def _delete_arrow_types(specs: list[dict]) -> list:
     return [arrow.field(i).type for i in range(len(specs))]
 
 
-def delete_rows(spark: SparkSession, path: str, col, values) -> dict:
+def delete_rows(
+    spark: SparkSession, path: str, col, values, *, staged: bool = False
+) -> dict:
     """DELETE FROM <table> WHERE (<cols>) IN (<values>) as an Iceberg
     equality-delete commit. ``col`` is one column name or a LIST of
     names — a composite key like a crawl table's natural ``(url,
@@ -1941,6 +2000,29 @@ def delete_rows(spark: SparkSession, path: str, col, values) -> dict:
         entry["col"] = cols[0]  # readability + v1-reader compat
     man = dict(man)
     man["delete_files"] = list(man.get("delete_files", [])) + [entry]
+    if staged:
+        # write-audit-publish for a DELETE (e.g. a dedup drop list to
+        # be audited before it applies): the value file is on disk but
+        # unreferenced until publish; the staged manifest carries the
+        # entry, so read_staged_rows audits the post-delete view
+        if cur is None:
+            from . import fsio
+
+            fsio.delete_dir(spark, dest)
+            raise ValueError(
+                "staged deletes need a snapshot-log table"
+            )
+        rec = {
+            "token": uuid.uuid4().hex[:12],
+            "op": "delete",
+            "entry": entry,
+            "parent_snapshot_id": cur["snapshot_id"],
+            "chunks": sorted(int(c) for c in visible),
+            "manifest": man,
+            "created_unix": int(time.time()),
+        }
+        mf.write_staged(path, rec, spark)
+        return rec
     try:
         man, _ = _meta_commit(
             spark, path, man, "delete",

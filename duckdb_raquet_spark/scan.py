@@ -763,11 +763,13 @@ def read_staged_rows(
     cols: list[str] | None = None,
 ) -> DataFrame:
     """AUDIT read of a staged write-audit-publish commit
-    (``encode.append_chunk(..., staged=True)``): the table AS IF the
-    staged append were published — the parent snapshot's chunks plus
-    the staged chunk, with the parent's equality deletes applied.
-    Readers without the token (read_rows, the datasource, time travel)
-    never see the staged chunk."""
+    (``encode.append_chunk(..., staged=True)`` or
+    ``encode.delete_rows(..., staged=True)``): the table AS IF the
+    staged commit were published — for an append, the parent chunks
+    plus the staged chunk; for a delete, the parent chunks with the
+    staged entry applied on top of the parent's deletes (the staged
+    manifest carries both). Readers without the token (read_rows, the
+    datasource, time travel) see neither."""
     rec = mf.get_staged(path, token, spark)
     man = rec["manifest"]
     # schema evolution committed AFTER staging would make the staged

@@ -66,6 +66,13 @@ def main() -> None:
         "delete commit (merge-on-read; no data file rewritten)",
     )
     ap.add_argument(
+        "--staged-delete",
+        action="store_true",
+        help="with --delete-from: STAGE the drop list (write-audit-"
+        "publish) instead of committing it — audit via table_job, "
+        "then publish or drop",
+    )
+    ap.add_argument(
         "--delete-col",
         default=None,
         help="table column the drop list keys match (default: --id-col)",
@@ -204,6 +211,14 @@ def main() -> None:
         if n_total - n_keep == 0:
             # nothing to drop — delete_rows rejects empty sets
             summary["delete_commit"] = None
+        elif args.staged_delete:
+            # write-audit-publish: park the drop list for review —
+            # `table_job.py <table> audit --token T` then publish
+            rec = encode.delete_rows(
+                spark, args.delete_from, col, drops, staged=True
+            )
+            summary["staged_token"] = rec["token"]
+            summary["delete_commit"] = rec["entry"]
         else:
             man = encode.delete_rows(spark, args.delete_from, col, drops)
             summary["delete_commit"] = man["delete_files"][-1]

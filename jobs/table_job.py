@@ -58,6 +58,8 @@ def main() -> None:
         "--values-parquet", default=None,
         help="parquet path whose first/only matching column is the key list",
     )
+    p.add_argument("--staged", action="store_true",
+                   help="stage (write-audit-publish) instead of committing")
 
     p = sub.add_parser("upsert")
     p.add_argument("--key-col", required=True)
@@ -142,14 +144,24 @@ def main() -> None:
         else:
             vals = spark.read.parquet(args.values_parquet)
         man = encode.delete_rows(
-            spark, args.path, cols if len(cols) > 1 else cols[0], vals
+            spark, args.path, cols if len(cols) > 1 else cols[0], vals,
+            staged=args.staged,
         )
-        print(json.dumps({
-            "op": "delete",
-            "table": args.path,
-            "commit": man["delete_files"][-1],
-            "live_delete_files": len(man["delete_files"]),
-        }))
+        if args.staged:
+            print(json.dumps({
+                "op": "stage-delete",
+                "table": args.path,
+                "token": man["token"],
+                "entry": man["entry"],
+                "parent_snapshot_id": man["parent_snapshot_id"],
+            }))
+        else:
+            print(json.dumps({
+                "op": "delete",
+                "table": args.path,
+                "commit": man["delete_files"][-1],
+                "live_delete_files": len(man["delete_files"]),
+            }))
     elif args.cmd == "upsert":
         df = spark.read.parquet(args.input)
         keys = args.key_col.split(",")

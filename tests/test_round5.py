@@ -2311,3 +2311,49 @@ def test_column_stats_analyze(spark, tmp_path):
     # (if every block kept cat stats) or NULL — never a wrong number
     if rows["url"].ndv is not None:
         assert rows["url"].ndv == web.select("url").distinct().count()
+
+
+def test_wap_staged_delete(spark, tmp_path):
+    """Staged DELETE: invisible until publish, audit view shows the
+    post-delete state, drop reclaims the value file eagerly."""
+    path = str(tmp_path / "wapsdel")
+    encode.encode_to_path(spark, _webtext(spark, n=40), path, chunks=2,
+                          target_rows_per_block=32)
+    rec = encode.delete_rows(spark, path, "doc_id", [3, 5], staged=True)
+    assert rec["op"] == "delete"
+    assert scan.read_rows(spark, path).count() == 40  # still invisible
+    audit = scan.read_staged_rows(spark, path, rec["token"])
+    assert audit.count() == 38
+    assert audit.where(F.col("doc_id").isin(3, 5)).count() == 0
+    final = encode.publish_staged(spark, path, rec["token"])
+    assert scan.read_rows(spark, path).count() == 38
+    assert len(final["delete_files"]) == 1
+    assert encode.list_staged(spark, path) == {}
+    # drop path: stage another, drop, value dir reclaimed eagerly
+    rec2 = encode.delete_rows(spark, path, "doc_id", [7], staged=True)
+    ddir = os.path.join(path, rec2["entry"]["dir"])
+    assert os.path.isdir(ddir)
+    out = encode.drop_staged(spark, path, rec2["token"])
+    assert out["delete_dir"] == rec2["entry"]["dir"]
+    assert not os.path.isdir(ddir)
+    assert scan.read_rows(spark, path).count() == 38
+
+
+def test_wap_staged_delete_rebase_sequence_rule(spark, tmp_path):
+    """A chunk appended between staging and publish must NOT lose rows
+    to the staged delete (its per-row seq predates the new chunk) —
+    while base rows with the staged keys are removed."""
+    path = str(tmp_path / "wapsdel2")
+    encode.encode_to_path(spark, _webtext(spark, n=40), path, chunks=2,
+                          target_rows_per_block=32)
+    rec = encode.delete_rows(spark, path, "doc_id", [3], staged=True)
+    # concurrent append brings doc 1003 AND a fresh row keyed 3 + 1000
+    extra = _webtext(spark, n=10, shift=1000)
+    encode.append_chunk(spark, extra, path)
+    with pytest.raises(mf.ConcurrentCommitError):
+        encode.publish_staged(spark, path, rec["token"])
+    encode.publish_staged(spark, path, rec["token"], rebase=True)
+    rows = scan.read_rows(spark, path)
+    assert rows.count() == 40 - 1 + 10
+    assert rows.where(F.col("doc_id") == 3).count() == 0
+    assert rows.where(F.col("doc_id") == 1003).count() == 1
