@@ -1238,7 +1238,9 @@ def summary_stats(blocks: DataFrame, stat_key: str) -> DataFrame:
     )
 
 
-def column_stats(spark: SparkSession, path: str) -> DataFrame:
+def column_stats(
+    spark: SparkSession, path: str, *, with_ndv_sketch: bool = False
+) -> DataFrame:
     """ANALYZE TABLE analog (Iceberg ``compute_table_stats``): one row
     per column with storage + statistics, computed from block METADATA
     and blob lengths only — no payload decodes, one aggregate pass:
@@ -1258,7 +1260,14 @@ def column_stats(spark: SparkSession, path: str) -> DataFrame:
 
     The whole pass is one hash aggregate over the blocks table's
     metadata columns; per-column rows materialize driver-side from the
-    single result row (O(#columns))."""
+    single result row (O(#columns)).
+
+    ``with_ndv_sketch=True`` appends an ``ndv_est`` column served from
+    the persisted KMV sketch (:func:`analyze_ndv`) when it matches the
+    current snapshot — the NDV answer for high-cardinality columns
+    whose exact ``ndv`` is NULL by design, still metadata-only here
+    (the decode pass happened at ANALYZE time, like Iceberg's Puffin
+    stats files)."""
     man = read_manifest(spark, path)
     blocks = read_blocks(spark, path)
     aggs = []
@@ -1321,10 +1330,202 @@ def column_stats(spark: SparkSession, path: str) -> DataFrame:
                 row[f"max__{name}"],
             )
         )
+    if not with_ndv_sketch:
+        return spark.createDataFrame(
+            out,
+            "column string, codec_mix string, n_blocks long, enc_bytes long,"
+            " enc_share double, ndv long, min_val long, max_val long",
+        )
+    sk = read_ndv_sketch(spark, path)
+    cur = mf.current_snapshot(path, spark)
+    cur_id = int(cur["snapshot_id"]) if cur else None
+    cols_sk = (
+        sk["columns"]
+        if sk is not None and sk.get("snapshot_id") == cur_id
+        else {}
+    )
+    out = [
+        r + (cols_sk.get(r[0], {}).get("ndv_est"),)
+        for r in out
+    ]
     return spark.createDataFrame(
         out,
         "column string, codec_mix string, n_blocks long, enc_bytes long,"
-        " enc_share double, ndv long, min_val long, max_val long",
+        " enc_share double, ndv long, min_val long, max_val long,"
+        " ndv_est long",
+    )
+
+
+# ------------------------------------------------- NDV sketch (ANALYZE) ----
+
+# KMV (k-minimum-values) distinct-count sketch — the Iceberg
+# compute_table_stats / Puffin-stats analog for the columns where
+# column_stats' exact merged key sets are unavailable BY DESIGN (a url
+# column at 10^12 rows keeps no per-block value set). The estimator is
+# the classic bottom-k order statistic (Bar-Yossef et al. 2002):
+# NDV ~= (k-1) * SPACE / h_k, with h_k the k-th smallest hash of the
+# distinct values. Everything is integer: the hash is the first 10 hex
+# chars (40 bits) of md5, the estimate is exact integer division — so
+# any ANSI engine (DuckDB: ('0x'||substr(md5(v),1,10))::BIGINT) replays
+# the sketch and the estimate bit-for-bit. 40 bits keeps (k-1)*SPACE
+# inside int64 for k <= 2^22; the estimator's own ~1/sqrt(k) error
+# dwarfs 40-bit birthday collisions up to ~10^10 distinct values.
+NDV_SKETCH_K = 256
+NDV_HASH_BITS = 40
+NDV_SPACE = 1 << NDV_HASH_BITS
+_NDV_STATS_FILE = "ndv.json"
+
+
+def ndv_hash_col(col: Column) -> Column:
+    """40-bit md5-prefix hash of a value, engine-portable (UTF-8 bytes
+    of the string form; conv parses the hex prefix)."""
+    return F.conv(
+        F.substring(F.md5(F.encode(col.cast("string"), "UTF-8")), 1, 10), 16, 10
+    ).cast("long")
+
+
+def kmv_merge(a: list[int], b: list[int], k: int = NDV_SKETCH_K) -> list[int]:
+    """Union two KMV sketches: the k smallest of the merged hash sets.
+    Exactly the sketch of the concatenated inputs — the property that
+    makes per-chunk sketches mergeable across appends."""
+    return sorted(set(a) | set(b))[:k]
+
+
+def kmv_estimate(hashes: list[int], k: int = NDV_SKETCH_K) -> int:
+    """Integer-exact NDV estimate from a sorted KMV sketch. A sketch
+    smaller than k IS the exact distinct-hash count."""
+    if len(hashes) < k:
+        return len(hashes)
+    return (k - 1) * NDV_SPACE // hashes[k - 1]
+
+
+def _kmv_of(df: DataFrame, col: str, k: int) -> list[int]:
+    """k smallest distinct 40-bit hashes of a column — distinct is one
+    well-distributed hash shuffle, the bottom-k is TakeOrderedAndProject
+    (per-partition top-k merged on the driver, never a global sort);
+    the driver holds k longs, nothing else."""
+    c = F.col(col)
+    rows = (
+        df.where(c.isNotNull())
+        .select(ndv_hash_col(c).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    return [int(r["h"]) for r in rows]
+
+
+def _ndv_stats_dir(path: str) -> str:
+    return os.path.join(path, "_stats")
+
+
+def read_ndv_sketch(spark: SparkSession, path: str) -> dict | None:
+    """The persisted NDV sketch sidecar (or None): ``{"snapshot_id": n,
+    "k": k, "columns": {col: {"hashes": [...], "ndv_est": n}}}``."""
+    from . import fsio
+
+    try:
+        raw = fsio.read_bytes(spark, _ndv_stats_dir(path), _NDV_STATS_FILE)
+    except Exception:
+        return None
+    return json.loads(raw.decode("utf-8"))
+
+
+def analyze_ndv(
+    spark: SparkSession,
+    path: str,
+    cols: list[str] | None = None,
+    *,
+    k: int = NDV_SKETCH_K,
+    persist: bool = True,
+    incremental: bool = False,
+) -> DataFrame:
+    """NDV sketches for high-cardinality columns of an encoded table —
+    the decode-pass half of ANALYZE (Iceberg ``compute_table_stats``
+    writing a Puffin stats file; ``column_stats`` stays the
+    metadata-only half). One pruned decode per requested column (only
+    that column's blobs are read), one KMV sketch each, persisted to
+    ``_stats/ndv.json`` keyed by snapshot id so later reads are
+    metadata-only.
+
+    ``incremental=True`` is the 100 TB maintenance path: if a persisted
+    sketch exists and every snapshot since it is an ``append``, only
+    the appended chunks (``read_appended_between`` — partition-pruned,
+    O(delta)) are scanned and their sketches KMV-merged into the
+    persisted one; any delete/rewrite in between falls back to a full
+    recompute (KMV unions are insert-only, the Iceberg stats caveat).
+
+    Returns ``(column, n_hashes, kth_hash, ndv_est)`` — all integers,
+    replayable exactly by any engine with md5."""
+    man = read_manifest(spark, path)
+    known = {c["name"] for c in man["columns"]}
+    if cols is None:
+        cols = [c["name"] for c in man["columns"] if c["kind"] == "string"]
+    missing = [c for c in cols if c not in known]
+    if missing:
+        raise KeyError(f"unknown column(s) {missing}; table has {sorted(known)}")
+
+    cur = mf.current_snapshot(path, spark)
+    cur_id = int(cur["snapshot_id"]) if cur else None
+    prev = read_ndv_sketch(spark, path) if incremental else None
+    delta_blocks = None
+    if prev is not None and cur_id is not None:
+        snaps = mf.read_snapshots(path, spark)
+        prev_id = int(prev["snapshot_id"])
+        between = [
+            snaps[i]
+            for i in sorted(snaps)
+            if prev_id < i <= cur_id and i in snaps
+        ]
+        appends_only = (
+            prev_id in snaps
+            and len(between) == cur_id - prev_id
+            and all(s.get("op") == "append" for s in between)
+            and int(prev.get("k", 0)) == k
+            and all(c in prev.get("columns", {}) for c in cols)
+        )
+        if not appends_only:
+            prev = None  # fall back to a full recompute
+        elif prev_id == cur_id:
+            delta_blocks = "none"
+        else:
+            delta_blocks = read_appended_between(spark, path, prev_id, cur_id)
+
+    out: list[tuple] = []
+    sketches: dict[str, dict] = {}
+    for c in cols:
+        if prev is not None and delta_blocks == "none":
+            hashes = [int(h) for h in prev["columns"][c]["hashes"]]
+        else:
+            if prev is not None:
+                src = decode_blocks(delta_blocks, man, [c])
+            else:
+                src = read_rows(spark, path, cols=[c], man=man)
+            hashes = _kmv_of(src, c, k)
+            if prev is not None:
+                hashes = kmv_merge(
+                    [int(h) for h in prev["columns"][c]["hashes"]], hashes, k
+                )
+        est = kmv_estimate(hashes, k)
+        sketches[c] = {"hashes": hashes, "ndv_est": est}
+        out.append((c, len(hashes), hashes[-1] if hashes else None, est))
+
+    if persist:
+        from . import fsio
+
+        rec = {"snapshot_id": cur_id, "k": k, "columns": sketches}
+        # merged-in columns from an older sketch stay valid (their
+        # hashes were just unioned with the delta); unrequested columns
+        # from the previous sketch are dropped — they would go stale
+        fsio.write_bytes(
+            spark,
+            _ndv_stats_dir(path),
+            _NDV_STATS_FILE,
+            json.dumps(rec, sort_keys=True).encode("utf-8"),
+        )
+    return spark.createDataFrame(
+        out, "column string, n_hashes long, kth_hash long, ndv_est long"
     )
 
 

@@ -68,7 +68,15 @@ def main() -> None:
     p = sub.add_parser("counts")
     p.add_argument("--col", required=True, help="categorical column, e.g. lang")
 
-    sub.add_parser("analyze")
+    p = sub.add_parser("analyze")
+    p.add_argument(
+        "--ndv-cols",
+        default=None,
+        help="comma-sep columns: run the KMV NDV sketch pass (one pruned "
+        "decode per column, persisted to _stats/ndv.json) before the "
+        "metadata-only report; --incremental merges appended chunks only",
+    )
+    p.add_argument("--incremental", action="store_true")
 
     p = sub.add_parser("decode")
     p.add_argument("--cols", default=None)
@@ -119,7 +127,19 @@ def main() -> None:
         blocks = scan.read_blocks(spark, args.path)
         _rows_out(scan.cat_value_counts(blocks, args.col), None)
     elif args.cmd == "analyze":
-        _rows_out(scan.column_stats(spark, args.path), None)
+        if args.ndv_cols:
+            scan.analyze_ndv(
+                spark,
+                args.path,
+                args.ndv_cols.split(","),
+                incremental=args.incremental,
+            ).collect()
+        _rows_out(
+            scan.column_stats(
+                spark, args.path, with_ndv_sketch=bool(args.ndv_cols)
+            ),
+            None,
+        )
     elif args.cmd == "rollup":
         _warn_stale_stats(man)
         blocks = scan.read_blocks(spark, args.path)
