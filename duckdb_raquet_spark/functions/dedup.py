@@ -1011,3 +1011,185 @@ def minhash_dedup(
     return df.join(
         drops, df[id_col] == drops["_drop_id"], "left_anti"
     )
+
+
+# ------------------------------------------------ incremental fuzzy dedup ----
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """The persisted FUZZY-dedup index row set: one narrow row per kept
+    document — ``(_id, _hs, _bands)`` where ``_hs`` is the 64-bit
+    hashed-shingle array (what exact Jaccard verification needs, ~8
+    bytes/shingle vs the raw text) and ``_bands`` the LSH band hashes
+    (what candidate generation joins on). The fuzzy twin of
+    :func:`incremental_exact_dedup`'s digest index: write it once for
+    the corpus already kept, append each batch's keepers after, and
+    every future ingest deduplicates against the corpus WITHOUT
+    re-reading or re-tokenizing any kept document."""
+    rows = k // bands
+    hs = df.select(
+        F.col(id_col).alias("_id"),
+        hashed_shingles_col(text_col, n).alias("_hs"),
+    )
+    sig = hs.select("_id", "_hs", *minhash_cols_from_hashed(F.col("_hs"), k))
+    return sig.select(
+        "_id",
+        "_hs",
+        F.array(
+            *[
+                F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+                for b in range(bands)
+            ]
+        ).alias("_bands"),
+    )
+
+
+def _index_buckets(idx: DataFrame) -> DataFrame:
+    return idx.select("_id", F.posexplode("_bands").alias("band", "h"))
+
+
+def _verify_pairs(
+    cand: DataFrame, left_idx: DataFrame, right_idx: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact hashed-set Jaccard over candidate (a, b) pairs; each index
+    is semi-joined down to its candidate ids first so non-candidate
+    documents neither shuffle nor re-tokenize (the minhash_lsh_pairs
+    verification pattern, across two indexes)."""
+    la = left_idx.join(
+        cand.select(F.col("a").alias("_id")).distinct(), "_id", "left_semi"
+    ).select(F.col("_id").alias("a"), F.col("_hs").alias("_sha"))
+    rb = right_idx.join(
+        cand.select(F.col("b").alias("_id")).distinct(), "_id", "left_semi"
+    ).select(F.col("_id").alias("b"), F.col("_hs").alias("_shb"))
+    return (
+        cand.join(la, "a")
+        .join(rb, "b")
+        .where(jaccard_col(F.col("_sha"), F.col("_shb")) >= threshold)
+        .select("a", "b")
+    )
+
+
+def incremental_minhash_dedup(
+    delta: DataFrame,
+    base: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    *,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    base_is_index: bool = False,
+    return_kept_index: bool = False,
+):
+    """O(delta + collisions) fuzzy dedup of a new batch against an
+    already-deduplicated corpus — MinHash/LSH ingestion without ever
+    re-scanning kept text (the fuzzy half of the incremental-dedup
+    story; :func:`incremental_exact_dedup` is the exact half).
+
+    Candidates are band collisions (delta x index and delta x delta —
+    never index x index: the kept corpus is already duplicate-free),
+    verified by EXACT hashed-shingle Jaccard, then resolved by
+    connected components over the verified edges: a delta document is
+    dropped iff its component reaches any base document (it duplicates
+    something already kept, possibly transitively through another
+    delta doc) or it is not the smallest delta id in a base-free
+    component (keep-first within the batch, the library-wide
+    convention). Base and delta membership is tracked structurally
+    (internal 2*id(+1) relabeling, ids must fit 62 bits), so a delta id
+    that already exists in the index — a replayed batch — reads as a
+    duplicate of the kept corpus, never as a self-match.
+
+    At 10^12 kept docs the per-ingest cost is: the batch's own
+    signatures, one equi-join of the batch's O(bands x |delta|) bucket
+    rows against the index's bucket side, Jaccard over collisions
+    only, and components over the collision graph — bytes moved scale
+    with the BATCH and its collisions, never the corpus. The index's
+    `_hs` payload is what buys exact verification without touching
+    kept text; a band-collision-only variant would shrink the index
+    ~5x at the cost of approximate membership.
+
+    ``base_is_index=True`` passes a persisted :func:`build_minhash_index`
+    output (the production path); otherwise ``base`` is a corpus
+    DataFrame indexed on the fly. ``return_kept_index=True`` also
+    returns the kept rows' index rows — append them to the persisted
+    index to complete the ingest (jobs/dedup_job.py --fuzzy-index).
+
+    Returns the kept delta rows (all original columns), or
+    ``(kept, kept_index)`` with ``return_kept_index=True``.
+    """
+    from pyspark import StorageLevel
+
+    idx_b = (
+        base
+        if base_is_index
+        else build_minhash_index(base, id_col, text_col, k=k, bands=bands, n=n)
+    )
+    idx_d = build_minhash_index(
+        delta, id_col, text_col, k=k, bands=bands, n=n
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bd = _index_buckets(idx_d)
+    bb = _index_buckets(idx_b)
+    cand_db = (
+        bd.alias("x")
+        .join(
+            bb.alias("y"),
+            (F.col("x.band") == F.col("y.band")) & (F.col("x.h") == F.col("y.h")),
+        )
+        .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+        .distinct()
+    )
+    cand_dd = (
+        bd.alias("x")
+        .join(
+            bd.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.h") == F.col("y.h"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+        .distinct()
+    )
+    v_db = _verify_pairs(cand_db, idx_d, idx_b, threshold)
+    v_dd = _verify_pairs(cand_dd, idx_d, idx_d, threshold)
+    # which side a node belongs to is carried STRUCTURALLY (delta ->
+    # 2*id+1, base -> 2*id), never by id identity — re-ingesting a batch
+    # whose ids already exist in the index (the crash-replay case) must
+    # read as "duplicates of the kept corpus", not as self-matches.
+    # Doubling preserves order, so min-label keep-first is unchanged;
+    # ids must fit 62 bits (the library-wide id headroom assumption).
+    e_db = v_db.select(
+        (F.col("a") * 2 + 1).alias("a"), (F.col("b") * 2).alias("b")
+    )
+    e_dd = v_dd.select(
+        (F.col("a") * 2 + 1).alias("a"), (F.col("b") * 2 + 1).alias("b")
+    )
+    comps = connected_components(e_db.unionByName(e_dd), "a", "b")
+    is_delta = F.col("id") % 2 == 1
+    g = comps.groupBy("comp").agg(
+        F.max(F.when(~is_delta, True).otherwise(False)).alias("_has_base"),
+        F.min(F.when(is_delta, F.col("id"))).alias("_min_delta"),
+    )
+    drops = (
+        comps.join(g, "comp")
+        .where(
+            is_delta
+            & (F.col("_has_base") | (F.col("id") != F.col("_min_delta")))
+        )
+        .select(F.shiftright(F.col("id"), 1).alias("_drop_id"))
+    )
+    kept = delta.join(drops, delta[id_col] == F.col("_drop_id"), "left_anti")
+    if not return_kept_index:
+        return kept
+    kept_index = idx_d.join(
+        drops.withColumnRenamed("_drop_id", "_id"), "_id", "left_anti"
+    )
+    return kept, kept_index

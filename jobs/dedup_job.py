@@ -13,8 +13,13 @@ doc_id labeled with its component's canonical keeper.
         --delete-col doc_id]
 
 Output table: (doc_id, keep_id, reason) where reason in
-('exact', 'near', 'unique', 'index'); plus one JSON summary line on
-stdout. With --digest-index, the job runs INCREMENTALLY across
+('exact', 'near', 'unique', 'index', 'fuzzy'); plus one JSON summary
+line on stdout. With --fuzzy-index, near-dup detection ALSO runs
+incrementally: the batch's exact-unique reps check LSH band collisions
+against a persisted MinHash index of everything ever kept
+(dedup.incremental_minhash_dedup — exact-Jaccard verified, O(batch +
+collisions) per ingest) and kept reps append to the index; such drops
+carry reason='fuzzy' and a NULL keep_id. With --digest-index, the job runs INCREMENTALLY across
 invocations: docs whose 192-bit digest is already in the index are
 dropped before any tokenization (exact matches only — near-dup
 detection stays per-batch) yet still appear in the output with
@@ -58,6 +63,17 @@ def main() -> None:
         help="parquet dir of (_len,_md5,_xx) digests from prior runs: "
         "docs already in it are dropped up front (O(batch) incremental "
         "dedup), and this run's kept docs are appended to it",
+    )
+    ap.add_argument(
+        "--fuzzy-index",
+        default=None,
+        help="parquet dir of (_id,_hs,_bands) MinHash index rows from "
+        "prior runs (build_minhash_index layout): the batch's exact-"
+        "unique reps dedup against everything ever kept via LSH band "
+        "collisions + exact Jaccard (O(batch + collisions), the kept "
+        "corpus is never re-read), and this run's kept reps are "
+        "appended; replaces the within-batch pair sweep (no "
+        "--max-bucket cap applies on this path)",
     )
     ap.add_argument(
         "--delete-from",
@@ -134,28 +150,71 @@ def main() -> None:
         "doc_id",
         "left_semi",
     )
-    pairs = dedup.minhash_lsh_pairs(
-        reps, "doc_id", "text", args.threshold,
-        k=args.k, bands=args.bands, max_bucket=args.max_bucket,
-    )
-
-    # 3. transitive closure -> canonical keeper per near-dup cluster
-    comps = dedup.connected_components(pairs, "a", "b")
-
-    # 4. final decision list: exact keeper -> its component keeper
-    decided = (
-        exact_map.join(
-            comps.withColumnRenamed("id", "exact_keep"), "exact_keep", "left"
+    kept_fuzzy_index = None
+    if args.fuzzy_index:
+        # 2'/3'. incremental fuzzy dedup against the persisted MinHash
+        #    index: a rep is dropped iff its verified-Jaccard component
+        #    reaches anything already kept (cross-run) or it is not
+        #    first-in-batch in a base-free component. First run = empty
+        #    index (built from zero rows, same schema).
+        try:
+            fidx = spark.read.parquet(args.fuzzy_index)
+        except Exception as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                fidx = dedup.build_minhash_index(
+                    reps.limit(0), "doc_id", "text", k=args.k, bands=args.bands
+                )
+            else:
+                raise
+        kept_reps, kept_fuzzy_index = dedup.incremental_minhash_dedup(
+            reps, fidx, "doc_id", "text", args.threshold,
+            k=args.k, bands=args.bands, base_is_index=True,
+            return_kept_index=True,
         )
-        .select(
+        fuzzy_drops = reps.select("doc_id").join(
+            kept_reps.select("doc_id"), "doc_id", "left_anti"
+        )
+        # 4'. decision list: a doc whose exact representative was
+        #    fuzzy-dropped drops with it; keep_id is NULL when the
+        #    keeper may live in a prior run (same contract as 'index')
+        keep_type = dict(docs.dtypes)["doc_id"]
+        fz = fuzzy_drops.select(
+            F.col("doc_id").alias("exact_keep"), F.lit(True).alias("_fz")
+        )
+        decided = exact_map.join(fz, "exact_keep", "left").select(
             "doc_id",
-            F.coalesce("comp", "exact_keep").alias("keep_id"),
-            F.when(F.col("comp").isNotNull() & (F.col("comp") != F.col("doc_id")), "near")
+            F.when(
+                F.col("_fz").isNotNull(), F.lit(None).cast(keep_type)
+            ).otherwise(F.col("exact_keep")).alias("keep_id"),
+            F.when(F.col("_fz").isNotNull(), "fuzzy")
             .when(F.col("exact_keep") != F.col("doc_id"), "exact")
             .otherwise("unique")
             .alias("reason"),
         )
-    )
+    else:
+        pairs = dedup.minhash_lsh_pairs(
+            reps, "doc_id", "text", args.threshold,
+            k=args.k, bands=args.bands, max_bucket=args.max_bucket,
+        )
+
+        # 3. transitive closure -> canonical keeper per near-dup cluster
+        comps = dedup.connected_components(pairs, "a", "b")
+
+        # 4. final decision list: exact keeper -> its component keeper
+        decided = (
+            exact_map.join(
+                comps.withColumnRenamed("id", "exact_keep"), "exact_keep", "left"
+            )
+            .select(
+                "doc_id",
+                F.coalesce("comp", "exact_keep").alias("keep_id"),
+                F.when(F.col("comp").isNotNull() & (F.col("comp") != F.col("doc_id")), "near")
+                .when(F.col("exact_keep") != F.col("doc_id"), "exact")
+                .otherwise("unique")
+                .alias("reason"),
+            )
+        )
     if idx_dropped is not None:
         keep_type = dict(decided.dtypes)["keep_id"]
         decided = decided.unionByName(
@@ -200,6 +259,13 @@ def main() -> None:
         ).parquet(args.digest_index)
         summary["digest_index"] = args.digest_index
         summary["dropped_by_index"] = n_dropped_by_index
+    if args.fuzzy_index:
+        # append this run's kept reps' index rows so the next batch
+        # fuzzy-dedups against everything ever kept
+        n_dropped_by_fuzzy = out.where(F.col("reason") == "fuzzy").count()
+        kept_fuzzy_index.write.mode("append").parquet(args.fuzzy_index)
+        summary["fuzzy_index"] = args.fuzzy_index
+        summary["dropped_by_fuzzy"] = n_dropped_by_fuzzy
     if args.delete_from:
         from duckdb_raquet_spark import encode
 
