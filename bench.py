@@ -635,8 +635,19 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "txt_bigram_lm",
         "dedup_incremental",
         "dedup_spans_removed",
+        "dedup_minhash_incr",
     ):
         timed(timings, name, lambda n=name: force(qs[n](spark, sf_dir)))
+
+    # NDV sketch over the bench's own encoded table (the ANALYZE decode
+    # pass): one pruned url-column scan + distributed bottom-256
+    timed(
+        timings,
+        "analyze_ndv",
+        lambda: force(
+            scan.analyze_ndv(spark, enc_path, ["url"], persist=False)
+        ),
+    )
 
     # at-scale throughput: the sf-sized encode above is fixed-overhead
     # dominated (a 260 MB job spends ~40% of its wall in job setup and

@@ -356,6 +356,97 @@ def main() -> None:
         )
     )
 
+    # 14. incremental fuzzy dedup: the batch-vs-index candidate join
+    #     must broadcast the BATCH's bucket rows (the index side — the
+    #     10^12-doc corpus — streams map-side, never shuffles), and the
+    #     index scan for candidate generation must read only
+    #     (_id, _bands), leaving the heavy _hs shingle payload unread
+    #     until verification's candidate semi-join
+    from duckdb_raquet_spark.functions import dedup as dedupfn
+
+    fidx_path = "/tmp/plan_audit_fidx"
+    base = spark.createDataFrame(
+        [(i, f"base doc {i} alpha beta gamma delta {i}") for i in range(64)],
+        "doc_id long, text string",
+    )
+    dedupfn.build_minhash_index(base, "doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(fidx_path)
+    idx_b = spark.read.parquet(fidx_path)
+    delta = spark.createDataFrame(
+        [(1000 + i, f"new doc {i} epsilon zeta eta {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    idx_d = dedupfn.build_minhash_index(delta, "doc_id", "text")
+    bd = dedupfn._index_buckets(idx_d)
+    bb = dedupfn._index_buckets(idx_b)
+    cand_db = (
+        bd.alias("x")
+        .join(
+            bb.alias("y"),
+            (F.col("x.band") == F.col("y.band")) & (F.col("x.h") == F.col("y.h")),
+        )
+        .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+        .distinct()
+    )
+    v_db = dedupfn._verify_pairs(cand_db, idx_d, idx_b, 0.5)
+    p = formatted(v_db)
+    cand_schemas = re.findall(
+        r"Location[^\n]*plan_audit_fidx[^\n]*\n(?:[^\n]*\n)*?[^\n]*ReadSchema: ([^\n]*)",
+        p,
+    )
+    sections.append(
+        (
+            "incremental_minhash_dedup (batch vs index)",
+            p,
+            [
+                (
+                    "index side never shuffled (batch bucket rows broadcast)",
+                    "BroadcastExchange" in p,
+                ),
+                (
+                    "candidate generation reads only (_id,_bands) of the index",
+                    any(
+                        "_bands" in s and "_hs" not in s for s in cand_schemas
+                    ),
+                ),
+                ("no Python nodes", "EvalPython" not in p),
+            ],
+        )
+    )
+
+    # 15. NDV sketch: the bottom-k must be TakeOrderedAndProject
+    #     (per-partition top-k merged on the driver — never a global
+    #     sort), and the pruned decode must read ONLY the requested
+    #     column's blob (url_blob, not text/html)
+    bk_df = (
+        scan.read_rows(spark, enc_path, cols=["url"], man=man)
+        .where(F.col("url").isNotNull())
+        .select(scan.ndv_hash_col(F.col("url")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(scan.NDV_SKETCH_K)
+    )
+    p = formatted(bk_df)
+    sections.append(
+        (
+            "analyze_ndv (bottom-k sketch scan)",
+            p,
+            [
+                (
+                    "distributed bottom-k (TakeOrderedAndProject)",
+                    "TakeOrderedAndProject" in p,
+                ),
+                (
+                    "only url_blob read (column-pruned decode)",
+                    "url_blob" in p
+                    and "text_blob" not in p
+                    and "html_blob" not in p,
+                ),
+            ],
+        )
+    )
+
     lines = ["# Plan audit (auto-generated by tools/plan_audit.py)", ""]
     failures = 0
     for title, plan, checks in sections:
