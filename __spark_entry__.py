@@ -962,7 +962,8 @@ def q_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.where(F.col("doc_id") % 2 == 0)
     delta = docs.where(F.col("doc_id") % 2 == 1)
     kept = dedup.incremental_minhash_dedup(
-        delta, base, "doc_id", "text", 0.5, k=32, bands=8
+        delta, base, "doc_id", "text", 0.5, k=32, bands=8,
+        max_bucket=None,  # oracle replays the exact all-pairs edge set
     )
     return kept.select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang"

@@ -1087,6 +1087,7 @@ def incremental_minhash_dedup(
     k: int = 32,
     bands: int = 8,
     n: int = 3,
+    max_bucket: int | None = 1000,
     base_is_index: bool = False,
     return_kept_index: bool = False,
 ):
@@ -1117,6 +1118,19 @@ def incremental_minhash_dedup(
     kept text; a band-collision-only variant would shrink the index
     ~5x at the cost of approximate membership.
 
+    ``max_bucket`` (ON by default, the library's hot-group posture)
+    bounds the one quadratic hazard — a boilerplate band bucket
+    (cookie banners, mirrored pages). Delta x delta collisions above
+    the cap switch to consecutive-id CHAINING (n-1 edges connecting
+    the same cluster transitively — the minhash_lsh_pairs trick, exact
+    for component decisions); delta x index candidates are capped to
+    the ``max_bucket`` smallest index ids per delta doc per band
+    (base-reach needs ONE verified base match, so the cap can only
+    miss when every one of 1000 sampled collisions fails verification
+    while a crowded-out one would have passed — and the delta x delta
+    chain still links the batch's own members). ``None`` restores the
+    exact all-pairs candidate set (what a closed-form oracle replays).
+
     ``base_is_index=True`` passes a persisted :func:`build_minhash_index`
     output (the production path); otherwise ``base`` is a corpus
     DataFrame indexed on the fly. ``return_kept_index=True`` also
@@ -1138,26 +1152,68 @@ def incremental_minhash_dedup(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     bd = _index_buckets(idx_d)
     bb = _index_buckets(idx_b)
-    cand_db = (
-        bd.alias("x")
-        .join(
-            bb.alias("y"),
-            (F.col("x.band") == F.col("y.band")) & (F.col("x.h") == F.col("y.h")),
-        )
-        .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
-        .distinct()
+    raw_db = bd.alias("x").join(
+        bb.alias("y"),
+        (F.col("x.band") == F.col("y.band")) & (F.col("x.h") == F.col("y.h")),
     )
-    cand_dd = (
-        bd.alias("x")
-        .join(
-            bd.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.h") == F.col("y.h"))
-            & (F.col("x._id") < F.col("y._id")),
+    if max_bucket is None:
+        cand_db = raw_db.select(
+            F.col("x._id").alias("a"), F.col("y._id").alias("b")
+        ).distinct()
+        cand_dd = (
+            bd.alias("x")
+            .join(
+                bd.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.h") == F.col("y.h"))
+                & (F.col("x._id") < F.col("y._id")),
+            )
+            .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+            .distinct()
         )
-        .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
-        .distinct()
-    )
+    else:
+        from pyspark.sql import Window
+
+        # delta x index: at most max_bucket (smallest) index candidates
+        # per delta doc per band — bounds verify/components against a
+        # boilerplate bucket; ONE verified base match already decides
+        wdb = Window.partitionBy("x._id", "x.band").orderBy("y._id")
+        cand_db = (
+            raw_db.select(
+                F.col("x._id").alias("a"),
+                F.col("y._id").alias("b"),
+                F.row_number().over(wdb).alias("_rn"),
+            )
+            .where(F.col("_rn") <= max_bucket)
+            .select("a", "b")
+            .distinct()
+        )
+        # delta x delta: oversized buckets switch to consecutive-id
+        # chaining (component decisions unchanged, bucket cost linear)
+        w = Window.partitionBy("band", "h")
+        wo = w.orderBy("_id")
+        sized = bd.select(
+            "_id",
+            "band",
+            "h",
+            F.count("*").over(w).alias("_n"),
+            F.lead("_id").over(wo).alias("_next"),
+        )
+        small = sized.where(F.col("_n") <= max_bucket)
+        pairs_small = (
+            small.alias("x")
+            .join(
+                small.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.h") == F.col("y.h"))
+                & (F.col("x._id") < F.col("y._id")),
+            )
+            .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+        )
+        pairs_big = sized.where(
+            (F.col("_n") > max_bucket) & F.col("_next").isNotNull()
+        ).select(F.col("_id").alias("a"), F.col("_next").alias("b"))
+        cand_dd = pairs_small.unionByName(pairs_big).distinct()
     v_db = _verify_pairs(cand_db, idx_d, idx_b, threshold)
     v_dd = _verify_pairs(cand_dd, idx_d, idx_d, threshold)
     # which side a node belongs to is carried STRUCTURALLY (delta ->

@@ -72,8 +72,8 @@ def main() -> None:
         "unique reps dedup against everything ever kept via LSH band "
         "collisions + exact Jaccard (O(batch + collisions), the kept "
         "corpus is never re-read), and this run's kept reps are "
-        "appended; replaces the within-batch pair sweep (no "
-        "--max-bucket cap applies on this path)",
+        "appended; replaces the within-batch pair sweep (--max-bucket "
+        "bounds hot band buckets on this path too)",
     )
     ap.add_argument(
         "--delete-from",
@@ -169,8 +169,8 @@ def main() -> None:
                 raise
         kept_reps, kept_fuzzy_index = dedup.incremental_minhash_dedup(
             reps, fidx, "doc_id", "text", args.threshold,
-            k=args.k, bands=args.bands, base_is_index=True,
-            return_kept_index=True,
+            k=args.k, bands=args.bands, max_bucket=args.max_bucket,
+            base_is_index=True, return_kept_index=True,
         )
         fuzzy_drops = reps.select("doc_id").join(
             kept_reps.select("doc_id"), "doc_id", "left_anti"

@@ -162,3 +162,44 @@ def test_index_roundtrip_and_append(spark, tmp_path):
         "doc_id", "text", 0.5, k=32, bands=8, base_is_index=True,
     )
     assert kept2.count() == 0
+
+
+def test_capped_equals_uncapped_on_real_corpus(spark):
+    """Buckets below the default cap: the capped plan must reproduce
+    the exact all-pairs decisions bit-for-bit."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 200)
+    )
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    capped = dedup.incremental_minhash_dedup(
+        delta, base, "doc_id", "text", 0.5, k=32, bands=8, max_bucket=1000
+    )
+    exact = dedup.incremental_minhash_dedup(
+        delta, base, "doc_id", "text", 0.5, k=32, bands=8, max_bucket=None
+    )
+    assert sorted(r["doc_id"] for r in capped.collect()) == sorted(
+        r["doc_id"] for r in exact.collect()
+    )
+
+
+def test_tiny_cap_chains_oversized_batch_cluster(spark):
+    """A batch cluster far above the cap: consecutive-id chaining must
+    still connect it transitively — one keeper survives, and a base
+    match anywhere in the chain drops the whole cluster."""
+    dup = _text(3)
+    base = _df(spark, [(0, _text(8))])
+    delta = _df(spark, [(100 + i, dup) for i in range(8)])
+    kept = dedup.incremental_minhash_dedup(
+        delta, base, "doc_id", "text", 0.5, k=32, bands=8, max_bucket=2
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [100]
+    # now the same oversized cluster duplicates a BASE doc: the capped
+    # delta x index probe plus the chain must drop every member
+    base2 = _df(spark, [(0, dup)])
+    kept2 = dedup.incremental_minhash_dedup(
+        delta, base2, "doc_id", "text", 0.5, k=32, bands=8, max_bucket=2
+    )
+    assert kept2.count() == 0
