@@ -46,6 +46,11 @@ def main() -> None:
     ap.add_argument("--url-col", default="url")
     ap.add_argument("--digest-index", default=None,
                     help="cross-run exact-dedup digest index (parquet dir)")
+    ap.add_argument("--fuzzy-index", default=None,
+                    help="cross-run MinHash index (parquet dir, "
+                    "build_minhash_index layout): the fuzzy stage runs "
+                    "incrementally against everything ever kept and "
+                    "appends this run's keepers")
     ap.add_argument("--threshold", type=float, default=0.5,
                     help="fuzzy-dedup Jaccard threshold; negative disables")
     ap.add_argument("--max-bucket", type=int, default=1000)
@@ -109,8 +114,27 @@ def main() -> None:
     df = df.join(keep, df[idc] == F.col("_kid"), "left_semi")
     funnel["after_exact_dedup"] = df.count()
 
-    # 6. fuzzy dedup: LSH -> verify -> components -> keep-first
-    if args.threshold >= 0:
+    # 6. fuzzy dedup: LSH -> verify -> components -> keep-first.
+    #    With --fuzzy-index the stage runs INCREMENTALLY: the batch
+    #    checks band collisions against everything ever kept (the
+    #    cross-run twin of stage 4's digest index) and the survivors'
+    #    index rows are appended in stage 9.
+    kept_fuzzy_index = None
+    if args.threshold >= 0 and args.fuzzy_index:
+        try:
+            fidx = spark.read.parquet(args.fuzzy_index)
+        except Exception as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                fidx = dedup.build_minhash_index(df.limit(0), idc, txc)
+            else:
+                raise
+        df, kept_fuzzy_index = dedup.incremental_minhash_dedup(
+            df, fidx, idc, txc, args.threshold,
+            max_bucket=args.max_bucket, base_is_index=True,
+            return_kept_index=True,
+        )
+        funnel["after_fuzzy_dedup"] = df.count()
+    elif args.threshold >= 0:
         df = dedup.minhash_dedup(
             df, idc, txc, args.threshold, max_bucket=args.max_bucket
         )
@@ -139,11 +163,17 @@ def main() -> None:
         )
         ver = corpus.verify_shards(spark, args.output)
 
-        # 9. the survivors' digests extend the cross-run index
+        # 9. the survivors' digests / MinHash rows extend the cross-run
+        #    indexes (survivors only: a doc dropped by the later quota
+        #    stage must NOT poison future batches as "already kept")
         if args.digest_index:
             out.select(*dedup.exact_digest_cols(txc)).write.mode(
                 "append"
             ).parquet(args.digest_index)
+        if kept_fuzzy_index is not None:
+            kept_fuzzy_index.join(
+                ids.withColumnRenamed(idc, "_id"), "_id", "left_semi"
+            ).write.mode("append").parquet(args.fuzzy_index)
     finally:
         ids.unpersist()
 

@@ -203,3 +203,19 @@ def test_tiny_cap_chains_oversized_batch_cluster(spark):
         delta, base2, "doc_id", "text", 0.5, k=32, bands=8, max_bucket=2
     )
     assert kept2.count() == 0
+
+
+def test_zero_shard_export_after_total_dedup(spark, tmp_path):
+    """A batch fully absorbed by the cross-run indexes is a VALID
+    zero-shard export: write_shards must produce an n_shards=0 manifest
+    (not crash on the part-file-less parquet dir) and verify_shards
+    must pass it."""
+    from duckdb_raquet_spark.functions import corpus
+
+    p = str(tmp_path / "shards")
+    empty = _df(spark, []).where(F.lit(False))
+    man = corpus.write_shards(empty, p, "doc_id", "text", shard_tokens=64)
+    assert man["n_shards"] == 0 and man["shards"] == []
+    assert corpus.verify_shards(spark, p) == {
+        "ok": True, "n_shards": 0, "mismatches": [],
+    }
