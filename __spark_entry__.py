@@ -1643,6 +1643,33 @@ def q_txt_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_txt_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: per training doc, the best
+    shingle-set Jaccard against any eval doc at-or-above 0.7 (0.0 when
+    clean). The eval suite is the doc_id % 97 slice with the last 10%
+    of words dropped — a lightly-edited leak that exact 13-gram overlap
+    under-counts but a Jaccard screen catches. MinHash/LSH retrieval
+    (k=32, bands=16) runs train x eval only with both eval sides
+    broadcast; the oracle replays the SEMANTICS (all-pairs Jaccard,
+    eval is tiny) — at these parameters a >=0.7 pair misses all 16
+    bands with prob ~2e-5, and on this fixed corpus the result is
+    deterministic and verified equal at sf0.001/0.01/0.1."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    docs = _webtext(spark, sf_dir).select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    m = (F.size(w) - F.floor(F.size(w) / 10)).cast("int")
+    ev = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.array_join(F.slice(w, F.lit(1), m), " ").alias("etext")
+    )
+    out = tx.fuzzy_decontaminate(
+        docs, ev, "doc_id", "text", threshold=0.7, eval_text_col="etext"
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "max_jac", "contaminated"
+    ).orderBy("doc_id")
+
+
 def q_txt_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML text extraction, the front door of a crawl pipeline: each
     doc is wrapped into a full HTML page (title with entities, a
@@ -2051,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_pii": q_txt_pii,
         "txt_repetition": q_txt_repetition,
         "txt_decontam": q_txt_decontam,
+        "txt_decontam_fuzzy": q_txt_decontam_fuzzy,
         "rt_time_travel": q_rt_time_travel,
         "corpus_pack": q_corpus_pack,
         "domain_quota": q_domain_quota,
@@ -2084,7 +2112,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_incr": q_dedup_minhash_incr,
         "dedup_components": q_dedup_components,
         "txt_langid": q_txt_langid,
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_embed": q_dedup_embed,
         # --- round-5 tail, swapped inside the cap so the driver scores
@@ -2106,7 +2133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # below here sits past the driver's 50-query scoring cap.
         # agg_lineitem_pricing / agg_events_windowed were driver-green
         # in r4 and stay benched; they are parked to make room for the
-        # round-5 additions rt_wap + dedup_spans_removed above
+        # round-5 additions rt_wap + dedup_spans_removed above.
+        # dedup_exact (driver-green r1-r4, three-Column digest) parks
+        # to make room for txt_decontam_fuzzy; its digest machinery
+        # stays scored via dedup_minhash_incr + dedup_chunk_filter
+        "dedup_exact": q_dedup_exact,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "agg_events_windowed": q_agg_events_windowed,
         "ann_topk": q_ann_topk,
@@ -3424,6 +3455,41 @@ def oracle_sql() -> dict[str, str]:
                    (coalesce(h.n_hit, 0) > 0)::INT AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 97 <> 0
+            ORDER BY doc_id""",
+        # fuzzy decontamination: the oracle replays the SEMANTICS
+        # (all-pairs train x eval shingle Jaccard, eval is tiny), not
+        # the MinHash retrieval; sub-threshold maxima are zeroed on
+        # both sides so the output is LSH-independent
+        "txt_decontam_fuzzy": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), s AS (
+              SELECT doc_id,
+                list_distinct(CASE WHEN len(w) >= 3
+                  THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]
+                  ELSE [array_to_string(w, ' ')] END) AS sh
+              FROM t
+            ), evt AS (
+              SELECT w[1 : len(w) - len(w) // 10] AS ew
+              FROM t WHERE doc_id % 97 = 0
+            ), es AS (
+              SELECT list_distinct(CASE WHEN len(ew) >= 3
+                  THEN [ew[i] || ' ' || ew[i+1] || ' ' || ew[i+2]
+                        for i in range(1, len(ew) - 1)]
+                  ELSE [array_to_string(ew, ' ')] END) AS esh
+              FROM evt
+            ), mj AS (
+              SELECT s.doc_id,
+                max(len(list_intersect(s.sh, es.esh))::DOUBLE
+                    / len(list_distinct(list_concat(s.sh, es.esh)))) AS mj
+              FROM s CROSS JOIN es GROUP BY s.doc_id
+            )
+            SELECT t.doc_id,
+              CASE WHEN coalesce(mj.mj, 0) >= 0.7
+                   THEN round(mj.mj, 4) ELSE 0.0 END AS max_jac,
+              (coalesce(mj.mj, 0) >= 0.7)::INT AS contaminated
+            FROM t LEFT JOIN mj USING (doc_id)
             ORDER BY doc_id""",
         "txt_html_extract": r"""
             WITH web AS (

@@ -636,6 +636,7 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
         "dedup_incremental",
         "dedup_spans_removed",
         "dedup_minhash_incr",
+        "txt_decontam_fuzzy",
     ):
         timed(timings, name, lambda n=name: force(qs[n](spark, sf_dir)))
 

@@ -593,6 +593,111 @@ def ngram_decontaminate(
     )
 
 
+def fuzzy_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    *,
+    k: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag training documents whose
+    word-``n``-gram shingle-set Jaccard against ANY eval document
+    reaches ``threshold``. :func:`ngram_decontaminate` catches verbatim
+    benchmark leakage; this catches lightly-edited leakage (reflowed
+    whitespace aside, truncated or mildly paraphrased copies) the same
+    way fuzzy dedup completes exact dedup. One row per training doc:
+    ``(id, max_jac, contaminated)`` where ``max_jac`` is the best
+    verified Jaccard at-or-above threshold (0.0 when clean — candidates
+    verified BELOW threshold are reported as clean zeros so the output
+    is a pure function of the corpus, not of LSH luck).
+
+    Retrieval is MinHash/LSH restricted to train x eval band collisions
+    (never train x train): the eval side is a benchmark suite — tiny —
+    so its banded signatures and its hashed-shingle arrays both
+    broadcast, and the corpus side streams through two broadcast joins
+    without shuffling raw text; the only exchanges are the candidate
+    distinct and the per-doc max on the unskewed id. Default
+    ``bands=16`` (rows=2) biases for recall at high thresholds
+    (miss prob at jac=0.7 is (1-0.49)^16 ~ 2e-5 per pair), the right
+    operating point for a contamination screen where a missed hit is a
+    leaked benchmark.
+    """
+    from pyspark import StorageLevel
+
+    from .dedup import (
+        hashed_shingles_col,
+        jaccard_col,
+        minhash_cols_from_hashed,
+    )
+
+    if k % bands:
+        raise ValueError(f"bands={bands} must divide k={k}")
+    rows = k // bands
+    ev_txt = F.col(eval_text_col or text_col)
+
+    tr = df.select(
+        F.col(id_col).alias("_id"), hashed_shingles_col(text_col, n).alias("_hs")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # eval ids = text hash: deterministic, and identical eval docs
+    # collapse (max/flag semantics are insensitive to eval multiplicity)
+    ev = (
+        eval_df.select(
+            F.xxhash64(ev_txt).alias("_eid"),
+            hashed_shingles_col(ev_txt, n).alias("_ehs"),
+        )
+        .dropDuplicates(["_eid"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def _buckets(src: DataFrame, idc: str, hsc: str) -> DataFrame:
+        sig = src.select(
+            idc, *minhash_cols_from_hashed(F.col(hsc), k)
+        )
+        return sig.select(
+            idc,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                            ).alias("h"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(idc, "bk.band", "bk.h")
+
+    cand = (
+        _buckets(tr, "_id", "_hs")
+        .join(F.broadcast(_buckets(ev, "_eid", "_ehs")), ["band", "h"])
+        .select("_id", "_eid")
+        .distinct()
+    )
+    verified = (
+        cand.join(tr, "_id")
+        .join(F.broadcast(ev), "_eid")
+        .select(
+            "_id", jaccard_col(F.col("_hs"), F.col("_ehs")).alias("_jac")
+        )
+    )
+    best = verified.groupBy("_id").agg(F.max("_jac").alias("_mj"))
+    spine = df.select(F.col(id_col).alias("id"))
+    hit = F.coalesce(F.col("_mj"), F.lit(0.0)) >= threshold
+    return spine.join(best.withColumnRenamed("_id", "id"), "id", "left").select(
+        "id",
+        F.when(hit, F.round(F.col("_mj"), 4)).otherwise(F.lit(0.0)).alias("max_jac"),
+        hit.cast("int").alias("contaminated"),
+    )
+
+
 # --------------------------------------------- HTML text extraction ----
 
 # the five predefined XML entities; '&amp;' is unescaped LAST so the

@@ -2357,3 +2357,66 @@ def test_wap_staged_delete_rebase_sequence_rule(spark, tmp_path):
     assert rows.count() == 40 - 1 + 10
     assert rows.where(F.col("doc_id") == 3).count() == 0
     assert rows.where(F.col("doc_id") == 1003).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# fuzzy decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_decontaminate_known_values(spark):
+    """Closed-form Jaccard: exact copy hits 1.0, a superset doc hits
+    |shared|/|union| exactly, an unrelated doc and a sub-threshold
+    near-miss both report the clean zero (the LSH-independence
+    contract: verified-below-threshold candidates are zeroed)."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "totally different words here nothing shared at all xyz q"),
+            (3, "a b c d e f g h i j k l"),
+            (4, "a b c q r s t u v w"),
+        ],
+        ["id", "text"],
+    )
+    ev = spark.createDataFrame([("a b c d e f g h i j",)], ["text"])
+    out = {
+        r["id"]: r
+        for r in tx.fuzzy_decontaminate(
+            train, ev, "id", "text", threshold=0.5
+        ).collect()
+    }
+    assert out[1]["contaminated"] == 1 and out[1]["max_jac"] == 1.0
+    # doc 3: 10 shingles, 8 shared, union 10 -> 0.8
+    assert out[3]["contaminated"] == 1
+    assert abs(out[3]["max_jac"] - 0.8) < 1e-9
+    # doc 4 shares only "a b c": 1/15 < 0.5 -> zeroed even if it was a
+    # band candidate; doc 2 shares nothing
+    assert out[4]["contaminated"] == 0 and out[4]["max_jac"] == 0.0
+    assert out[2]["contaminated"] == 0 and out[2]["max_jac"] == 0.0
+
+
+def test_fuzzy_decontaminate_validates_bands(spark):
+    from duckdb_raquet_spark.functions import text as tx
+
+    df = spark.createDataFrame([(1, "a b c")], ["id", "text"])
+    with pytest.raises(ValueError, match="must divide"):
+        tx.fuzzy_decontaminate(df, df, "id", "text", bands=7)
+
+
+def test_fuzzy_decontaminate_short_docs(spark):
+    """Sub-n documents fall back to the whole-text shingle (the
+    shingles_col contract); identical short docs still flag."""
+    from duckdb_raquet_spark.functions import text as tx
+
+    train = spark.createDataFrame([(1, "hi"), (2, "yo")], ["id", "text"])
+    ev = spark.createDataFrame([("hi",)], ["text"])
+    out = {
+        r["id"]: r
+        for r in tx.fuzzy_decontaminate(
+            train, ev, "id", "text", threshold=0.9
+        ).collect()
+    }
+    assert out[1]["contaminated"] == 1 and out[1]["max_jac"] == 1.0
+    assert out[2]["contaminated"] == 0

@@ -143,6 +143,26 @@ def main() -> None:
         )
     )
 
+    # 6a. fuzzy decontamination: both eval sides (banded signatures AND
+    #     shingle arrays) broadcast — the corpus side streams through
+    #     candidate generation and verification without shuffling raw
+    #     text; the whole retrieval is JVM Column exprs
+    p = formatted(qs["txt_decontam_fuzzy"](spark, args.sf_dir))
+    sections.append(
+        (
+            "txt_decontam_fuzzy",
+            p,
+            [
+                ("eval signatures + shingles broadcast",
+                 p.count("BroadcastHashJoin") >= 2),
+                (
+                    "no Python nodes",
+                    "EvalPython" not in p and "MapInPandas" not in p,
+                ),
+            ],
+        )
+    )
+
     # 6b. DSIR: both n-gram models join back as broadcasts (they are
     #     <= n_buckets rows whatever the corpus size) and the whole
     #     scoring plan is JVM-side — no Python eval node anywhere
