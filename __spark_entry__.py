@@ -511,6 +511,26 @@ def q_mm_img_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_mm_phash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs: every doc renders a REAL
+    8x8 PNG (XOR-mixed closed-form pixels; docs with doc_id % 10 == 9
+    carry a planted near-dup of doc_id-9 with one cell shifted), the
+    from-scratch PNG decoder feeds integer-exact aHash signatures, and
+    the 4x16 pigeonhole banding + popcount finds all pairs within 3
+    bits — recall GUARANTEED by pigeonhole, so the all-pairs SQL oracle
+    is exact, not probabilistic. Only 8-byte signatures shuffle."""
+    from duckdb_raquet_spark.functions import multimodal as mm
+
+    docs = _webtext(spark, sf_dir).select("doc_id")
+    imgs = mm.synth_phash_column(docs, "doc_id", "img")
+    pairs = mm.phash_pairs(imgs, "doc_id", "img", max_hamming=3)
+    return pairs.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    ).orderBy("a", "b")
+
+
 def q_mm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decoder-coverage report over a four-way image column: per
     container format (sniffed JVM-side from magic bytes), payload /
@@ -2097,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_validate": q_manifest_validate,
         "mm_img_features": q_mm_img_features,
         "mm_coverage": q_mm_coverage,
+        "mm_phash_dup": q_mm_phash_dup,
         # round-5 continuation: the NDV sketch is new and fully
         # SQL-oracled, so it takes enc_metrics' scored slot (enc_metrics
         # is a rows-only engine-artifact check — parked below, where the
@@ -2111,7 +2132,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # check_oracle sweep)
         "dedup_minhash_incr": q_dedup_minhash_incr,
         "dedup_components": q_dedup_components,
-        "txt_langid": q_txt_langid,
         "dedup_minhash": q_dedup_minhash,
         "dedup_embed": q_dedup_embed,
         # --- round-5 tail, swapped inside the cap so the driver scores
@@ -2136,8 +2156,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions rt_wap + dedup_spans_removed above.
         # dedup_exact (driver-green r1-r4, three-Column digest) parks
         # to make room for txt_decontam_fuzzy; its digest machinery
-        # stays scored via dedup_minhash_incr + dedup_chunk_filter
+        # stays scored via dedup_minhash_incr + dedup_chunk_filter.
+        # txt_langid (driver-green r1-r4) parks for mm_phash_dup
         "dedup_exact": q_dedup_exact,
+        "txt_langid": q_txt_langid,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "agg_events_windowed": q_agg_events_windowed,
         "ann_topk": q_ann_topk,
@@ -2670,6 +2692,48 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'src1' THEN 0.25 ELSE 0.1 END""",
         "txt_langid": _langid_oracle(),
         "mm_img_features": _IMG_FEATURES_ORACLE,
+        # pHash near-dup: the oracle replays the closed-form pixel
+        # pattern, the integer-exact aHash (incl. the two's-complement
+        # wrap into BIGINT) and the ALL-PAIRS popcount — exact, because
+        # the Spark side's pigeonhole banding guarantees recall <= 3
+        "mm_phash_dup": """
+            WITH d AS (SELECT doc_id FROM documents),
+            cell AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 10 = 9
+                     THEN doc_id - 9 ELSE doc_id END AS src,
+                i
+              FROM d, UNNEST(range(0, 64)) AS r(i)
+            ), v AS (
+              SELECT doc_id, i,
+                CASE WHEN doc_id % 10 = 9 AND i = 0
+                  THEN (xor(src * 73856093::BIGINT, i * 19349663::BIGINT)
+                        % 251 + 128) % 251
+                  ELSE xor(src * 73856093::BIGINT, i * 19349663::BIGINT)
+                       % 251
+                END AS val
+              FROM cell
+            ), t AS (
+              SELECT doc_id, i, val,
+                     sum(val) OVER (PARTITION BY doc_id) AS total
+              FROM v
+            ), h AS (
+              SELECT doc_id,
+                sum(CASE WHEN val * 64 > total
+                    THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS hu
+              FROM t GROUP BY doc_id
+            ), s AS (
+              SELECT doc_id,
+                (CASE WHEN hu >= 9223372036854775808::HUGEINT
+                      THEN hu - 18446744073709551616::HUGEINT
+                      ELSE hu END)::BIGINT AS sig
+              FROM h
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   bit_count(xor(a.sig, b.sig))::INT AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
+            ORDER BY a, b""",
         "mm_coverage": """
             WITH c AS (
               SELECT doc_id % 4 AS k, count(*)::BIGINT AS n

@@ -465,17 +465,15 @@ def simhash64(
     return bit_sums.select(F.col("_id").alias(id_col), sim.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    max_hamming: int = 3,
-    *,
-    hasher: str = "xxh64",
+def hamming_band_pairs(
+    sig: DataFrame, id_col: str, sig_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs with Hamming distance <= max_hamming via 4x16-bit
-    banding (pigeonhole: <=3 differing bits leave >=1 band intact), then
-    exact popcount verification."""
+    """Pairs of 64-bit signatures with Hamming distance <= max_hamming,
+    via 4x16-bit banding (pigeonhole: <=3 differing bits leave >=1 band
+    intact, so recall is GUARANTEED, not probabilistic) then exact
+    popcount verification of the candidates only. Shared kernel of
+    :func:`simhash_pairs` (text) and ``multimodal.phash_pairs``
+    (images). Returns (a, b, hamming)."""
     if max_hamming > 3:
         # 4 bands only guarantee recall up to 3 differing bits; a larger
         # radius needs more bands — failing loudly beats silent recall loss
@@ -483,16 +481,15 @@ def simhash_pairs(
             f"max_hamming={max_hamming} exceeds the 4-band pigeonhole "
             "guarantee (<= 3); use more bands"
         )
-    sig = simhash64(df, id_col, text_col, hasher=hasher)
     bands = sig.select(
-        id_col,
-        "simhash",
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned("simhash", b * 16)
+                        F.shiftrightunsigned(sig_col, b * 16)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("h"),
                     )
@@ -500,7 +497,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(F.col(id_col).alias("_id"), "simhash", "bk.band", "bk.h")
+    ).select("_id", "_sig", "bk.band", "bk.h")
     cand = (
         bands.alias("x")
         .join(
@@ -512,8 +509,8 @@ def simhash_pairs(
         .select(
             F.col("x._id").alias("a"),
             F.col("y._id").alias("b"),
-            F.col("x.simhash").alias("sa"),
-            F.col("y.simhash").alias("sb"),
+            F.col("x._sig").alias("sa"),
+            F.col("y._sig").alias("sb"),
         )
         .distinct()
     )
@@ -521,6 +518,21 @@ def simhash_pairs(
     return cand.select("a", "b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    *,
+    hasher: str = "xxh64",
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming via 4x16-bit
+    banding (pigeonhole: <=3 differing bits leave >=1 band intact), then
+    exact popcount verification."""
+    sig = simhash64(df, id_col, text_col, hasher=hasher)
+    return hamming_band_pairs(sig, id_col, "simhash", max_hamming)
 
 
 # ------------------------------------------------------------ embedding dup ----

@@ -509,6 +509,129 @@ def binary_stats_col(binary_col: str | Column) -> list[Column]:
     ]
 
 
+def image_ahash(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    *,
+    grid: tuple[int, int] = (8, 8),
+    deterministic: bool = True,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per image: REAL decode via the
+    from-scratch codecs -> integer grayscale (channel sum) -> gh x gw
+    nearest-neighbor grid -> threshold at the grid mean -> one 64-bit
+    signature. Output: (id, ahash long).
+
+    Every step is integer-exact (``cell * n_cells > total`` replaces a
+    float mean compare), so the hash replays bit-for-bit in plain SQL
+    over a closed-form pixel pattern — the property the oracle checks
+    ride on. ``on_error`` follows :func:`image_features` ('mark' emits
+    NULL ahash). This is the media analog of :func:`dedup.simhash64`:
+    near-identical images (re-encodes, minor edits) land within a few
+    bits, exact for brightness-preserving pixel noise below the grid
+    resolution."""
+    if on_error not in ("raise", "skip", "mark"):
+        raise ValueError("on_error must be 'raise', 'skip' or 'mark'")
+    gh, gw = grid
+    if gh * gw != 64:
+        raise ValueError("grid must have exactly 64 cells (8x8)")
+
+    def fn(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, p in zip(pdf[id_col], pdf[binary_col]):
+                if p is None:
+                    if on_error == "mark":
+                        ids.append(i)
+                        hashes.append(None)
+                    continue
+                try:
+                    arr, _meta = _decode_image_kernel(bytes(p), deterministic)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    if on_error == "mark":
+                        ids.append(i)
+                        hashes.append(None)
+                    continue
+                gray = arr.astype(np.int64).sum(axis=-1)
+                yi = np.linspace(0, gray.shape[0] - 1, gh).astype(int)
+                xi = np.linspace(0, gray.shape[1] - 1, gw).astype(int)
+                cells = gray[np.ix_(yi, xi)].reshape(-1)
+                bits = cells * 64 > cells.sum()
+                h = 0
+                for k in np.flatnonzero(bits):
+                    h |= 1 << int(k)
+                if h >= 1 << 63:  # two's-complement wrap into BIGINT
+                    h -= 1 << 64
+                ids.append(i)
+                hashes.append(h)
+            if ids:
+                yield pd.DataFrame({"id": ids, "ahash": hashes})
+
+    return df.mapInPandas(fn, schema="id long, ahash long")
+
+
+def phash_pairs(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    max_hamming: int = 3,
+    *,
+    deterministic: bool = True,
+    on_error: str = "skip",
+) -> DataFrame:
+    """Image near-duplicate pairs: :func:`image_ahash` signatures fed
+    through the same 4x16-bit pigeonhole banding as text SimHash
+    (``dedup.hamming_band_pairs`` — recall GUARANTEED for distances
+    <= 3, then exact popcount). The image twin of exact media dedup via
+    :func:`binary_stats_col`: catches re-encoded / lightly-edited
+    copies whose bytes differ but whose perceptual content doesn't.
+    Only 8-byte signatures shuffle — payloads never leave their scan
+    partition. Returns (a, b, hamming)."""
+    from .dedup import hamming_band_pairs
+
+    sig = image_ahash(
+        df, id_col, binary_col, deterministic=deterministic, on_error=on_error
+    ).where(F.col("ahash").isNotNull())
+    return hamming_band_pairs(sig, "id", "ahash", max_hamming)
+
+
+def synth_phash_png_bytes(key: int) -> bytes:
+    """Closed-form 8x8 grayscale-RGB PNG for the pHash fixtures: cell
+    value v(src, i) = ((src * 73856093) XOR (i * 19349663)) mod 251 on
+    all three channels (XOR mixing keeps unrelated keys' hashes far
+    apart — a linear pattern makes every hash a near-rotation of every
+    other and floods Hamming space). Keys with key % 10 == 9 render a
+    PLANTED NEAR-DUP of key-9: same pattern with cell 0 shifted by
+    +128 mod 251 — one to three bits of aHash distance. Row filters
+    cycle y % 5 so every PNG unfilter path runs."""
+    from . import imagecodec as ic
+
+    src = key - 9 if key % 10 == 9 else key
+    i = np.arange(64, dtype=np.int64)
+    v = ((src * 73856093) ^ (i * 19349663)) % 251
+    if key % 10 == 9:
+        v = v.copy()
+        v[0] = (v[0] + 128) % 251
+    arr = np.repeat(
+        v.astype(np.uint8).reshape(8, 8, 1), 3, axis=2
+    )
+    return ic.encode_png(arr, filters=lambda yy: yy % 5)
+
+
+def synth_phash_column(
+    df: DataFrame, id_col: str, out_col: str = "img"
+) -> DataFrame:
+    """Append the pHash fixture PNG column (planted near-dups at
+    key % 10 == 9) — rendered executor-side."""
+    i = df.columns.index(id_col)
+    return _append_column(
+        df, out_col, "binary", lambda row: synth_phash_png_bytes(int(row[i]))
+    )
+
+
 def _decode_video_kernel(
     payload: bytes, deterministic: bool
 ) -> tuple[np.ndarray, dict]:

@@ -2420,3 +2420,81 @@ def test_fuzzy_decontaminate_short_docs(spark):
     }
     assert out[1]["contaminated"] == 1 and out[1]["max_jac"] == 1.0
     assert out[2]["contaminated"] == 0
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing
+# ---------------------------------------------------------------------------
+
+
+def test_image_ahash_closed_form(spark):
+    """aHash of a known 8x8 PNG equals the hand-computed signature
+    (integer threshold, bit k = cell k above mean, two's-complement
+    wrap into BIGINT)."""
+    import numpy as np
+
+    from duckdb_raquet_spark.functions import imagecodec as ic
+    from duckdb_raquet_spark.functions import multimodal as mm
+
+    v = np.arange(64, dtype=np.int64) * 4  # mean 126, bits 32..63 set
+    arr = np.repeat(v.astype(np.uint8).reshape(8, 8, 1), 3, axis=2)
+    png = ic.encode_png(arr)
+    df = spark.createDataFrame([(1, bytearray(png))], "id long, img binary")
+    got = mm.image_ahash(df, "id", "img").collect()[0]["ahash"]
+    bits = v * 64 > v.sum()
+    h = 0
+    for k in np.flatnonzero(bits):
+        h |= 1 << int(k)
+    if h >= 1 << 63:
+        h -= 1 << 64
+    assert got == h
+    assert got < 0  # bit 63 is set -> the wrap path really ran
+
+
+def test_phash_pairs_cross_format_reencode(spark):
+    """The flagship use: the SAME image re-encoded in a different
+    container (PNG vs lossless WebP) is hamming-0; a perturbed copy is
+    within 3; an unrelated image pairs with neither."""
+    import numpy as np
+
+    from duckdb_raquet_spark.functions import imagecodec as ic
+    from duckdb_raquet_spark.functions import multimodal as mm
+    from duckdb_raquet_spark.functions import webpcodec as wc
+
+    i = np.arange(64, dtype=np.int64)
+    v = ((7 * 73856093) ^ (i * 19349663)) % 251
+    arr = np.repeat(v.astype(np.uint8).reshape(8, 8, 1), 3, axis=2)
+    near = arr.copy()
+    near[0, 0, :] = (int(arr[0, 0, 0]) + 128) % 251
+    v2 = ((8 * 73856093) ^ (i * 19349663)) % 251
+    other = np.repeat(v2.astype(np.uint8).reshape(8, 8, 1), 3, axis=2)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(ic.encode_png(arr))),
+            (2, bytearray(wc.encode_webp(arr, mode="literal"))),
+            (3, bytearray(ic.encode_png(near))),
+            (4, bytearray(ic.encode_png(other))),
+        ],
+        "id long, img binary",
+    )
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in mm.phash_pairs(df, "id", "img").collect()
+    }
+    assert pairs[(1, 2)] == 0  # re-encode: identical perception
+    assert 1 <= pairs[(1, 3)] <= 3 and 1 <= pairs[(2, 3)] <= 3
+    assert not any(4 in p for p in pairs)
+
+
+def test_image_ahash_mark_and_validation(spark):
+    from duckdb_raquet_spark.functions import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, None), (2, bytearray(b"\x89PNG\r\n\x1a\n then garbage"))],
+        "id long, img binary",
+    )
+    out = {r["id"]: r["ahash"] for r in
+           mm.image_ahash(df, "id", "img", on_error="mark").collect()}
+    assert out == {1: None, 2: None}
+    with pytest.raises(ValueError, match="64 cells"):
+        mm.image_ahash(df, "id", "img", grid=(4, 4))
