@@ -6,6 +6,8 @@ ONE deployable command, composed from the library's staged operators.
       -> PII redaction                       (always; pure Column)
       -> Gopher quality filter               (--gopher)
       -> URL/domain blocklist                (--blocklist FILE --url-col url)
+      -> benchmark decontamination           (--decontam-eval PARQUET:
+                                              13-gram exact + fuzzy Jaccard)
       -> cross-run incremental exact dedup   (--digest-index DIR)
       -> within-batch exact dedup, keep-first (always)
       -> fuzzy MinHash dedup filter          (--threshold T; <0 disables)
@@ -44,6 +46,13 @@ def main() -> None:
     ap.add_argument("--blocklist", default=None,
                     help="text file of blocked domains (one per line)")
     ap.add_argument("--url-col", default="url")
+    ap.add_argument("--decontam-eval", default=None,
+                    help="parquet of eval/benchmark docs: training docs "
+                    "overlapping it are DROPPED (13-gram exact overlap OR "
+                    "the fuzzy Jaccard screen at --decontam-threshold)")
+    ap.add_argument("--decontam-text-col", default="text")
+    ap.add_argument("--decontam-ngram", type=int, default=13)
+    ap.add_argument("--decontam-threshold", type=float, default=0.8)
     ap.add_argument("--digest-index", default=None,
                     help="cross-run exact-dedup digest index (parquet dir)")
     ap.add_argument("--fuzzy-index", default=None,
@@ -89,6 +98,29 @@ def main() -> None:
     # everything above is cheap pure-Column / broadcast work that can
     # re-run per pass; everything below (the dedup chain) must run ONCE
     pre_dedup = df
+
+    # 3b. benchmark decontamination: drop training docs that leak the
+    #     eval suite, verbatim (13-gram overlap) OR lightly edited
+    #     (fuzzy Jaccard screen); eval sides broadcast in both
+    if args.decontam_eval:
+        ev = spark.read.parquet(args.decontam_eval)
+        ex = tx.ngram_decontaminate(
+            df, ev, idc, txc,
+            n=args.decontam_ngram, eval_text_col=args.decontam_text_col,
+        )
+        fz = tx.fuzzy_decontaminate(
+            df, ev, idc, txc,
+            threshold=args.decontam_threshold,
+            eval_text_col=args.decontam_text_col,
+        )
+        bad = (
+            ex.where(F.col("contaminated") == 1).select("id")
+            .unionByName(fz.where(F.col("contaminated") == 1).select("id"))
+            .distinct()
+            .withColumnRenamed("id", idc)
+        )
+        df = df.join(bad, idc, "left_anti")
+        funnel["after_decontam"] = df.count()
 
     # 4. cross-RUN incremental exact dedup against the persisted index
     dig = ["_len", "_md5", "_xx"]
