@@ -531,6 +531,27 @@ def q_mm_phash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def q_mm_audio_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate audio pairs: every doc renders a REAL
+    WAV (64-frame XOR-mixed amplitude envelope over a closed-form
+    carrier; docs with doc_id % 10 == 9 carry a planted near-dup of
+    doc_id-9 with frame 0's amplitude shifted), the WAV decoder feeds
+    integer-exact 64-bit energy fingerprints, and the shared 4x16
+    pigeonhole banding finds all pairs within 3 bits — recall
+    guaranteed, so the all-pairs SQL oracle is exact. Completes the
+    media dedup trio: exact bytes / image pHash / audio fingerprint."""
+    from duckdb_raquet_spark.functions import multimodal as mm
+
+    docs = _webtext(spark, sf_dir).select("doc_id")
+    wavs = mm.synth_fp_wav_column(docs, "doc_id", "wav")
+    pairs = mm.audio_dup_pairs(wavs, "doc_id", "wav", max_hamming=3)
+    return pairs.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    ).orderBy("a", "b")
+
+
 def q_mm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decoder-coverage report over a four-way image column: per
     container format (sniffed JVM-side from magic bytes), payload /
@@ -2118,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_img_features": q_mm_img_features,
         "mm_coverage": q_mm_coverage,
         "mm_phash_dup": q_mm_phash_dup,
+        "mm_audio_dup": q_mm_audio_dup,
         # round-5 continuation: the NDV sketch is new and fully
         # SQL-oracled, so it takes enc_metrics' scored slot (enc_metrics
         # is a rows-only engine-artifact check — parked below, where the
@@ -2133,7 +2155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_incr": q_dedup_minhash_incr,
         "dedup_components": q_dedup_components,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_embed": q_dedup_embed,
         # --- round-5 tail, swapped inside the cap so the driver scores
         # the never-before-scored ones (the r4 precedent); the four
         # long-green pure-Column queries they displace are parked below
@@ -2157,9 +2178,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_exact (driver-green r1-r4, three-Column digest) parks
         # to make room for txt_decontam_fuzzy; its digest machinery
         # stays scored via dedup_minhash_incr + dedup_chunk_filter.
-        # txt_langid (driver-green r1-r4) parks for mm_phash_dup
+        # txt_langid (driver-green r1-r4) parks for mm_phash_dup;
+        # dedup_embed (driver-green r1-r4; its cosine machinery stays
+        # scored via dedup_semantic + the ann_* family) for mm_audio_dup
         "dedup_exact": q_dedup_exact,
         "txt_langid": q_txt_langid,
+        "dedup_embed": q_dedup_embed,
         "agg_lineitem_pricing": q_agg_lineitem_pricing,
         "agg_events_windowed": q_agg_events_windowed,
         "ann_topk": q_ann_topk,
@@ -2721,6 +2745,52 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                 sum(CASE WHEN val * 64 > total
                     THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS hu
+              FROM t GROUP BY doc_id
+            ), s AS (
+              SELECT doc_id,
+                (CASE WHEN hu >= 9223372036854775808::HUGEINT
+                      THEN hu - 18446744073709551616::HUGEINT
+                      ELSE hu END)::BIGINT AS sig
+              FROM h
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   bit_count(xor(a.sig, b.sig))::INT AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
+            ORDER BY a, b""",
+        # audio fingerprint near-dup: same exactness argument as
+        # mm_phash_dup — the oracle replays the closed-form PCM, the
+        # integer energy hash and the all-pairs popcount
+        "mm_audio_dup": """
+            WITH d AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 10 = 9
+                     THEN doc_id - 9 ELSE doc_id END AS src
+              FROM documents
+            ), fr AS (
+              SELECT doc_id, src, k, 6 + (src % 3) AS L,
+                CASE WHEN doc_id % 10 = 9 AND k = 0
+                  THEN (xor(src * 73856093::BIGINT, k * 19349663::BIGINT)
+                        % 251 + 128) % 251
+                  ELSE xor(src * 73856093::BIGINT, k * 19349663::BIGINT)
+                       % 251
+                END AS a
+              FROM d, UNNEST(range(0, 64)) AS r(k)
+            ), en AS (
+              SELECT f.doc_id, f.k,
+                f.a * sum(abs((f.src * 7919
+                               + (f.k * f.L + j) * 104729) % 256 - 128))
+                  AS e
+              FROM fr f, UNNEST(range(0, f.L)) AS rr(j)
+              GROUP BY f.doc_id, f.k, f.a
+            ), t AS (
+              SELECT doc_id, k, e,
+                     sum(e) OVER (PARTITION BY doc_id) AS total
+              FROM en
+            ), h AS (
+              SELECT doc_id,
+                sum(CASE WHEN e * 64 > total
+                    THEN (1::HUGEINT << k) ELSE 0::HUGEINT END) AS hu
               FROM t GROUP BY doc_id
             ), s AS (
               SELECT doc_id,

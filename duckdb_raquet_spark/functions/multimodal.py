@@ -492,6 +492,135 @@ def audio_frames(
     return df.mapInPandas(fn, schema="id long, frame_idx int, rms double")
 
 
+def audio_ahash(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    *,
+    deterministic: bool = True,
+    on_error: str = "raise",
+) -> DataFrame:
+    """64-bit audio fingerprint (the audio twin of :func:`image_ahash`):
+    REAL WAV decode -> 64 equal non-overlapping frames spanning the
+    clip -> integer frame energy (sum of |sample|, exact in int64) ->
+    bit k set iff ``energy_k * 64 > total`` -> one signed 64-bit
+    signature. Output: (id, ahash long).
+
+    The threshold compares each frame's SHARE of total energy against
+    the mean, so the signature is invariant to positive gain scaling
+    (a re-levelled copy of the same clip hashes identically, exactly
+    for integer gain) and to container re-encodes — the re-encoded /
+    re-mastered duplicate case exact byte dedup misses. Integer-exact
+    throughout, so a closed-form PCM pattern replays the hash
+    bit-for-bit in SQL. Clips shorter than 64 samples follow
+    ``on_error`` ('mark' emits NULL)."""
+    if on_error not in ("raise", "skip", "mark"):
+        raise ValueError("on_error must be 'raise', 'skip' or 'mark'")
+
+    def fn(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, p in zip(pdf[id_col], pdf[binary_col]):
+                if p is None:
+                    if on_error == "mark":
+                        ids.append(i)
+                        hashes.append(None)
+                    continue
+                try:
+                    pcm, _meta = _decode_audio_kernel(bytes(p), deterministic)
+                    if pcm.ndim == 2:
+                        pcm = pcm[:, 0]
+                    if len(pcm) < 64:
+                        raise ValueError("clip shorter than 64 samples")
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    if on_error == "mark":
+                        ids.append(i)
+                        hashes.append(None)
+                    continue
+                seg = len(pcm) // 64
+                if np.issubdtype(pcm.dtype, np.integer):
+                    arr = np.abs(pcm[: 64 * seg].astype(np.int64))
+                else:
+                    arr = np.abs(pcm[: 64 * seg].astype(np.float64))
+                e = arr.reshape(64, seg).sum(axis=1)
+                bits = e * 64 > e.sum()
+                h = 0
+                for k in np.flatnonzero(bits):
+                    h |= 1 << int(k)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                ids.append(i)
+                hashes.append(h)
+            if ids:
+                yield pd.DataFrame({"id": ids, "ahash": hashes})
+
+    return df.mapInPandas(fn, schema="id long, ahash long")
+
+
+def audio_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    max_hamming: int = 3,
+    *,
+    deterministic: bool = True,
+    on_error: str = "skip",
+) -> DataFrame:
+    """Audio near-duplicate pairs: :func:`audio_ahash` signatures
+    through the shared 4x16 pigeonhole band kernel
+    (``dedup.hamming_band_pairs`` — recall guaranteed at <= 3 bits,
+    only 8-byte signatures shuffle). Completes the media dedup trio:
+    exact bytes (:func:`binary_stats_col`), perceptual image
+    (:func:`phash_pairs`), perceptual audio (this). Returns
+    (a, b, hamming)."""
+    from .dedup import hamming_band_pairs
+
+    sig = audio_ahash(
+        df, id_col, binary_col, deterministic=deterministic, on_error=on_error
+    ).where(F.col("ahash").isNotNull())
+    return hamming_band_pairs(sig, "id", "ahash", max_hamming)
+
+
+def synth_fp_wav_bytes(key: int) -> bytes:
+    """Closed-form WAV for the audio-fingerprint fixtures: 64 frames of
+    L = 6 + src%3 samples, frame k's amplitude envelope
+    a_k = ((src*73856093) XOR (k*19349663)) mod 251 (the XOR mix that
+    keeps unrelated signatures far apart — a flat envelope makes every
+    frame energy hug the mean and floods Hamming space), carrier
+    sample i = (src*7919 + i*104729) mod 256 - 128, pcm = a * carrier
+    (|pcm| <= 32000, int16-safe). Keys with key%10 == 9 render a
+    planted near-dup of key-9: frame 0's amplitude shifted +128 mod
+    251 — one to three signature bits. The uniform-noise
+    :func:`synth_wav_bytes` stays the RMS fixture; this one exists
+    because a fingerprint fixture needs per-frame energy VARIANCE."""
+    from . import audiocodec as ac
+
+    src = key - 9 if key % 10 == 9 else key
+    seg = 6 + (src % 3)
+    k = np.arange(64, dtype=np.int64)
+    a = ((src * 73856093) ^ (k * 19349663)) % 251
+    if key % 10 == 9:
+        a = a.copy()
+        a[0] = (a[0] + 128) % 251
+    i = np.arange(64 * seg, dtype=np.int64)
+    inner = (src * 7919 + i * 104729) % 256 - 128
+    pcm = (np.repeat(a, seg) * inner).astype(np.int16)
+    return ac.encode_wav(pcm, 16000)
+
+
+def synth_fp_wav_column(
+    df: DataFrame, id_col: str, out_col: str = "wav"
+) -> DataFrame:
+    """Append the fingerprint fixture WAV column (planted near-dups at
+    key % 10 == 9) — rendered executor-side."""
+    i = df.columns.index(id_col)
+    return _append_column(
+        df, out_col, "binary", lambda row: synth_fp_wav_bytes(int(row[i]))
+    )
+
+
 def binary_stats_col(binary_col: str | Column) -> list[Column]:
     """Cheap JVM-side binary profiling (no decode, no Python): size, a
     64-bit hash, and a 128-bit md5 — exact-dup detection over media.

@@ -2498,3 +2498,70 @@ def test_image_ahash_mark_and_validation(spark):
     assert out == {1: None, 2: None}
     with pytest.raises(ValueError, match="64 cells"):
         mm.image_ahash(df, "id", "img", grid=(4, 4))
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def test_audio_ahash_closed_form_and_gain_invariance(spark):
+    """Known PCM hashes to the hand-computed signature, and a
+    gain-scaled copy (x2, no clipping) hashes IDENTICALLY — the
+    re-levelled-duplicate property the threshold-at-mean design buys."""
+    import numpy as np
+
+    from duckdb_raquet_spark.functions import audiocodec as ac
+    from duckdb_raquet_spark.functions import multimodal as mm
+
+    k = np.arange(64, dtype=np.int64)
+    amp = ((5 * 73856093) ^ (k * 19349663)) % 251
+    i = np.arange(64 * 6, dtype=np.int64)
+    inner = (5 * 7919 + i * 104729) % 256 - 128
+    # quarter scale so the x2 copy stays inside int16 (no clipping)
+    pcm = ((np.repeat(amp, 6) * inner) // 4).astype(np.int16)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(ac.encode_wav(pcm, 16000))),
+            (2, bytearray(ac.encode_wav((pcm * np.int16(2)), 16000))),
+        ],
+        "id long, wav binary",
+    )
+    out = {r["id"]: r["ahash"] for r in
+           mm.audio_ahash(df, "id", "wav").collect()}
+    e = np.abs(pcm.astype(np.int64)).reshape(64, 6).sum(axis=1)
+    h = 0
+    for b in np.flatnonzero(e * 64 > e.sum()):
+        h |= 1 << int(b)
+    if h >= 1 << 63:
+        h -= 1 << 64
+    assert out[1] == h
+    assert out[2] == h  # gain x2: every energy doubles, shares unchanged
+
+
+def test_audio_dup_pairs_planted(spark):
+    """The fixture's planted near-dup pairs (key%10==9 vs key-9) and
+    nothing else, each within 3 bits."""
+    from duckdb_raquet_spark.functions import multimodal as mm
+
+    docs = spark.range(0, 40).selectExpr("id AS doc_id")
+    wavs = mm.synth_fp_wav_column(docs, "doc_id", "wav")
+    pairs = mm.audio_dup_pairs(wavs, "doc_id", "wav").collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert got <= {(k - 9, k) for k in range(9, 40, 10)}
+    assert len(got) >= 3  # at most one of the four may exceed 3 bits
+    assert all(0 <= r["hamming"] <= 3 for r in pairs)
+
+
+def test_audio_ahash_short_clip_marked(spark):
+    import numpy as np
+
+    from duckdb_raquet_spark.functions import audiocodec as ac
+    from duckdb_raquet_spark.functions import multimodal as mm
+
+    short = ac.encode_wav(np.arange(10, dtype=np.int16), 16000)
+    df = spark.createDataFrame([(1, bytearray(short))], "id long, wav binary")
+    out = mm.audio_ahash(df, "id", "wav", on_error="mark").collect()
+    assert out[0]["ahash"] is None
+    with pytest.raises(Exception):
+        mm.audio_ahash(df, "id", "wav", on_error="raise").collect()
