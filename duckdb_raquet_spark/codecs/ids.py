@@ -12,6 +12,9 @@ INT_PLAIN = 0x00   # raw little-endian int64
 INT_FOR = 0x01     # frame-of-reference + bit-pack
 INT_DELTA = 0x02   # first value + zigzag deltas (FoR+bit-packed)
 INT_RLE = 0x03     # run values + run lengths, each FoR+bit-packed
+ALP_DOUBLE = 0x04  # ALP decimal-scaled doubles: (e, f) + exceptions +
+                   #   inner int payload of round(d * 10^e / 10^f)
+                   #   (Afroozeh & Boncz, SIGMOD 2024; codecs/alp.py)
 STR_PLAIN = 0x10   # lengths payload + concatenated bytes
 STR_DICT = 0x11    # dictionary payload + integer codes payload
 STR_FSST = 0x12    # FSST symbol table + compressed concat + lengths
@@ -37,6 +40,7 @@ NAMES = {
     INT_FOR: "for+bitpack",
     INT_DELTA: "delta+for+bitpack",
     INT_RLE: "rle",
+    ALP_DOUBLE: "alp",
     STR_PLAIN: "str_plain",
     STR_DICT: "dict",
     STR_FSST: "fsst",

@@ -441,6 +441,10 @@ def decode_any(buf: bytes):
         return _decode_zstd(buf, 1)
     if tag == ids.NULLABLE:
         return _decode_nullable(buf, 1)
+    if tag == ids.ALP_DOUBLE:
+        from . import alp  # lazy: alp's inner decode recurses through here
+
+        return alp.decode(buf, decode_any)
     raise ValueError(f"unknown codec tag 0x{tag:02x}")
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .codecs import ids, ints, registry
+from .codecs import alp, ids, ints, registry
 from .codecs.ids import codec_name
 from . import stats as stats_mod
 
@@ -243,6 +243,23 @@ def encode_int_auto(
     return best
 
 
+def encode_double_auto(
+    vals: np.ndarray, zlib_level: int = 6, force: str | None = None
+) -> bytes:
+    """Doubles: try the ALP decimal-integer mapping (codecs/alp.py)
+    against the raw IEEE-754 bit-pattern view, keep the smaller payload.
+    Shared by the Arrow and pandas encode paths so re-encodes stay
+    bit-consistent; ``force`` pins the bits view (plain int path)."""
+    bits = np.ascontiguousarray(vals).view(np.int64)
+    base = encode_int_auto(bits, zlib_level, force=force)
+    if force is not None:
+        return base
+    cand = alp.try_encode(vals, lambda s: encode_int_auto(s, zlib_level))
+    if cand is not None and len(cand) < len(base):
+        return cand
+    return base
+
+
 def _as_large_binary(arr: pa.Array) -> pa.Array:
     t = arr.type
     if t == pa.large_binary():
@@ -299,7 +316,7 @@ def encode_column_arrow(
             arr.to_numpy(zero_copy_only=False).astype(np.float64)
         )
         raw = 8 * n
-        payload = encode_int_auto(vals.view(np.int64), zlib_level, force=force)
+        payload = encode_double_auto(vals, zlib_level, force=force)
     else:
         if kind == KIND_TIMESTAMP:
             arr = arr.cast(pa.timestamp("us")).cast(pa.int64())
@@ -337,7 +354,7 @@ def encode_column(
         # preserve NaN-as-value semantics (from_pandas would null them)
         vals = np.ascontiguousarray(series.to_numpy(dtype=np.float64))
         raw = 8 * len(series)
-        payload = encode_int_auto(vals.view(np.int64), zlib_level)
+        payload = encode_double_auto(vals, zlib_level)
         return payload, codec_name(payload), {"raw_bytes": raw, "enc_bytes": len(payload)}
     else:
         arr = pa.Array.from_pandas(series, type=pa.int64())
