@@ -155,6 +155,40 @@ def q_rt_pinned_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.decode_blocks(blocks, man, ["doc_id", "text", "lang"])
 
 
+def q_rt_alp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALP double round trip (codecs/alp.py; Afroozeh & Boncz 2023).
+
+    The encoded column mixes the populations the codec must handle:
+    signed 2-decimal prices (decimals in disguise — mapped to scaled
+    integers and FoR-packed) and a doc_id%97 slice of non-decimal
+    quotients (doc_id/3.0 — stored as exact-bit IEEE exceptions).
+    Decode must be bit-identical; the oracle recomputes the same
+    IEEE-754 expressions in DuckDB (int->double casts and a single
+    correctly-rounded division are bit-deterministic across engines),
+    so any lossy codec shortcut is a value-hash mismatch. NaN payloads
+    and -0.0 are pinned in tests/test_alp.py (engine NULL/NaN
+    conflation on doubles is documented in selector.py)."""
+    signed = (F.col("doc_id") * 7 + 3) * F.when(
+        F.col("doc_id") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    df = _webtext(spark, sf_dir).select(
+        "url", "warc_ts", "doc_id",
+        F.when(F.col("doc_id") % 97 == 0, F.col("doc_id").cast("double") / F.lit(3.0))
+        .otherwise(signed.cast("double") / F.lit(100.0))
+        .alias("price"),
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/raquet_entry_alp_{tag}_v{drs.__version__}"
+    try:
+        man = scan.read_manifest(spark, path)
+        if man.get("engine") != f"duckdb_raquet_spark/{drs.__version__}":
+            raise ValueError
+    except Exception:
+        man = encode.encode_to_path(spark, df, path, target_rows_per_block=512)
+    blocks = scan.read_blocks(spark, path)
+    return scan.decode_blocks(blocks, man, ["doc_id", "price"])
+
+
 def q_rt_maponly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-only (shuffle='none') encode round trip: zero raw-byte
     shuffle, salt = input partition id — the scale lever for inputs
@@ -2226,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_mask_lang": q_rt_mask_lang,
         "rt_mask_eq": q_rt_mask_eq,
         "rt_maponly": q_rt_maponly,
+        "rt_alp": q_rt_alp,
         "rt_compact": q_rt_compact,
         "rt_catalog": q_rt_catalog,
         "rt_rollup_ov": q_rt_rollup_ov,
@@ -2565,6 +2600,13 @@ def oracle_sql() -> dict[str, str]:
         "rt_pinned_codecs": "SELECT doc_id, text, lang FROM documents",
         "rt_pinned_zstd": "SELECT doc_id, text, lang FROM documents",
         "rt_maponly": "SELECT doc_id, text, lang FROM documents",
+        "rt_alp": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 97 = 0 THEN doc_id / 3.0
+                        ELSE (doc_id * 7 + 3)
+                             * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)
+                             / 100.0 END AS price
+            FROM documents""",
         "rt_compact": "SELECT doc_id, text, lang FROM documents",
         "rt_datasource": "SELECT doc_id, text, lang FROM documents",
         "rt_events": "SELECT event_id, event_type, value, props FROM events",
