@@ -15,6 +15,8 @@ INT_RLE = 0x03     # run values + run lengths, each FoR+bit-packed
 ALP_DOUBLE = 0x04  # ALP decimal-scaled doubles: (e, f) + exceptions +
                    #   inner int payload of round(d * 10^e / 10^f)
                    #   (Afroozeh & Boncz, SIGMOD 2024; codecs/alp.py)
+BSS_DOUBLE = 0x05  # BYTE_STREAM_SPLIT doubles: byte-plane transpose +
+                   #   zlib/zstd (Parquet Encodings.md; codecs/bss.py)
 STR_PLAIN = 0x10   # lengths payload + concatenated bytes
 STR_DICT = 0x11    # dictionary payload + integer codes payload
 STR_FSST = 0x12    # FSST symbol table + compressed concat + lengths
@@ -41,6 +43,7 @@ NAMES = {
     INT_DELTA: "delta+for+bitpack",
     INT_RLE: "rle",
     ALP_DOUBLE: "alp",
+    BSS_DOUBLE: "bss",
     STR_PLAIN: "str_plain",
     STR_DICT: "dict",
     STR_FSST: "fsst",

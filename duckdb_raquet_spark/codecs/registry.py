@@ -445,6 +445,10 @@ def decode_any(buf: bytes):
         from . import alp  # lazy: alp's inner decode recurses through here
 
         return alp.decode(buf, decode_any)
+    if tag == ids.BSS_DOUBLE:
+        from . import bss  # lazy, mirroring ALP
+
+        return bss.decode(buf)
     raise ValueError(f"unknown codec tag 0x{tag:02x}")
 
 

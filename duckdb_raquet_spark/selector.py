@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .codecs import alp, ids, ints, registry
+from .codecs import alp, bss, ids, ints, registry
 from .codecs.ids import codec_name
 from . import stats as stats_mod
 
@@ -246,18 +246,24 @@ def encode_int_auto(
 def encode_double_auto(
     vals: np.ndarray, zlib_level: int = 6, force: str | None = None
 ) -> bytes:
-    """Doubles: try the ALP decimal-integer mapping (codecs/alp.py)
-    against the raw IEEE-754 bit-pattern view, keep the smaller payload.
+    """Doubles: try the ALP decimal-integer mapping (codecs/alp.py) and
+    the BYTE_STREAM_SPLIT byte-plane transpose (codecs/bss.py) against
+    the raw IEEE-754 bit-pattern view, keep the smallest payload — ALP
+    wins decimals-in-disguise, BSS wins full-precision smooth series.
     Shared by the Arrow and pandas encode paths so re-encodes stay
     bit-consistent; ``force`` pins the bits view (plain int path)."""
     bits = np.ascontiguousarray(vals).view(np.int64)
     base = encode_int_auto(bits, zlib_level, force=force)
     if force is not None:
         return base
+    best = base
     cand = alp.try_encode(vals, lambda s: encode_int_auto(s, zlib_level))
-    if cand is not None and len(cand) < len(base):
-        return cand
-    return base
+    if cand is not None and len(cand) < len(best):
+        best = cand
+    cand = bss.encode(vals, zlib_level)
+    if len(cand) < len(best):
+        best = cand
+    return best
 
 
 def _as_large_binary(arr: pa.Array) -> pa.Array:
