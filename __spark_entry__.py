@@ -655,6 +655,28 @@ def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+def q_mm_video_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over REAL MJPEG-in-AVI clips: render a
+    deterministic AVI per document (every frame an independent
+    baseline JPEG, constant per 8x8 block so the lossy transform is
+    bit-exact — pinned in tests/test_avicodec.py), walk the RIFF
+    container, entropy-decode each sampled frame with the from-scratch
+    JPEG engine and emit its exact channel-0 pixel sum; the oracle
+    replays the block formula closed-form in SQL."""
+    from duckdb_raquet_spark.functions import multimodal as mm
+
+    docs = _webtext(spark, sf_dir).select("doc_id")
+    avis = mm.synth_avi_column(docs, "doc_id", "avi")
+    frames = mm.video_frame_sample(avis, "doc_id", "avi", stride=4)
+    return frames.select(
+        F.col("id").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("chan0_sum").cast("long").alias("chan0_sum"),
+        F.col("n_pixels").cast("long").alias("n_pixels"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+    ).orderBy("doc_id", "frame_idx")
+
+
 def q_mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-side binary profiling (no decode): exact-dup detection over
     opaque media payloads by (length, content hash)."""
@@ -2244,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_rollup": q_rt_rollup,
         "mm_audio_rms": q_mm_audio_rms,
         "mm_binary_stats": q_mm_binary_stats,
+        "mm_video_avi": q_mm_video_avi,
         "key_math": q_key_math,
         "ann_quantized": q_ann_quantized,
         "dedup_ngram": q_dedup_ngram,
@@ -2878,6 +2901,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, frame_idx::INT AS frame_idx,
               round(sqrt(sumsq / 256.0) / 32768.0, 6) AS rms
+            FROM s ORDER BY doc_id, frame_idx""",
+        "mm_video_avi": """
+            WITH p AS (
+              SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents
+            ),
+            k AS (
+              SELECT p.*, r.i AS frame_idx
+              FROM p, UNNEST(range(0, nf, 4)) AS r(i)
+            ),
+            s AS (
+              -- replay the per-8x8-block constant pattern the engine
+              -- gets back from REAL RIFF walk + baseline-JPEG entropy
+              -- decode of the rendered MJPEG frames (64 px per block)
+              SELECT k.doc_id, k.frame_idx, k.nf,
+                64 * sum(((k.doc_id * 31 + 17 * k.frame_idx
+                           + 5 * rr.r + 3 * cc.c) % 251)::BIGINT)
+                  AS chan0_sum
+              FROM k, UNNEST(range(2)) AS rr(r), UNNEST(range(3)) AS cc(c)
+              GROUP BY ALL
+            )
+            SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+                   chan0_sum::BIGINT AS chan0_sum,
+                   384::BIGINT AS n_pixels, nf::BIGINT AS n_frames
             FROM s ORDER BY doc_id, frame_idx""",
         "mm_video_frames": """
             WITH p AS (

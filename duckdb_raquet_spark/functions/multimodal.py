@@ -145,6 +145,33 @@ def synth_gif_column(df: DataFrame, id_col: str, out_col: str = "gif") -> DataFr
     return _append_column(df, out_col, "binary", lambda row: synth_gif_bytes(int(row[i])))
 
 
+def synth_avi_bytes(key: int) -> bytes:
+    """Closed-form deterministic MJPEG-in-AVI clip: n = 2 + key % 4
+    frames of 16x24 grayscale, constant per 8x8 block with block
+    (r, c) of frame k valued ``(key*31 + 17k + 5r + 3c) mod 251``.
+    A constant 8x8 block is DC-only through the JPEG transform and
+    survives quantization bit-exactly (pinned in tests), so REAL
+    baseline-JPEG entropy decode of every frame replays closed-form
+    in SQL from key alone — the MJPEG twin of synth_gif_bytes."""
+    from . import avicodec as avc
+
+    n = 2 + key % 4
+    r = np.arange(2)[:, None]
+    c = np.arange(3)[None, :]
+    frames = np.empty((n, 16, 24), dtype=np.uint8)
+    for k in range(n):
+        blocks = ((key * 31 + 17 * k + 5 * r + 3 * c) % 251).astype(np.uint8)
+        frames[k] = np.kron(blocks, np.ones((8, 8), np.uint8))
+    return avc.encode_avi(frames, fps=12, quality=90)
+
+
+def synth_avi_column(df: DataFrame, id_col: str, out_col: str = "avi") -> DataFrame:
+    """Append a real MJPEG-AVI binary column rendered from the id —
+    the container-video twin of synth_gif_column."""
+    i = df.columns.index(id_col)
+    return _append_column(df, out_col, "binary", lambda row: synth_avi_bytes(int(row[i])))
+
+
 def synth_wav_column(df: DataFrame, id_col: str, out_col: str = "wav") -> DataFrame:
     """Append a real WAV binary column rendered from the id — the audio
     twin of synth_png_column."""
@@ -336,6 +363,11 @@ def media_format_col(c: Column) -> Column:
             (head4 == F.lit(b"RIFF"))
             & (F.substring(c, 9, 4) == F.lit(b"WAVE")),
             F.lit("wav"),
+        )
+        .when(
+            (head4 == F.lit(b"RIFF"))
+            & (F.substring(c, 9, 4) == F.lit(b"AVI ")),
+            F.lit("avi"),
         )
         .when(F.substring(c, 1, 2) == F.lit(b"BM"), F.lit("bmp"))
         .otherwise(F.lit("unknown"))
@@ -767,17 +799,24 @@ def _decode_video_kernel(
     """payload -> (n_frames, H, W, C) uint8 + metadata.
 
     REAL decode for animated GIF via :mod:`imagecodec` (from-scratch
-    LZW + frame composition) — the one entropy-coded moving-picture web
-    format that is hand-rollable, so the video leg is no longer a stub.
+    LZW + frame composition) and for MJPEG-in-AVI via :mod:`avicodec`
+    (RIFF walk + the from-scratch baseline-JPEG decoder) — the two
+    entropy-coded moving-picture web formats that are hand-rollable.
     Container formats needing ffmpeg/pyav (mp4/webm) are out of scope;
-    payloads without GIF magic keep the legacy seeded fake under
+    payloads without GIF/AVI magic keep the legacy seeded fake under
     ``deterministic=True``, else raise."""
     from . import imagecodec as ic
 
     if ic.sniff_format(payload) == "gif":
         return ic.decode_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from . import avicodec as avc
+
+        return avc.decode_avi(payload)
     if not deterministic:
-        raise NotImplementedError("payload has no GIF magic (mp4/webm need ffmpeg)")
+        raise NotImplementedError(
+            "payload has no GIF/AVI magic (mp4/webm need ffmpeg)"
+        )
     hx = hashlib.md5(payload).hexdigest()
     w = 8 + int(hx[0:8], 16) % 25
     h = 8 + int(hx[8:16], 16) % 25
