@@ -677,6 +677,21 @@ def q_mm_video_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+def q_mm_video_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual video hash over REAL animated GIFs: per-frame 8x8
+    aHash (integer-exact threshold) + bitwise majority across frames
+    into one 64-bit signature — the video member of the media near-dup
+    trio. Frames are exactly 8x8 so the grid is the identity map and
+    the DuckDB oracle replays pixels -> per-frame bits -> majority ->
+    two's-complement wrap bit-for-bit from doc_id alone."""
+    from duckdb_raquet_spark.functions import multimodal as mm
+
+    docs = _webtext(spark, sf_dir).select("doc_id")
+    gifs = mm.synth_vhash_gif_column(docs, "doc_id", "gif")
+    sig = mm.video_ahash(gifs, "doc_id", "gif")
+    return sig.select(F.col("id").alias("doc_id"), "vhash").orderBy("doc_id")
+
+
 def q_mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-side binary profiling (no decode): exact-dup detection over
     opaque media payloads by (length, content hash)."""
@@ -2267,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_rms": q_mm_audio_rms,
         "mm_binary_stats": q_mm_binary_stats,
         "mm_video_avi": q_mm_video_avi,
+        "mm_video_hash": q_mm_video_hash,
         "key_math": q_key_math,
         "ann_quantized": q_ann_quantized,
         "dedup_ngram": q_dedup_ngram,
@@ -2902,6 +2918,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, frame_idx::INT AS frame_idx,
               round(sqrt(sumsq / 256.0) / 32768.0, 6) AS rms
             FROM s ORDER BY doc_id, frame_idx""",
+        "mm_video_hash": """
+            WITH p AS (
+              SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents
+            ),
+            cells AS (
+              -- grid slot j of frame k: the 8x8 frames make the aHash
+              -- grid the identity map, so cell value = pixel value
+              SELECT doc_id, nf, kk.k AS k, jj.j AS j,
+                ((doc_id + 7 * kk.k + 3 * (jj.j // 8) + 5 * (jj.j % 8))
+                 % 256)::BIGINT AS v
+              FROM p, UNNEST(range(nf)) AS kk(k), UNNEST(range(64)) AS jj(j)
+            ),
+            fb AS (
+              SELECT doc_id, nf, k, j,
+                CASE WHEN v * 64 > sum(v) OVER (PARTITION BY doc_id, k)
+                     THEN 1 ELSE 0 END AS b
+              FROM cells
+            ),
+            mj AS (
+              SELECT doc_id, j,
+                CASE WHEN 2 * sum(b) > max(nf) THEN 1 ELSE 0 END AS mb
+              FROM fb GROUP BY doc_id, j
+            )
+            SELECT doc_id,
+              sum(CASE WHEN mb = 0 THEN 0
+                       WHEN j = 63 THEN -9223372036854775808
+                       ELSE (1::BIGINT << j) END)::BIGINT AS vhash
+            FROM mj GROUP BY doc_id ORDER BY doc_id""",
         "mm_video_avi": """
             WITH p AS (
               SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents

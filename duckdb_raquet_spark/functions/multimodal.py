@@ -793,6 +793,116 @@ def synth_phash_column(
     )
 
 
+def video_ahash(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    *,
+    deterministic: bool = True,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Perceptual hash per VIDEO: REAL container decode (animated GIF /
+    MJPEG-AVI via :func:`_decode_video_kernel`), per-frame 8x8 aHash
+    with :func:`image_ahash`'s integer-exact threshold
+    (``cell * 64 > frame_total``), then a bitwise MAJORITY vote across
+    frames (bit j set iff ``2 * n_set > n_frames``, strict — ties
+    clear) into one 64-bit signature. Output: (id, vhash long).
+
+    Majority voting makes the signature robust to frame reordering,
+    dropped/duplicated frames and re-muxed containers (a GIF and an
+    MJPEG-AVI of the same frames hash identically — pinned in tests),
+    while staying integer-exact end to end so a SQL oracle replays
+    pixels -> per-frame bits -> majority -> two's-complement wrap
+    bit-for-bit. The video member of the media near-dup trio
+    (:func:`image_ahash`, :func:`audio_ahash`); pairs go through the
+    same shared pigeonhole kernel via :func:`video_dup_pairs`."""
+    if on_error not in ("raise", "skip", "mark"):
+        raise ValueError("on_error must be 'raise', 'skip' or 'mark'")
+
+    def fn(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, p in zip(pdf[id_col], pdf[binary_col]):
+                if p is None:
+                    if on_error == "mark":
+                        ids.append(i)
+                        hashes.append(None)
+                    continue
+                try:
+                    frames, _meta = _decode_video_kernel(bytes(p), deterministic)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    if on_error == "mark":
+                        ids.append(i)
+                        hashes.append(None)
+                    continue
+                n, fh, fw = frames.shape[:3]
+                gray = frames.astype(np.int64).sum(axis=-1)
+                yi = np.linspace(0, fh - 1, 8).astype(int)
+                xi = np.linspace(0, fw - 1, 8).astype(int)
+                cells = gray[:, yi][:, :, xi].reshape(n, 64)
+                bits = cells * 64 > cells.sum(axis=1, keepdims=True)
+                maj = 2 * bits.sum(axis=0) > n
+                h = 0
+                for k in np.flatnonzero(maj):
+                    h |= 1 << int(k)
+                if h >= 1 << 63:  # two's-complement wrap into BIGINT
+                    h -= 1 << 64
+                ids.append(i)
+                hashes.append(h)
+            if ids:
+                yield pd.DataFrame({"id": ids, "vhash": hashes})
+
+    return df.select(id_col, binary_col).mapInPandas(fn, schema="id long, vhash long")
+
+
+def video_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    max_hamming: int = 3,
+    *,
+    deterministic: bool = True,
+    on_error: str = "skip",
+) -> DataFrame:
+    """Video near-duplicate pairs: :func:`video_ahash` signatures fed
+    through the shared 4x16-bit pigeonhole banding
+    (``dedup.hamming_band_pairs`` — recall GUARANTEED for distances
+    <= 3, then exact popcount). Only 8-byte signatures shuffle.
+    Returns (a, b, hamming)."""
+    from .dedup import hamming_band_pairs
+
+    sig = video_ahash(
+        df, id_col, binary_col, deterministic=deterministic, on_error=on_error
+    ).where(F.col("vhash").isNotNull())
+    return hamming_band_pairs(sig, "id", "vhash", max_hamming)
+
+
+def synth_vhash_gif_bytes(key: int) -> bytes:
+    """Closed-form 8x8 animated GIF for the video-hash oracle: n = 2 +
+    key % 4 frames, pixel (k, y, x) = ``(key + 7k + 3y + 5x) mod 256``.
+    Frames are EXACTLY grid-sized so the 8x8 aHash grid is the identity
+    map and the oracle needs no resample replay (the phash-PNG fixture
+    discipline, applied to video)."""
+    from . import imagecodec as ic
+
+    n = 2 + key % 4
+    k, y, x = np.ogrid[0:n, 0:8, 0:8]
+    frames = ((key + 7 * k + 3 * y + 5 * x) % 256).astype(np.uint8)
+    return ic.encode_gif(frames)
+
+
+def synth_vhash_gif_column(
+    df: DataFrame, id_col: str, out_col: str = "gif"
+) -> DataFrame:
+    """Append the video-hash fixture GIF column — rendered executor-side."""
+    i = df.columns.index(id_col)
+    return _append_column(
+        df, out_col, "binary", lambda row: synth_vhash_gif_bytes(int(row[i]))
+    )
+
+
 def _decode_video_kernel(
     payload: bytes, deterministic: bool
 ) -> tuple[np.ndarray, dict]:
