@@ -677,6 +677,21 @@ def q_mm_video_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+def q_mm_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual media dedup APPLIED (detection alone never shrinks a
+    corpus): the pHash fixture's planted near-dups (doc_id % 10 == 9
+    copies of doc_id-9) flow through signature pairs -> connected
+    components -> keep-first, and the kept doc_ids come back. The
+    oracle replays signatures, the transitive closure (recursive CTE)
+    and the keep-smallest-id convention."""
+    from duckdb_raquet_spark.functions import multimodal as mm
+
+    docs = _webtext(spark, sf_dir).select("doc_id")
+    imgs = mm.synth_phash_column(docs, "doc_id", "img")
+    kept = mm.media_dedup(imgs, "doc_id", "img", kind="image", max_hamming=3)
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id")).orderBy("doc_id")
+
+
 def q_mm_video_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual video hash over REAL animated GIFs: per-frame 8x8
     aHash (integer-exact threshold) + bitwise majority across frames
@@ -2283,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_binary_stats": q_mm_binary_stats,
         "mm_video_avi": q_mm_video_avi,
         "mm_video_hash": q_mm_video_hash,
+        "mm_media_dedup": q_mm_media_dedup,
         "key_math": q_key_math,
         "ann_quantized": q_ann_quantized,
         "dedup_ngram": q_dedup_ngram,
@@ -2385,6 +2401,45 @@ _DSIR_SCORES_CTE = """
                 coalesce(s.n_grams, 0)::BIGINT AS n_grams,
                 coalesce(s.llr_bits, 0)::BIGINT AS llr_bits
               FROM d LEFT JOIN s USING (doc_id)
+            )"""
+
+
+# pHash fixture signature replay (final CTE: `s` = (doc_id, sig)):
+# XOR-mixed 8x8 pixel pattern -> integer-exact aHash threshold ->
+# two's-complement HUGEINT wrap; shared by the mm_phash_dup pair oracle
+# and the mm_media_dedup keep-first oracle
+_PHASH_SIG_CTE = """
+            WITH d AS (SELECT doc_id FROM documents),
+            cell AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 10 = 9
+                     THEN doc_id - 9 ELSE doc_id END AS src,
+                i
+              FROM d, UNNEST(range(0, 64)) AS r(i)
+            ), v AS (
+              SELECT doc_id, i,
+                CASE WHEN doc_id % 10 = 9 AND i = 0
+                  THEN (xor(src * 73856093::BIGINT, i * 19349663::BIGINT)
+                        % 251 + 128) % 251
+                  ELSE xor(src * 73856093::BIGINT, i * 19349663::BIGINT)
+                       % 251
+                END AS val
+              FROM cell
+            ), t AS (
+              SELECT doc_id, i, val,
+                     sum(val) OVER (PARTITION BY doc_id) AS total
+              FROM v
+            ), h AS (
+              SELECT doc_id,
+                sum(CASE WHEN val * 64 > total
+                    THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS hu
+              FROM t GROUP BY doc_id
+            ), s AS (
+              SELECT doc_id,
+                (CASE WHEN hu >= 9223372036854775808::HUGEINT
+                      THEN hu - 18446744073709551616::HUGEINT
+                      ELSE hu END)::BIGINT AS sig
+              FROM h
             )"""
 
 
@@ -2801,44 +2856,32 @@ def oracle_sql() -> dict[str, str]:
         # pattern, the integer-exact aHash (incl. the two's-complement
         # wrap into BIGINT) and the ALL-PAIRS popcount — exact, because
         # the Spark side's pigeonhole banding guarantees recall <= 3
-        "mm_phash_dup": """
-            WITH d AS (SELECT doc_id FROM documents),
-            cell AS (
-              SELECT doc_id,
-                CASE WHEN doc_id % 10 = 9
-                     THEN doc_id - 9 ELSE doc_id END AS src,
-                i
-              FROM d, UNNEST(range(0, 64)) AS r(i)
-            ), v AS (
-              SELECT doc_id, i,
-                CASE WHEN doc_id % 10 = 9 AND i = 0
-                  THEN (xor(src * 73856093::BIGINT, i * 19349663::BIGINT)
-                        % 251 + 128) % 251
-                  ELSE xor(src * 73856093::BIGINT, i * 19349663::BIGINT)
-                       % 251
-                END AS val
-              FROM cell
-            ), t AS (
-              SELECT doc_id, i, val,
-                     sum(val) OVER (PARTITION BY doc_id) AS total
-              FROM v
-            ), h AS (
-              SELECT doc_id,
-                sum(CASE WHEN val * 64 > total
-                    THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS hu
-              FROM t GROUP BY doc_id
-            ), s AS (
-              SELECT doc_id,
-                (CASE WHEN hu >= 9223372036854775808::HUGEINT
-                      THEN hu - 18446744073709551616::HUGEINT
-                      ELSE hu END)::BIGINT AS sig
-              FROM h
-            )
+        "mm_phash_dup": _PHASH_SIG_CTE + """
             SELECT a.doc_id AS a, b.doc_id AS b,
                    bit_count(xor(a.sig, b.sig))::INT AS hamming
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sig, b.sig)) <= 3
             ORDER BY a, b""",
+        # media_dedup application step: same signature replay, then the
+        # recursive transitive closure + keep-first convention (the
+        # dedup_minhash_filter oracle shape, over image signatures)
+        "mm_media_dedup": _PHASH_SIG_CTE.replace("WITH d AS", "WITH RECURSIVE d AS") + """
+            , p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sig, b.sig)) <= 3
+            ),
+            e AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+            walk(id, comp) AS (
+              SELECT x, x FROM (SELECT DISTINCT x FROM e)
+              UNION
+              SELECT e.y, walk.comp FROM e JOIN walk ON e.x = walk.id
+            ),
+            c AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+            drops AS (SELECT id FROM c WHERE id <> comp)
+            SELECT doc_id::BIGINT AS doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM drops)
+            ORDER BY doc_id""",
         # audio fingerprint near-dup: same exactness argument as
         # mm_phash_dup — the oracle replays the closed-form PCM, the
         # integer energy hash and the all-pairs popcount

@@ -879,6 +879,53 @@ def video_dup_pairs(
     return hamming_band_pairs(sig, "id", "vhash", max_hamming)
 
 
+def media_dedup(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    *,
+    kind: str = "image",
+    max_hamming: int = 3,
+    deterministic: bool = True,
+    on_error: str = "skip",
+) -> DataFrame:
+    """Keep-first FILTER over perceptual media near-dups — the
+    application step the pair primitives exist to feed (detection alone
+    never shrinks a corpus; the media twin of :func:`dedup.minhash_dedup`).
+
+    Composition: the kind's signature pairs (:func:`phash_pairs` /
+    :func:`audio_dup_pairs` / :func:`video_dup_pairs`, all on the shared
+    pigeonhole kernel) -> :func:`dedup.connected_components` (min-label
+    + pointer jumping) -> drop every row whose component label is not
+    its own id (keep-first = smallest id per near-dup cluster, the
+    library-wide convention). Rows whose payload failed to decode carry
+    no signature under ``on_error='skip'`` and are therefore always
+    KEPT — a corrupt file never silently deletes a document.
+
+    Plan at 10^12 rows: only 8-byte signatures shuffle; the drop list
+    holds one id per dropped duplicate and applies as a single
+    left-anti join (AQE broadcasts it at realistic dup rates). Returns
+    the kept rows of ``df`` (all original columns)."""
+    from .dedup import connected_components
+
+    pair_fn = {
+        "image": phash_pairs,
+        "audio": audio_dup_pairs,
+        "video": video_dup_pairs,
+    }.get(kind)
+    if pair_fn is None:
+        raise ValueError("kind must be 'image', 'audio' or 'video'")
+    pairs = pair_fn(
+        df, id_col, binary_col, max_hamming,
+        deterministic=deterministic, on_error=on_error,
+    )
+    comps = connected_components(pairs, "a", "b")
+    drops = comps.where(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("_drop_id")
+    )
+    return df.join(drops, df[id_col] == drops["_drop_id"], "left_anti")
+
+
 def synth_vhash_gif_bytes(key: int) -> bytes:
     """Closed-form 8x8 animated GIF for the video-hash oracle: n = 2 +
     key % 4 frames, pixel (k, y, x) = ``(key + 7k + 3y + 5x) mod 256``.

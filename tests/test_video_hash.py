@@ -92,3 +92,25 @@ def test_strict_majority_ties_clear():
     bits = cells * 64 > cells.sum(axis=1, keepdims=True)
     maj = 2 * bits.sum(axis=0) > 2
     assert not maj.any()
+
+
+def test_media_dedup_keeps_first_and_corrupt_rows(spark):
+    fr_a = _block_frames(11, 4)
+    fr_b = 255 - fr_a  # inverse pattern: every threshold bit flips
+    dup_a = avc.encode_avi(fr_a)        # ids 0, 1: exact dups
+    uniq = avc.encode_avi(fr_b)         # id 2: unique
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(dup_a)),
+            (1, bytearray(dup_a)),
+            (2, bytearray(uniq)),
+            (3, bytearray(b"not a video")),  # corrupt: must be KEPT
+        ],
+        "id long, v binary",
+    )
+    kept = mm.media_dedup(
+        df, "id", "v", kind="video", deterministic=False, on_error="skip"
+    )
+    assert sorted(r.id for r in kept.collect()) == [0, 2, 3]
+    with pytest.raises(ValueError):
+        mm.media_dedup(df, "id", "v", kind="gifs")
