@@ -640,6 +640,12 @@ def run_headline(sf_dir: str, cpus: int, rows: int) -> dict:
     ):
         timed(timings, name, lambda n=name: force(qs[n](spark, sf_dir)))
 
+    # ALP/BSS double round trip: pre-warm once so the row measures the
+    # steady-state block scan + double decode (the /tmp fixture encode
+    # is a one-time cost keyed by engine version, not a query cost)
+    force(qs["rt_alp"](spark, sf_dir))
+    timed(timings, "rt_alp", lambda: force(qs["rt_alp"](spark, sf_dir)))
+
     # NDV sketch over the bench's own encoded table (the ANALYZE decode
     # pass): one pruned url-column scan + distributed bottom-256
     timed(
