@@ -1036,6 +1036,7 @@ def build_minhash_index(
     k: int = 32,
     bands: int = 8,
     n: int = 3,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """The persisted FUZZY-dedup index row set: one narrow row per kept
     document — ``(_id, _hs, _bands)`` where ``_hs`` is the 64-bit
@@ -1046,11 +1047,24 @@ def build_minhash_index(
     the corpus already kept, append each batch's keepers after, and
     every future ingest deduplicates against the corpus WITHOUT
     re-reading or re-tokenizing any kept document."""
+    from pyspark import StorageLevel
+
     rows = k // bands
     hs = df.select(
         F.col(id_col).alias("_id"),
         hashed_shingles_col(text_col, n).alias("_hs"),
     )
+    if persist_shingles:
+        # Same persist minhash_lsh_pairs uses, for the same reason:
+        # without a materialization barrier CollapseProject inlines the
+        # tokenize+shingle expression into each of the k minhash
+        # columns, so every downstream evaluation of ``_bands``
+        # re-tokenizes the text k times (measured 46 s -> 3 s on the
+        # sf0.1 candidate join). The ContextCleaner drops the cached
+        # blocks once the plan is unreferenced; an index that is
+        # WRITTEN to parquet (the production path) materializes these
+        # columns anyway and never re-derives them.
+        hs = hs.persist(StorageLevel.MEMORY_AND_DISK)
     sig = hs.select("_id", "_hs", *minhash_cols_from_hashed(F.col("_hs"), k))
     return sig.select(
         "_id",
