@@ -481,6 +481,15 @@ def hamming_band_pairs(
             f"max_hamming={max_hamming} exceeds the 4-band pigeonhole "
             "guarantee (<= 3); use more bands"
         )
+    # Materialization barrier before the self-join: the broadcast build
+    # side is its own evaluation of the plan, so without it the
+    # signature computation runs TWICE — for the media callers
+    # (phash/audio/video pairs) that is the full mapInPandas decode of
+    # every payload, the most expensive stage there is. localCheckpoint
+    # (the pack_sequences convention) lets the ContextCleaner reclaim
+    # the blocks once the pair frame is dropped; signatures are ~16
+    # bytes/row, so the checkpoint is always tiny next to the inputs.
+    sig = sig.localCheckpoint(eager=False)
     bands = sig.select(
         F.col(id_col).alias("_id"),
         F.col(sig_col).alias("_sig"),
