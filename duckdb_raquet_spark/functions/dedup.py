@@ -605,6 +605,11 @@ def cosine_pairs(
         F.lead("_id").over(wo).alias("_next"),
         F.lead("_v").over(wo).alias("_nextv"),
     )
+    # referenced three times below (small x2 via the self-join's
+    # broadcast build side, pairs_big once) — without a barrier each
+    # reference re-runs the window shuffle+sort over the full vector
+    # column; the checkpoint runs it once (hamming_band_pairs rationale)
+    sized = sized.localCheckpoint(eager=False)
     small = sized.where(F.col("_n") <= max_group)
     pairs_small = (
         small.alias("a")
