@@ -2077,9 +2077,13 @@ def q_txt_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     framed-string order) is value-hash exact."""
     from duckdb_raquet_spark.functions import tokenizer as tk
 
-    docs = _read(spark, sf_dir, "documents").select(
-        tk.normalize_col("text").alias("norm")
-    )
+    # widen BEFORE the normalize projection: column pruning pushes only
+    # the raw text below the round-robin exchange, so the regex
+    # normalization runs post-shuffle on every core instead of on the
+    # small file's 1-2 scan splits (guide §2.5 input skew)
+    docs = textfn.spread_input(
+        _read(spark, sf_dir, "documents").select("text")
+    ).select(tk.normalize_col("text").alias("norm"))
     merges = tk.learn_bpe(docs, "norm", n_merges=6)
     return spark.createDataFrame(
         [

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .text import tokens_col
+from .text import let_col, spread_input, tokens_col
 
 __all__ = [
     "pack_sequences",
@@ -140,9 +140,11 @@ def pack_sequences(
     # drops the returned DataFrame, while an explicit persist() would
     # pin them in the cache manager for the whole session (nothing here
     # can unpersist after the caller's materialization).
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    toks = spread_input(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        )
     ).localCheckpoint(eager=False)
     lo, hi = toks.agg(F.min("id"), F.max("id")).first()
     if lo is None:
@@ -250,21 +252,31 @@ def chunk_dedup_filter(
     (ids >= 2^43 or docs over ~20M tokens) silently corrupted
     first-occurrence selection.
     """
-    toks = tokens_col(F.col(text_col))
+    toks = tokens_col(F.col("_txt"))
     n_chunks = F.floor(F.size(toks) / chunk_tokens).cast("int")
-    digests = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.md5(
-            F.array_join(F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " ").cast(
-                "binary"
-            )
+    # let-bound token array: per-chunk slices read it O(1) instead of
+    # re-running the split per chunk (text.let_col rationale)
+    digests = let_col(
+        toks,
+        lambda t: F.transform(
+            F.sequence(
+                F.lit(0), F.floor(F.size(t) / chunk_tokens).cast("int") - 1
+            ),
+            lambda i: F.md5(
+                F.array_join(
+                    F.slice(t, i * chunk_tokens + 1, chunk_tokens), " "
+                ).cast("binary")
+            ),
         ),
     )
     # guard: sequence(0, -1) is DESCENDING in Spark, so n_chunks == 0
     # must yield NULL (explode drops it), not a bogus [0, -1] pair
     occ = (
-        df.select(
-            F.col(id_col).alias("id"),
+        spread_input(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        )
+        .select(
+            "id",
             F.when(n_chunks > 0, digests).alias("_d"),
         )
         .select(

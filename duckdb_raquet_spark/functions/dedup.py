@@ -21,7 +21,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens_col
+from .text import let_col, sliding_ngrams_col, spread_input, tokens_col
 
 # deterministic MinHash permutation parameters (public xxhash-based
 # affine family; seeds fixed so signatures are reproducible). The
@@ -41,14 +41,13 @@ def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def shingles_col(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct), single-space tokenization."""
+    """Word n-gram shingles (distinct), single-space tokenization.
+    Shifted-slice zip construction (text.sliding_ngrams_col): O(n·len)
+    per row vs the transform(sequence)+slice shape whose lambda
+    re-evaluates the tokenize split per window (O(len²))."""
     toks = tokens_col(text)
     size = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), size - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.when(size >= n, F.array_distinct(grams)).otherwise(
+    return F.when(size >= n, F.array_distinct(sliding_ngrams_col(toks, n))).otherwise(
         F.array_distinct(F.array(F.concat_ws(" ", toks)))
     )
 
@@ -203,18 +202,21 @@ def minhash_lsh_pairs(
     pathological buckets stay linear. The default is None (no cap, full
     pair-level recall) because chaining silently drops non-consecutive
     PAIRS in oversized buckets — pair-level consumers must opt in."""
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     rows = k // bands
-    hs = df.select(
-        F.col(id_col).alias("_id"),
-        hashed_shingles_col(text_col, n).alias("_hs"),
-    )
+    hs = spread_input(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    ).select("_id", hashed_shingles_col("_txt", n).alias("_hs"))
     if persist_shingles:
-        # reused below for verification; Spark's ContextCleaner drops the
-        # persisted blocks once the plan is unreferenced
-        hs = hs.persist(StorageLevel.MEMORY_AND_DISK)
+        # materialization barrier, reused below for verification.
+        # localCheckpoint (the pack_sequences convention), NOT persist():
+        # persist() pins blocks in the session CacheManager until an
+        # explicit unpersist()/clearCache(), so repeated pair sweeps in a
+        # long-lived session would accumulate shingle caches; checkpoint
+        # blocks are reclaimed by the ContextCleaner once the plan is
+        # unreferenced
+        hs = hs.localCheckpoint(eager=False)
     sig = hs.select("_id", *minhash_cols_from_hashed(F.col("_hs"), k))
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
@@ -321,18 +323,27 @@ def chunk_dedup(
     doc carrying a 32-hex digest (never the passage text), partial
     aggregation collapses repeats map-side. Returns
     (chunk_md5, keep_id, n_copies)."""
-    toks = tokens_col(F.col(text_col))
+    toks = tokens_col(F.col("_txt"))
     n_chunks = F.floor(F.size(toks) / chunk_tokens).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.md5(
-            F.array_join(
-                F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
-            ).cast("binary")
+    # let-bound token array: the per-chunk slices read it O(1) instead
+    # of re-running the split per chunk (text.let_col rationale)
+    chunks = let_col(
+        toks,
+        lambda t: F.transform(
+            F.sequence(
+                F.lit(0), F.floor(F.size(t) / chunk_tokens).cast("int") - 1
+            ),
+            lambda i: F.md5(
+                F.array_join(
+                    F.slice(t, i * chunk_tokens + 1, chunk_tokens), " "
+                ).cast("binary")
+            ),
         ),
     )
-    pairs = df.select(
-        F.col(id_col).alias("_id"),
+    pairs = spread_input(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    ).select(
+        "_id",
         F.explode(F.when(n_chunks > 0, chunks)).alias("chunk_md5"),
     )
     return (
@@ -376,11 +387,15 @@ def connected_components(
         e.select(F.col("y").alias("x"), F.col("x").alias("y"))
     ).distinct()
     edges = edges.persist()
+    # lazy checkpoints throughout the loop: each round's plan is
+    # truncated either way, but eager=True would spend one extra full
+    # job per round just to fill the checkpoint — the convergence count
+    # below materializes it inside the job it already runs
     labels = (
         edges.select(F.col("x").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         prop = (
@@ -401,7 +416,7 @@ def connected_components(
         new_labels = (
             merged.join(hop, merged.comp == hop._cid, "left")
             .select("id", F.coalesce("_cc", "comp").alias("comp"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -444,9 +459,11 @@ def simhash64(
     the per-bit majority — all shuffles are one groupBy on the id.
     With ``hasher='md5_60'`` bits 60-63 are constant-zero votes (every
     token votes -1), so the effective signature is 60 bits."""
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"),
+    toks = spread_input(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    ).select(
+        "_id",
+        F.explode(F.array_distinct(tokens_col("_txt"))).alias("tok"),
     ).withColumn("h", _token_hash_col(F.col("tok"), hasher))
     bit_sums = toks.groupBy("_id").agg(
         *[
@@ -555,6 +572,7 @@ def cosine_pairs(
     threshold: float,
     *,
     max_group: int | None = 1000,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Embedding near-duplicate pairs within a blocking group, exact
     double-precision cosine (zip_with + aggregate, JVM expressions).
@@ -580,6 +598,37 @@ def cosine_pairs(
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
     if max_group is None:
+        if salt_buckets > 1:
+            # low-cardinality blocking key (e.g. 8 quantizer clusters on
+            # 32+ cores): the plain group equi-join hashes to at most
+            # |groups| reduce tasks and the quadratic verify runs nearly
+            # serial. Salt one side by id hash, replicate the other
+            # across all salts (guide §2.5): every (a, b) pair still
+            # meets exactly once — at b's replica matching a's salt — so
+            # the pair set is identical, but the work spreads over
+            # |groups| × salt_buckets keys.
+            sa = v.withColumn(
+                "_s", F.pmod(F.xxhash64("_id"), F.lit(int(salt_buckets)))
+            )
+            sb = v.withColumn(
+                "_s",
+                F.explode(F.sequence(F.lit(0), F.lit(int(salt_buckets) - 1))),
+            )
+            pairs = (
+                sa.alias("a")
+                .join(
+                    sb.alias("b"),
+                    (F.col("a._g") == F.col("b._g"))
+                    & (F.col("a._s") == F.col("b._s"))
+                    & (F.col("a._id") < F.col("b._id")),
+                )
+                .select(
+                    F.col("a._id").alias("a"),
+                    F.col("b._id").alias("b"),
+                    cosine_col(F.col("a._v"), F.col("b._v")).alias("cos"),
+                )
+            )
+            return pairs.where(F.col("cos") >= threshold)
         pairs = (
             v.alias("a")
             .join(
@@ -686,13 +735,22 @@ def semantic_dedup(
         centroids = sim.ivf_kmeans_centroids(
             df, id_col, vec_col, n_centroids, seed=seed
         )
-    assigned = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        sim.ivf_assign_col(F.col(vec_col), centroids).alias("cluster_id"),
+    assigned = spread_input(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            sim.ivf_assign_col(F.col(vec_col), centroids).alias("cluster_id"),
+        )
     ).localCheckpoint(eager=False)
+    # salt the within-cluster join when the quantizer has fewer clusters
+    # than the session has cores — otherwise the quadratic verify hashes
+    # to |clusters| reduce tasks and runs nearly serial (guide §2.5)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    n_clusters = max(1, len(centroids))
+    salt = max(1, (2 * par + n_clusters - 1) // n_clusters) if max_group is None else 1
     pairs = cosine_pairs(
-        assigned, "_id", "_v", "cluster_id", threshold, max_group=max_group
+        assigned, "_id", "_v", "cluster_id", threshold,
+        max_group=max_group, salt_buckets=salt,
     )
     drops = pairs.select(F.col("b").alias("_id")).distinct().withColumn(
         "_dup", F.lit(True)
@@ -751,9 +809,13 @@ def line_dedup(
     # (localCheckpoint): both the hot-line count and the removal-list
     # semi-join read it — without it each would re-split and re-digest
     # the full text column
-    lines = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(text, "\n")).alias("_pos", "_line"),
+    lines = spread_input(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("_txt"),
+        )
+    ).select(
+        "_id", F.posexplode(F.split("_txt", "\n")).alias("_pos", "_line")
     ).select("_id", "_pos", *exact_digest_cols("_line")).localCheckpoint(
         eager=False
     )
@@ -817,21 +879,26 @@ def repeated_spans(
     ``(id, span_start, span_end, n_windows)`` — token offsets, 0-based
     start, exclusive end. Docs with no duplicated window emit no row.
     """
-    toks = tokens_col(F.col(text_col))
+    toks = tokens_col(F.col("_txt"))
     lw = int(min_tokens)
     n_win = F.size(toks) - lw + 1
-    digs = F.transform(
-        # sequence(0, -1) is DESCENDING in Spark: gate on n_win > 0
-        F.sequence(F.lit(0), n_win - 1),
-        lambda i: F.md5(
-            F.array_join(F.slice(toks, i + 1, lw), " ").cast("binary")
+    # let-bound token array: each stride-1 window slices it O(lw)
+    # instead of re-running the split per window (text.let_col)
+    digs = let_col(
+        toks,
+        lambda t: F.transform(
+            # sequence(0, -1) is DESCENDING in Spark: gate on n_win > 0
+            F.sequence(F.lit(0), F.size(t) - lw),
+            lambda i: F.md5(
+                F.array_join(F.slice(t, i + 1, lw), " ").cast("binary")
+            ),
         ),
     )
     occ = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.when(n_win > 0, digs).alias("_d"),
+        spread_input(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
         )
+        .select("id", F.when(n_win > 0, digs).alias("_d"))
         .select("id", F.posexplode("_d").alias("pos", "_w"))
         .withColumn(
             "_occ",
@@ -1061,24 +1128,27 @@ def build_minhash_index(
     the corpus already kept, append each batch's keepers after, and
     every future ingest deduplicates against the corpus WITHOUT
     re-reading or re-tokenizing any kept document."""
-    from pyspark import StorageLevel
-
     rows = k // bands
-    hs = df.select(
-        F.col(id_col).alias("_id"),
-        hashed_shingles_col(text_col, n).alias("_hs"),
-    )
+    hs = spread_input(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    ).select("_id", hashed_shingles_col("_txt", n).alias("_hs"))
     if persist_shingles:
-        # Same persist minhash_lsh_pairs uses, for the same reason:
+        # Same barrier minhash_lsh_pairs uses, for the same reason:
         # without a materialization barrier CollapseProject inlines the
         # tokenize+shingle expression into each of the k minhash
         # columns, so every downstream evaluation of ``_bands``
         # re-tokenizes the text k times (measured 46 s -> 3 s on the
-        # sf0.1 candidate join). The ContextCleaner drops the cached
-        # blocks once the plan is unreferenced; an index that is
-        # WRITTEN to parquet (the production path) materializes these
-        # columns anyway and never re-derives them.
-        hs = hs.persist(StorageLevel.MEMORY_AND_DISK)
+        # sf0.1 candidate join). localCheckpoint, NOT persist(): the
+        # CacheManager holds persisted blocks until unpersist()/
+        # clearCache(), so on-the-fly index builds in a long-lived
+        # session would leak shingle caches — checkpoint blocks are
+        # reclaimed by the ContextCleaner once the plan is
+        # unreferenced. An index WRITTEN to parquet (the production
+        # path) materializes these columns anyway. Callers that provide
+        # their own barrier (incremental_minhash_dedup's outer
+        # checkpoint) pass ``persist_shingles=False`` to avoid holding
+        # the shingle payload twice.
+        hs = hs.localCheckpoint(eager=False)
     sig = hs.select("_id", "_hs", *minhash_cols_from_hashed(F.col("_hs"), k))
     return sig.select(
         "_id",
@@ -1180,16 +1250,23 @@ def incremental_minhash_dedup(
     Returns the kept delta rows (all original columns), or
     ``(kept, kept_index)`` with ``return_kept_index=True``.
     """
-    from pyspark import StorageLevel
-
+    # one barrier per side (ADVICE r5): the outer checkpoints below are
+    # the single materialization of each on-the-fly index — the inner
+    # shingle barrier (persist_shingles) would hold the same _hs arrays
+    # a second time with no reuse benefit, since the index rows are the
+    # only thing read downstream
     idx_b = (
         base
         if base_is_index
-        else build_minhash_index(base, id_col, text_col, k=k, bands=bands, n=n)
+        else build_minhash_index(
+            base, id_col, text_col, k=k, bands=bands, n=n,
+            persist_shingles=False,
+        ).localCheckpoint(eager=False)
     )
     idx_d = build_minhash_index(
-        delta, id_col, text_col, k=k, bands=bands, n=n
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        delta, id_col, text_col, k=k, bands=bands, n=n,
+        persist_shingles=False,
+    ).localCheckpoint(eager=False)
     bd = _index_buckets(idx_d)
     bb = _index_buckets(idx_b)
     raw_db = bd.alias("x").join(

@@ -36,6 +36,54 @@ def tokens_col(text: Column | str, sep: str = SPACE) -> Column:
     return F.split(F.col(text) if isinstance(text, str) else text, sep)
 
 
+def let_col(value: Column, body) -> Column:
+    """Evaluate ``value`` once per row and pass the result to ``body`` —
+    the missing ``let`` for Column expressions. A higher-order-function
+    lambda re-evaluates any non-attribute subexpression it references
+    once PER ELEMENT (``transform(sequence(...), i -> slice(toks, ...))``
+    re-runs the whole tokenize split per window — O(len²) per row);
+    binding the value as a one-element transform's lambda variable makes
+    every reference inside ``body`` an O(1) variable read. NULL in,
+    body(NULL) out — identical semantics to inlining, by construction."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def sliding_ngrams_col(toks: Column, n: int, sep: str = SPACE) -> Column:
+    """All length-``n`` sliding windows of a (non-null-element) string
+    array, joined with ``sep``, order preserved. Built as ``n`` shifted
+    slices zipped elementwise — O(n·len) — instead of the
+    transform(sequence)+slice shape, whose lambda re-evaluates the token
+    array expression per window (O(len²) per row). Every slice has
+    exactly ``size - n + 1`` elements for j in 1..n, so zip_with never
+    pads. Callers must guard ``size(toks) >= n``."""
+    m = F.size(toks) - (n - 1)
+    acc = F.slice(toks, 1, m)
+    for j in range(2, n + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j, m),
+            lambda a, b: F.concat(a, F.lit(sep), b),
+        )
+    return acc
+
+
+def spread_input(df: DataFrame) -> DataFrame:
+    """Widen a narrow input to the session's default parallelism before
+    per-row-heavy expression work (guide §2.5 input skew: a few-MB
+    parquet file arrives as one or two scan splits, pinning a whole
+    tokenize/hash pass to 1-2 cores of the cluster). No-op when the scan
+    is already at least that wide — the at-scale case, where inputs
+    arrive with thousands of splits — so the extra round-robin exchange
+    exists only when it buys parallelism. Callers project to the narrow
+    (id, text) shape first so the shuffle never carries decoded
+    payloads."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def token_count_col(text: Column | str) -> Column:
     return F.size(tokens_col(text))
 
@@ -102,22 +150,31 @@ def fingerprint_rolling_md5_col(text: Column | str, window: int = 8) -> Column:
     min over sliding token-window hashes, where the window hash is the
     top 60 bits of md5 — computable bit-identically in any ANSI engine
     (same trick as the md5_60 SimHash hasher), so the sketch is
-    oracle-verifiable. Pure Column expressions."""
-    toks = tokens_col(text)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(F.encode(F.concat_ws(" ", F.slice(toks, i + 1, window)), "UTF-8")),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
+    oracle-verifiable. Pure Column expressions. The token array is
+    let-bound so the sliding windows read it O(1) per window instead of
+    re-running the split per window (O(len²) per row)."""
+    return let_col(
+        tokens_col(text),
+        lambda t: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(t) - window, F.lit(0))),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.encode(
+                                F.concat_ws(" ", F.slice(t, i + 1, window)),
+                                "UTF-8",
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
     )
-    return F.array_min(grams)
 
 
 def fingerprint_md5_col(text: Column | str) -> Column:
@@ -128,14 +185,17 @@ def fingerprint_md5_col(text: Column | str) -> Column:
 def fingerprint_rolling_col(text: Column | str, window: int = 8) -> Column:
     """Rolling polynomial fingerprint: min of rolling hashes over token
     windows (winnowing-style document sketch). Pure Column expression:
-    xxhash64 over sliding token n-grams, take the minimum."""
-    toks = tokens_col(text)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+    xxhash64 over sliding token n-grams, take the minimum. Token array
+    let-bound (same O(len) rationale as the md5 variant)."""
+    return let_col(
+        tokens_col(text),
+        lambda t: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(t) - window, F.lit(0))),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i + 1, window))),
+            )
+        ),
     )
-    return F.array_min(grams)
 
 
 def langid_udf():
@@ -251,10 +311,12 @@ def unigram_logprob_scores(
     counts (equi-join; AQE broadcasts the vocab when small) and
     aggregate per doc. Returns (id, n_tokens, mean_rarity_bits)."""
     doc_tok = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(tokens_col(text_col)).alias("_tok"),
+        spread_input(
+            df.select(
+                F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
+            )
         )
+        .select("_id", F.explode(tokens_col("_txt")).alias("_tok"))
         .groupBy("_id", "_tok")
         .agg(F.count("*").alias("_n"))
     )
@@ -318,17 +380,23 @@ def bigram_logprob_scores(
     Returns one row per document with >= 2 tokens:
     ``(id, n_bigrams, mean_rarity_bits)``.
     """
-    toks = df.select(
-        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_t")
-    ).where(F.size("_t") >= 2)
-    # sequence(1, size-1) needs size >= 2: Spark's sequence(1, 0) is a
-    # DESCENDING [1, 0], not empty — hence the filter above
+    toks = spread_input(
+        df.select(
+            F.col(id_col).alias("_id"), tokens_col(text_col).alias("_t")
+        ).where(F.size("_t") >= 2)
+    )
+    # adjacent pairs as two shifted slices zipped elementwise (the
+    # size >= 2 filter above guarantees positive slice lengths);
+    # same (prev, cur) structs as the per-index transform(sequence)
+    # construction but O(len) per row instead of O(len²)
+    m = F.size("_t") - 1
     pairs = toks.select(
         "_id",
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(_t) - 1), "
-                "i -> struct(_t[i-1] AS prev, _t[i] AS cur))"
+            F.zip_with(
+                F.slice("_t", 1, m),
+                F.slice("_t", 2, m),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
             )
         ).alias("_p"),
     ).select("_id", F.col("_p.prev").alias("_prev"), F.col("_p.cur").alias("_cur"))
@@ -372,9 +440,8 @@ def ngram_col(text: Column | str, n: int = 5) -> Column:
     WITH duplicates — boilerplate detection counts occurrences."""
     toks = tokens_col(text)
     size = F.size(toks)
-    idx = F.sequence(F.lit(1), size - (n - 1))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), SPACE))
-    # Spark's sequence DESCENDS when start > stop: guard short docs
+    grams = sliding_ngrams_col(toks, n)
+    # guard short docs (slice of non-positive length is an error)
     return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
@@ -519,12 +586,12 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     per-token quality scores miss. Exact integer counts; the final
     fractions are single double divisions, cross-engine stable."""
     toks = tokens_col(text_col)
-    base = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
-    grams = F.expr(
-        "CASE WHEN size(_t) < 2 THEN array() "
-        "ELSE transform(sequence(0, size(_t) - 2), "
-        "j -> concat(_t[j], ' ', _t[j + 1])) END"
-    )
+    base = spread_input(df.select(F.col(id_col).alias("id"), toks.alias("_t")))
+    # adjacent 2-grams via shifted-slice zip (O(len) per row; identical
+    # strings to the per-index transform(sequence) construction)
+    grams = F.when(
+        F.size("_t") >= 2, sliding_ngrams_col(F.col("_t"), 2)
+    ).otherwise(F.array().cast("array<string>"))
     ex = base.select("id", F.explode(grams).alias("_g"))
     per = (
         ex.groupBy("id", "_g")
@@ -577,9 +644,11 @@ def ngram_decontaminate(
             ngram_col(eval_text_col or text_col, n)
         ).alias("_g")
     ).where(F.col("_g").isNotNull()).distinct()
-    grams = df.select(
-        F.col(id_col).alias("id"), ngram_col(text_col, n).alias("_gs")
-    ).select("id", F.explode("_gs").alias("_g"))
+    grams = spread_input(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+    ).select("id", ngram_col("_txt", n).alias("_gs")).select(
+        "id", F.explode("_gs").alias("_g")
+    )
     hits = (
         grams.join(F.broadcast(ev), "_g")
         .groupBy("id")
@@ -627,8 +696,6 @@ def fuzzy_decontaminate(
     operating point for a contamination screen where a missed hit is a
     leaked benchmark.
     """
-    from pyspark import StorageLevel
-
     from .dedup import (
         hashed_shingles_col,
         jaccard_col,
@@ -640,9 +707,15 @@ def fuzzy_decontaminate(
     rows = k // bands
     ev_txt = F.col(eval_text_col or text_col)
 
-    tr = df.select(
-        F.col(id_col).alias("_id"), hashed_shingles_col(text_col, n).alias("_hs")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint barriers, not persist(): reclaimed by the
+    # ContextCleaner once the result frame is dropped (a persist would
+    # pin the shingle arrays in the session CacheManager until an
+    # explicit unpersist)
+    tr = spread_input(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    ).select(
+        "_id", hashed_shingles_col("_txt", n).alias("_hs")
+    ).localCheckpoint(eager=False)
     # eval ids = text hash: deterministic, and identical eval docs
     # collapse (max/flag semantics are insensitive to eval multiplicity)
     ev = (
@@ -651,7 +724,7 @@ def fuzzy_decontaminate(
             hashed_shingles_col(ev_txt, n).alias("_ehs"),
         )
         .dropDuplicates(["_eid"])
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
 
     def _buckets(src: DataFrame, idc: str, hsc: str) -> DataFrame:
@@ -896,10 +969,12 @@ def tfidf_topk(
     top-k window partitions by doc id, bounded by the doc's own
     distinct-term count."""
     base = df.where(F.col(id_col).isNotNull())
-    toks = base.select(
-        F.col(id_col).alias("id"),
+    toks = spread_input(
+        base.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+    ).select(
+        "id",
         F.explode(
-            F.filter(tokens_col(text_col), lambda w: w != F.lit(""))
+            F.filter(tokens_col("_txt"), lambda w: w != F.lit(""))
         ).alias("term"),
     )
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
@@ -980,9 +1055,18 @@ def perplexity_buckets(
         F.lit(0).cast("long").alias("rank"),
         F.lit(0).cast("int").alias("tile"),
     ).limit(0)
+    # scale-adaptive bucket count: ranks are independent of partition
+    # boundaries (any contiguous split of the total order composes to
+    # the same global rank), so the bucket count is purely a
+    # parallelism/driver-state knob — cap it at a small multiple of the
+    # session's cores instead of paying 1024 range partitions (plus the
+    # range sampler over them) on a session 32 wide; ``n_buckets``
+    # remains the upper bound on driver state at any scale
+    par = df.sparkSession.sparkContext.defaultParallelism
+    nb = max(1, min(int(n_buckets), 4 * par))
     ranged = (
         s.repartitionByRange(
-            n_buckets, F.col("mean_rarity_bits").asc(), F.col("id").asc()
+            nb, F.col("mean_rarity_bits").asc(), F.col("id").asc()
         )
         .withColumn("_p", F.spark_partition_id().cast("long"))
         .localCheckpoint(eager=False)
@@ -1082,15 +1166,13 @@ def dsir_scores(
     base = df.select(
         F.col(id_col).alias("id"), F.col(target_col).cast("boolean").alias("_t")
     )
-    t = F.filter(tokens_col(text_col), lambda w: w != F.lit(""))
+    t = F.filter(tokens_col("_txt"), lambda w: w != F.lit(""))
     n = F.size(t)
-    grams = F.transform(
-        # NULL when < 2 tokens: sequence(1, 0) would be descending
-        F.when(n >= 2, F.sequence(F.lit(1), n - 1)),
-        lambda i: F.concat(
-            F.element_at(t, i), F.lit(" "), F.element_at(t, i + F.lit(1))
-        ),
-    )
+    # adjacent-pair grams as two shifted slices zipped elementwise —
+    # NULL when < 2 tokens (explode drops it), identical strings to the
+    # per-index element_at construction but O(len) per row instead of
+    # O(len²) (see sliding_ngrams_col)
+    grams = F.when(n >= 2, sliding_ngrams_col(t, 2))
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("long"),
         F.lit(int(n_buckets)),
@@ -1101,11 +1183,14 @@ def dsir_scores(
     # without the checkpoint each would re-tokenize the full text
     # column — three corpus scans instead of one
     pairs = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(target_col).cast("boolean").alias("_t"),
-            F.explode(grams).alias("_g"),
+        spread_input(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(target_col).cast("boolean").alias("_t"),
+                F.col(text_col).alias("_txt"),
+            )
         )
+        .select("id", "_t", F.explode(grams).alias("_g"))
         .select("id", "_t", bucket.alias("_b"))
         .groupBy("id", "_t", "_b")
         .agg(F.count(F.lit(1)).alias("_c"))

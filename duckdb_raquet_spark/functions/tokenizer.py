@@ -32,7 +32,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .text import tokens_col
+from .text import spread_input, tokens_col
 
 __all__ = [
     "SYM_OPEN",
@@ -62,9 +62,9 @@ def _encode_word(word: Column) -> Column:
 
 
 def _word_freq(df: DataFrame, text_col: str) -> DataFrame:
-    words = df.select(
+    words = spread_input(df.select(F.col(text_col).alias("_txt"))).select(
         F.explode(
-            F.filter(tokens_col(text_col), lambda w: w != F.lit(""))
+            F.filter(tokens_col("_txt"), lambda w: w != F.lit(""))
         ).alias("_w")
     )
     return (
@@ -81,10 +81,15 @@ def _pairs_col(enc: Column) -> Column:
     i in [2, n-1] — NULL (dropped by explode) below two symbols."""
     syms = F.split(enc, SYM_OPEN)
     n = F.size(syms)
-    return F.transform(
-        F.when(n >= 3, F.sequence(F.lit(2), n - 1)),
-        lambda i: F.concat(
-            F.element_at(syms, i), F.element_at(syms, i + F.lit(1))
+    # adjacent symbol pairs via shifted-slice zip (elements 2..n-1
+    # zipped with 3..n, both length n-2) — O(len) per word vs the
+    # per-index element_at shape that re-runs the split per element
+    return F.when(
+        n >= 3,
+        F.zip_with(
+            F.slice(syms, 2, n - 2),
+            F.slice(syms, 3, n - 2),
+            lambda a, b: F.concat(a, b),
         ),
     )
 
@@ -110,7 +115,11 @@ def learn_bpe(
     round (``localCheckpoint``) so the plan does not deepen with the
     number of rounds.
     """
-    words = _word_freq(df, text_col).localCheckpoint(eager=True)
+    # lazy checkpoints: each round's replace-projection materializes
+    # inside the SAME job as that round's argmax collect (eager=True
+    # spent one extra full job per round just to fill the checkpoint);
+    # lineage is still truncated, so plans stay shallow either way
+    words = _word_freq(df, text_col).localCheckpoint(eager=False)
     merges: list[dict] = []
     for rank in range(int(n_merges)):
         top = (
@@ -140,7 +149,7 @@ def learn_bpe(
         words = words.select(
             F.replace(F.col("enc"), F.lit(src), F.lit(dst)).alias("enc"),
             "freq",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges
 
 
