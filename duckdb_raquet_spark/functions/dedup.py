@@ -166,6 +166,75 @@ def minhash_cols_from_hashed(hashed: Column, k: int = 32) -> list[Column]:
     return out
 
 
+_HOT_BUCKET = 64  # bucket size above which all-pairs generation is salted
+
+
+def _self_pairs_skew_safe(
+    rows: DataFrame,
+    key_cols: list[str],
+    *,
+    id_col: str = "_id",
+    salts: int | None = None,
+) -> DataFrame:
+    """All ``(a, b)`` pairs with ``a < b`` within each key group — the
+    EXACT pair multiset of the plain self-equi-join, made straggler-safe
+    (guide §2.5 skew). A group of B rows emits B(B-1)/2 pairs, and the
+    naive self-join computes every one of them inside the single task
+    that owns the group's key — one boilerplate bucket (mirrored pages,
+    a mass-duplicated page family) serializes the whole stage, the one
+    quadratic hazard of LSH banding. AQE's skew-join splitting cannot
+    see it: the INPUT rows of a hot bucket are a few KB (far below
+    ``skewedPartitionThresholdInBytes``); it is the join's OUTPUT that
+    explodes.
+
+    Groups are sized with one window pass (checkpointed — it is also
+    the single materialization of whatever pipeline feeds ``rows``);
+    groups <= ``_HOT_BUCKET`` keep the plain join, larger ones join a
+    salted left side against an S-way replicated right side: every
+    (a, b) pair still meets exactly once — at b's replica matching a's
+    salt — so the pair set is unchanged; only task placement changes.
+    S derives from the session's parallelism (scale-adaptive, not a
+    local-mode constant); replication touches only hot-bucket rows."""
+    from pyspark.sql import Window
+
+    s = int(salts) if salts else max(
+        2, rows.sparkSession.sparkContext.defaultParallelism
+    )
+    w = Window.partitionBy(*key_cols)
+    sized = rows.select(
+        id_col, *key_cols, F.count(F.lit(1)).over(w).alias("_n")
+    ).localCheckpoint(eager=False)
+    eq = None
+    for kc in key_cols:
+        c = F.col(f"x.{kc}") == F.col(f"y.{kc}")
+        eq = c if eq is None else (eq & c)
+    lt = F.col(f"x.{id_col}") < F.col(f"y.{id_col}")
+    small = sized.where(F.col("_n") <= _HOT_BUCKET)
+    pairs_small = (
+        small.alias("x")
+        .join(small.alias("y"), eq & lt)
+        .select(
+            F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
+        )
+    )
+    big = sized.where(F.col("_n") > _HOT_BUCKET)
+    bx = big.withColumn("_s", F.pmod(F.xxhash64(id_col), F.lit(s)))
+    by = big.withColumn(
+        "_s",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(s - 1).cast("long"))
+        ),
+    )
+    pairs_big = (
+        bx.alias("x")
+        .join(by.alias("y"), eq & (F.col("x._s") == F.col("y._s")) & lt)
+        .select(
+            F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
+        )
+    )
+    return pairs_small.unionByName(pairs_big)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -237,20 +306,12 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("_id", "bk.band", "bk.h")
     if max_bucket is None:
-        cand = (
-            buckets.alias("x")
-            .join(
-                buckets.alias("y"),
-                (F.col("x.band") == F.col("y.band"))
-                & (F.col("x.h") == F.col("y.h"))
-                & (F.col("x._id") < F.col("y._id")),
-            )
-            .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
-            .distinct()
-        )
+        cand = _self_pairs_skew_safe(buckets, ["band", "h"]).distinct()
     else:
         # one exchange on (band, h) computes both the bucket size and the
-        # next-id chain; the split below reuses it
+        # next-id chain; the split below reuses it. Checkpoint barrier:
+        # small feeds both self-join sides and pairs_big a third read —
+        # without it each re-runs the signature pipeline over the corpus
         w = Window.partitionBy("band", "h")
         wo = w.orderBy("_id")
         sized = buckets.select(
@@ -259,7 +320,7 @@ def minhash_lsh_pairs(
             "h",
             F.count("*").over(w).alias("_n"),
             F.lead("_id").over(wo).alias("_next"),
-        )
+        ).localCheckpoint(eager=False)
         small = sized.where(F.col("_n") <= max_bucket)
         pairs_small = (
             small.alias("x")
@@ -276,6 +337,11 @@ def minhash_lsh_pairs(
             .select(F.col("_id").alias("a"), F.col("_next").alias("b"))
         )
         cand = pairs_small.unionByName(pairs_big).distinct()
+    # candidate-pair barrier: the frame is read three times below (both
+    # arms of the ids union and the verification spine) — without it
+    # the bucket join + distinct run three times (measured as duplicate
+    # 128/256-task stages)
+    cand = cand.localCheckpoint(eager=False)
     # verify only the candidate ids against the PERSISTED hashed-shingle
     # arrays: the semi-join (AQE-broadcast for realistic candidate
     # counts) prunes before the join, so non-candidate documents neither
@@ -353,6 +419,23 @@ def chunk_dedup(
     )
 
 
+def _graph_partitions(df: DataFrame, n_edges: int) -> int:
+    """Scale-adaptive partition count for the component loop's tiny
+    iterative frames (guide §2: derive partitioning from input size,
+    not a constant tuned to either local mode or the cluster). The
+    session default (``spark.sql.shuffle.partitions``) is sized for the
+    corpus-wide scans; the label/edge frames are a few bytes per
+    near-dup PAIR — orders of magnitude smaller — and every round runs
+    several exchanges over them, so at the default width the loop's
+    wall is pure task-launch overhead (measured: 45 stages × 64-256
+    tasks for a 5k-edge graph, ~8 s of almost-no-work stages at sf1.0).
+    ~100k edge rows per partition keeps partitions real; the session
+    default stays the ceiling so a 10^12-edge graph still uses the
+    full cluster."""
+    default = df.sparkSession.sparkContext.defaultParallelism
+    return max(1, min(default, n_edges // 100_000 + 1))
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",
@@ -382,52 +465,75 @@ def connected_components(
     ``localCheckpoint`` truncates lineage so round N's plan does not
     replay rounds 1..N-1. Raises after ``max_iter`` rounds rather
     than silently returning unconverged labels."""
+    spark = pairs.sparkSession
     e = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
     edges = e.unionByName(
         e.select(F.col("y").alias("x"), F.col("x").alias("y"))
     ).distinct()
     edges = edges.persist()
+    # materialize the edge set ONCE at the session's corpus-sized width
+    # (the distinct over the input pairs is the only corpus-scale step
+    # here); the count both fills the persist and sizes the loop
+    n_edges = edges.count()
+    np_ = _graph_partitions(edges, n_edges)
+    # the loop's frames are tiny (bytes per near-dup pair), but every
+    # round plans 3-4 exchanges; at the session-default shuffle width
+    # those are launch-overhead stages (64-256 near-empty tasks each).
+    # Plan the loop's ACTIONS at the edge-derived width instead —
+    # scale-adaptive, ceiling = the session default, restored after.
+    conf = spark.conf
+    prev_parts = conf.get("spark.sql.shuffle.partitions")
     # lazy checkpoints throughout the loop: each round's plan is
     # truncated either way, but eager=True would spend one extra full
-    # job per round just to fill the checkpoint — the convergence count
-    # below materializes it inside the job it already runs
-    labels = (
-        edges.select(F.col("x").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("comp"))
-        .localCheckpoint(eager=False)
-    )
-    for _ in range(max_iter):
-        prop = (
-            edges.join(labels, edges.x == labels.id)
-            .select(F.col("y").alias("id"), F.col("comp"))
-        )
-        merged = (
-            labels.unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-        )
-        # pointer jump: comp <- comp(comp). Labels are node ids and
-        # only ever decrease, so comp(comp) <= comp and the left join
-        # always finds a row (every label is itself a labeled node).
-        hop = merged.select(
-            F.col("id").alias("_cid"), F.col("comp").alias("_cc")
-        )
-        new_labels = (
-            merged.join(hop, merged.comp == hop._cid, "left")
-            .select("id", F.coalesce("_cc", "comp").alias("comp"))
+    # job per round just to fill the checkpoint — the convergence
+    # aggregate below materializes it inside the job it already runs
+    try:
+        conf.set("spark.sql.shuffle.partitions", str(np_))
+        labels = (
+            edges.select(F.col("x").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("comp"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            edges.unpersist()
-            return labels
+        for _ in range(max_iter):
+            # smallest neighbor label per node: every node appears as a
+            # ``y`` (edges are symmetric), so the inner join covers all
+            prop = (
+                edges.join(labels, edges.x == labels.id)
+                .groupBy(F.col("y").alias("id"))
+                .agg(F.min("comp").alias("_pc"))
+            )
+            merged = labels.join(prop, "id").select(
+                "id",
+                F.col("comp").alias("_old"),
+                F.least("comp", "_pc").alias("_m"),
+            )
+            # pointer jump: comp <- comp(comp). Labels are node ids and
+            # only ever decrease, so comp(comp) <= comp and the left
+            # join always finds a row (every label is a labeled node).
+            hop = merged.select(
+                F.col("id").alias("_cid"), F.col("_m").alias("_cc")
+            )
+            new_labels = (
+                merged.join(hop, merged._m == hop._cid, "left")
+                .select(
+                    "id", "_old", F.coalesce("_cc", "_m").alias("comp")
+                )
+                .localCheckpoint(eager=False)
+            )
+            # ONE action per round: the convergence aggregate runs over
+            # the frame that still carries the previous label, so it
+            # both fills the checkpoint and answers "done?" — the old
+            # shape ran a second join-and-count job per round
+            changed = new_labels.agg(
+                F.sum((F.col("comp") != F.col("_old")).cast("long"))
+            ).first()[0]
+            labels = new_labels.select("id", "comp")
+            if not changed:
+                edges.unpersist()
+                return labels
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev_parts)
     edges.unpersist()
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
@@ -509,7 +615,6 @@ def hamming_band_pairs(
     sig = sig.localCheckpoint(eager=False)
     bands = sig.select(
         F.col(id_col).alias("_id"),
-        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(
                 *[
@@ -523,26 +628,20 @@ def hamming_band_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("_id", "_sig", "bk.band", "bk.h")
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.h") == F.col("y.h"))
-            & (F.col("x._id") < F.col("y._id")),
-        )
-        .select(
-            F.col("x._id").alias("a"),
-            F.col("y._id").alias("b"),
-            F.col("x._sig").alias("sa"),
-            F.col("y._sig").alias("sb"),
-        )
-        .distinct()
-    )
+    ).select("_id", "bk.band", "bk.h")
+    # skew-safe all-pairs within each 16-bit band bucket (a family of
+    # identical signatures — N copies of one image — would otherwise
+    # serialize in the single task owning that bucket), then re-attach
+    # the two signatures from the checkpointed sig frame by id
+    cand = _self_pairs_skew_safe(bands, ["band", "h"]).distinct()
+    sa = sig.select(F.col(id_col).alias("a"), F.col(sig_col).alias("sa"))
+    sb = sig.select(F.col(id_col).alias("b"), F.col(sig_col).alias("sb"))
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return cand.select("a", "b", hamming.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
     )
 
 
@@ -1173,6 +1272,9 @@ def _verify_pairs(
     is semi-joined down to its candidate ids first so non-candidate
     documents neither shuffle nor re-tokenize (the minhash_lsh_pairs
     verification pattern, across two indexes)."""
+    # barrier: cand is read three times (two id projections + the join
+    # spine) — without it the candidate join runs three times
+    cand = cand.localCheckpoint(eager=False)
     la = left_idx.join(
         cand.select(F.col("a").alias("_id")).distinct(), "_id", "left_semi"
     ).select(F.col("_id").alias("a"), F.col("_hs").alias("_sha"))
@@ -1277,17 +1379,11 @@ def incremental_minhash_dedup(
         cand_db = raw_db.select(
             F.col("x._id").alias("a"), F.col("y._id").alias("b")
         ).distinct()
-        cand_dd = (
-            bd.alias("x")
-            .join(
-                bd.alias("y"),
-                (F.col("x.band") == F.col("y.band"))
-                & (F.col("x.h") == F.col("y.h"))
-                & (F.col("x._id") < F.col("y._id")),
-            )
-            .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
-            .distinct()
-        )
+        # skew-safe: a boilerplate band bucket inside the batch would
+        # otherwise serialize the all-pairs join in one task (§2.5);
+        # the delta x index join above is broadcast-bd (plan-audited),
+        # which has no key-skew straggler by construction
+        cand_dd = _self_pairs_skew_safe(bd, ["band", "h"]).distinct()
     else:
         from pyspark.sql import Window
 
@@ -1309,13 +1405,15 @@ def incremental_minhash_dedup(
         # chaining (component decisions unchanged, bucket cost linear)
         w = Window.partitionBy("band", "h")
         wo = w.orderBy("_id")
+        # checkpoint: small feeds both self-join sides and pairs_big a
+        # third read — one window pass instead of three
         sized = bd.select(
             "_id",
             "band",
             "h",
             F.count("*").over(w).alias("_n"),
             F.lead("_id").over(wo).alias("_next"),
-        )
+        ).localCheckpoint(eager=False)
         small = sized.where(F.col("_n") <= max_bucket)
         pairs_small = (
             small.alias("x")

@@ -1171,18 +1171,27 @@ def dsir_scores(
     # adjacent-pair grams as two shifted slices zipped elementwise —
     # NULL when < 2 tokens (explode drops it), identical strings to the
     # per-index element_at construction but O(len) per row instead of
-    # O(len²) (see sliding_ngrams_col)
-    grams = F.when(n >= 2, sliding_ngrams_col(t, 2))
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("long"),
+    # O(len²) (see sliding_ngrams_col); the md5 bucket is computed
+    # INSIDE the array so the explode emits longs, not gram strings
+    bucket_of = lambda g: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
         F.lit(int(n_buckets)),
     )
-    # narrow (id, is_target, bucket, count) projection materialized
-    # once (localCheckpoint, the pack_sequences convention): the model
-    # build, the totals aggregate and the scoring join all read it, and
-    # without the checkpoint each would re-tokenize the full text
-    # column — three corpus scans instead of one
-    pairs = (
+    bks = F.when(n >= 2, F.transform(sliding_ngrams_col(t, 2), bucket_of))
+    # narrow (id, is_target, bucket) gram rows materialized once
+    # (localCheckpoint, the pack_sequences convention): the model
+    # build, the totals and the scoring pass all read it, and without
+    # the checkpoint each would re-tokenize the full text column.
+    #
+    # No per-(id, bucket) pre-aggregation exchange: the r5 shape
+    # grouped on (id, _t, _b) before scoring to bound the model join's
+    # hot-bucket fan, but the model side is a broadcast (<= n_buckets
+    # rows) — gram rows never shuffle INTO the join at all, so that
+    # corpus-wide exchange bought nothing; the per-doc aggregate below
+    # collapses map-side exactly the same. One exchange (groupBy id)
+    # instead of two. Values are unchanged: sum_b cnt_b * w_b over
+    # grouped counts == sum over gram occurrences of w_bucket(gram).
+    rows = (
         spread_input(
             df.select(
                 F.col(id_col).alias("id"),
@@ -1190,37 +1199,33 @@ def dsir_scores(
                 F.col(text_col).alias("_txt"),
             )
         )
-        .select("id", "_t", F.explode(grams).alias("_g"))
-        .select("id", "_t", bucket.alias("_b"))
-        .groupBy("id", "_t", "_b")
-        .agg(F.count(F.lit(1)).alias("_c"))
+        .select("id", "_t", F.explode(bks).alias("_b"))
         .localCheckpoint(eager=False)
     )
-    model = pairs.groupBy("_b").agg(
-        F.sum(F.when(F.col("_t"), F.col("_c")).otherwise(F.lit(0))).alias("_tb"),
-        F.sum("_c").alias("_rb"),
+    model = rows.groupBy("_b").agg(
+        F.count(F.when(F.col("_t"), True)).alias("_tb"),
+        F.count(F.lit(1)).alias("_rb"),
     )
-    tot = model.agg(
-        F.sum("_tb").alias("_T"), F.sum("_rb").alias("_R")
-    ).first()
-    big_t, big_r = int(tot["_T"] or 0), int(tot["_R"] or 0)
+    # totals ride the plan as a 1-row broadcast (no mid-construction
+    # .first() job): bits(x+1) == length(bin(x+1)) for x >= 0 in any
+    # engine, the same integer-exact identity the Python bit_length
+    # path used
+    tot = model.agg(F.sum("_tb").alias("_gT"), F.sum("_rb").alias("_gR"))
 
     def _bits(c) -> Column:
         return F.length(F.conv(c.cast("string"), 10, 2))
 
-    # bits(R+1) - bits(T+1): int.bit_length == length(bin(x)) for x >= 1
-    k_const = (big_r + 1).bit_length() - (big_t + 1).bit_length()
+    n_grams = F.count(F.lit(1))
+    k_const = _bits(F.first("_gR") + 1) - _bits(F.first("_gT") + 1)
     scored = (
-        pairs.join(F.broadcast(model), "_b")
+        rows.join(F.broadcast(model), "_b")
+        .crossJoin(F.broadcast(tot))
         .groupBy("id")
         .agg(
-            F.sum("_c").cast("long").alias("n_grams"),
+            n_grams.cast("long").alias("n_grams"),
             (
-                F.sum("_c") * F.lit(int(k_const))
-                + F.sum(
-                    F.col("_c")
-                    * (_bits(F.col("_tb") + 1) - _bits(F.col("_rb") + 1))
-                )
+                n_grams * k_const
+                + F.sum(_bits(F.col("_tb") + 1) - _bits(F.col("_rb") + 1))
             ).cast("long").alias("llr_bits"),
         )
     )

@@ -411,18 +411,23 @@ def main() -> None:
     )
     v_db = dedupfn._verify_pairs(cand_db, idx_d, idx_b, 0.5)
     p = formatted(v_db)
+    # r6: _verify_pairs checkpoints the candidate frame (it is read
+    # three times), so the candidate-generation subtree no longer
+    # appears inside v_db's plan — assert its pruned index read on the
+    # candidate frame's own plan, where it is visible
+    p_cand = formatted(cand_db)
     cand_schemas = re.findall(
         r"Location[^\n]*plan_audit_fidx[^\n]*\n(?:[^\n]*\n)*?[^\n]*ReadSchema: ([^\n]*)",
-        p,
+        p_cand,
     )
     sections.append(
         (
             "incremental_minhash_dedup (batch vs index)",
-            p,
+            p + "\n-- candidate generation subplan --\n" + p_cand,
             [
                 (
                     "index side never shuffled (batch bucket rows broadcast)",
-                    "BroadcastExchange" in p,
+                    "BroadcastExchange" in p_cand,
                 ),
                 (
                     "candidate generation reads only (_id,_bands) of the index",
@@ -430,7 +435,7 @@ def main() -> None:
                         "_bands" in s and "_hs" not in s for s in cand_schemas
                     ),
                 ),
-                ("no Python nodes", "EvalPython" not in p),
+                ("no Python nodes", "EvalPython" not in p and "EvalPython" not in p_cand),
             ],
         )
     )
