@@ -72,21 +72,35 @@ def _bucketed_prefix_sum(
     from pyspark.sql.window import Window
 
     bucketed = toks.withColumn("_b", bucket_col)
-    totals = {
-        r["_b"]: r["t"]
-        for r in bucketed.groupBy("_b").agg(F.sum("n_tokens").alias("t")).collect()
-    }
+    agg = bucketed.groupBy("_b").agg(
+        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("c")
+    ).collect()
+    totals = {r["_b"]: r["t"] for r in agg}
+    n_rows = sum(int(r["c"]) for r in agg)
     offsets, acc = [], 0
     for b in sorted(totals):
         offsets.append((int(b), acc))
         acc += int(totals[b])
     spark = toks.sparkSession
     off_df = spark.createDataFrame(offsets, "_b long, _boff long")
+    # the within-bucket window runs over one row per DOC (the narrow
+    # token-count frame) — size its exchange from the row count rather
+    # than the corpus-scan shuffle width (guide §2, scale-adaptive;
+    # ceiling = session default). Repartitioning by _b satisfies the
+    # window's required distribution, so no second exchange is planned.
+    np_ = max(
+        1,
+        min(
+            toks.sparkSession.sparkContext.defaultParallelism,
+            n_rows // 100_000 + 1,
+        ),
+    )
     w = Window.partitionBy("_b").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, -1
     )
     return (
-        bucketed.join(F.broadcast(off_df), "_b")
+        bucketed.repartition(np_, "_b")
+        .join(F.broadcast(off_df), "_b")
         .withColumn(
             "tok_offset",
             (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("_boff")).cast(

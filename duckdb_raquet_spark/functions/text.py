@@ -310,6 +310,12 @@ def unigram_logprob_scores(
     (map-side partial combine); (3) join per-doc counts to vocab
     counts (equi-join; AQE broadcasts the vocab when small) and
     aggregate per doc. Returns (id, n_tokens, mean_rarity_bits)."""
+    # compact (doc, token, count) spine materialized once
+    # (localCheckpoint): the vocab-count subtree and the scoring join
+    # both read it, and the vocab side sits under a broadcast build
+    # where exchange reuse does not apply — without the barrier the
+    # corpus tokenize+explode runs twice (measured as duplicate
+    # 32-task scan stages)
     doc_tok = (
         spread_input(
             df.select(
@@ -319,6 +325,7 @@ def unigram_logprob_scores(
         .select("_id", F.explode(tokens_col("_txt")).alias("_tok"))
         .groupBy("_id", "_tok")
         .agg(F.count("*").alias("_n"))
+        .localCheckpoint(eager=False)
     )
     counts = doc_tok.groupBy("_tok").agg(F.sum("_n").alias("_c"))
     total = counts.agg(F.sum("_c").alias("_total"))
@@ -400,9 +407,13 @@ def bigram_logprob_scores(
             )
         ).alias("_p"),
     ).select("_id", F.col("_p.prev").alias("_prev"), F.col("_p.cur").alias("_cur"))
+    # compact per-doc bigram counts materialized once (localCheckpoint):
+    # the model subtrees (bg -> prefix -> vocab, all under broadcast
+    # builds) and the scoring spine otherwise each re-run the corpus
+    # tokenize+explode (unigram_logprob_scores rationale)
     doc_bg = pairs.groupBy("_id", "_prev", "_cur").agg(
         F.count("*").alias("_n")
-    )
+    ).localCheckpoint(eager=False)
     bg = doc_bg.groupBy("_prev", "_cur").agg(F.sum("_n").alias("_cb"))
     prefix = bg.groupBy("_prev").agg(F.sum("_cb").alias("_cp"))
     vocab = bg.agg(F.countDistinct("_cur").alias("_v"))
@@ -977,7 +988,14 @@ def tfidf_topk(
             F.filter(tokens_col("_txt"), lambda w: w != F.lit(""))
         ).alias("term"),
     )
-    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    # compact (doc, term, tf) spine materialized once (localCheckpoint):
+    # the df-count subtree sits under a broadcast build, so without the
+    # barrier the corpus tokenize+explode runs twice
+    tf = (
+        toks.groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     n_docs = base.select(F.col(id_col)).distinct().count()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     # bit_length(N div df) via base-2 string length — exact BIGINT

@@ -120,6 +120,29 @@ def learn_bpe(
     # spent one extra full job per round just to fill the checkpoint);
     # lineage is still truncated, so plans stay shallow either way
     words = _word_freq(df, text_col).localCheckpoint(eager=False)
+    # every round is a pair-count aggregate over the VOCABULARY, which
+    # Zipf collapses to a sliver of the corpus; plan the rounds at a
+    # vocab-derived shuffle width (ceiling = the session default, which
+    # is sized for corpus scans) instead of paying n_merges rounds of
+    # near-empty session-width exchanges (guide §2: derive partitioning
+    # from input size). The count also materializes the checkpoint.
+    spark = df.sparkSession
+    n_words = words.count()
+    np_ = max(1, min(spark.sparkContext.defaultParallelism, n_words // 100_000 + 1))
+    if words.rdd.getNumPartitions() > 4 * np_:
+        words = words.repartition(np_).localCheckpoint(eager=False)
+    conf = spark.conf
+    prev_parts = conf.get("spark.sql.shuffle.partitions")
+    merges: list[dict] = []
+    try:
+        conf.set("spark.sql.shuffle.partitions", str(np_))
+        merges = _learn_rounds(words, int(n_merges), int(min_freq))
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return merges
+
+
+def _learn_rounds(words: DataFrame, n_merges: int, min_freq: int) -> list[dict]:
     merges: list[dict] = []
     for rank in range(int(n_merges)):
         top = (
