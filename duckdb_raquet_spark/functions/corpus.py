@@ -154,11 +154,15 @@ def pack_sequences(
     # drops the returned DataFrame, while an explicit persist() would
     # pin them in the cache manager for the whole session (nothing here
     # can unpersist after the caller's materialization).
+    # widen FIRST, tokenize after: counting tokens inside
+    # spread_input's input would run the split on the scan's 1-2
+    # splits before the widening exchange; the text bytes the shuffle
+    # carries instead are noise next to that serial tokenize
     toks = spread_input(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
-        )
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+    ).select(
+        "id",
+        F.size(tokens_col(F.col("_txt"))).cast("long").alias("n_tokens"),
     ).localCheckpoint(eager=False)
     lo, hi = toks.agg(F.min("id"), F.max("id")).first()
     if lo is None:
@@ -554,12 +558,16 @@ def shuffle_shard_assignments(
     Returns ``(id, shuf_key, n_tokens, tok_offset, shard)``.
     """
     pri = _md5_priority(
-        F.concat(F.lit(f"{int(seed)}:"), F.col(id_col).cast("string"))
+        F.concat(F.lit(f"{int(seed)}:"), F.col("id").cast("string"))
     )
-    toks = df.select(
-        F.col(id_col).alias("id"),
+    # widen FIRST (pack_sequences rationale): the md5 priority and the
+    # tokenize otherwise run on the scan's 1-2 splits
+    toks = spread_input(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+    ).select(
+        "id",
         pri.alias("shuf_key"),
-        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.size(tokens_col(F.col("_txt"))).cast("long").alias("n_tokens"),
     ).localCheckpoint(eager=False)
     width = ((1 << 60) + n_buckets - 1) // n_buckets
     out = _bucketed_prefix_sum(

@@ -834,12 +834,17 @@ def semantic_dedup(
         centroids = sim.ivf_kmeans_centroids(
             df, id_col, vec_col, n_centroids, seed=seed
         )
+    # widen FIRST, assign after: the n_centroids-cosine assignment is
+    # the heavy per-row expression here, and computing it inside
+    # spread_input's input would run it on the scan's 1-2 splits
+    # BEFORE the widening exchange (measured: the whole assignment ran
+    # on 2 cores)
     assigned = spread_input(
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_v"),
-            sim.ivf_assign_col(F.col(vec_col), centroids).alias("cluster_id"),
-        )
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    ).select(
+        "_id",
+        "_v",
+        sim.ivf_assign_col(F.col("_v"), centroids).alias("cluster_id"),
     ).localCheckpoint(eager=False)
     # salt the within-cluster join when the quantizer has fewer clusters
     # than the session has cores — otherwise the quadratic verify hashes

@@ -36,7 +36,11 @@ def cosine_col(a: Column, b: Column) -> Column:
 
 
 def _lit_vec(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vec])
+    # one array literal in a single py4j call: the element-wise
+    # F.array(*[F.lit(v) ...]) form cost one gateway round-trip per
+    # element — dim x n_centroids (or x n_planes) of them per query
+    # construction, a measurable driver-side constant at dim=64
+    return F.lit([float(v) for v in vec])
 
 
 def ann_bruteforce(
@@ -433,15 +437,41 @@ def ivf_assign_col(
     as one Column expression: array_max over (sim, -cid) structs —
     Spark compares structs lexicographically, so max sim wins and the
     negated id breaks ties toward the smallest id."""
-    v = vec_col.cast("array<double>")
-    entries = [
-        F.struct(
-            cosine_col(v, _lit_vec(c)).alias("sim"),
-            F.lit(-cid).alias("ncid"),
+    return (
+        -F.array_max(_centroid_sim_entries(vec_col, centroids)).getField(
+            "ncid"
         )
-        for cid, c in centroids
-    ]
-    return (-F.array_max(F.array(*entries)).getField("ncid")).cast("long")
+    ).cast("long")
+
+
+def _centroid_sim_entries(
+    vec_col: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """(sim, -cid) struct per centroid, with the VECTOR norm let-bound
+    so its aggregate subtree appears once instead of once per centroid
+    (the centroid norms are constant-folded literals). Bit-identical
+    sims to the inline-cosine form — same expressions, evaluated once —
+    but the Catalyst tree carries n_centroids + 1 aggregate HOFs
+    instead of 3 x n_centroids, which matters because this expression
+    is re-planned at query construction (measured >1 s of driver-side
+    planning on dedup_semantic, whose execution is ~0.15 s)."""
+    from .text import let_col
+
+    v = vec_col.cast("array<double>")
+
+    def entries(nv: Column) -> Column:
+        out = []
+        for cid, c in centroids:
+            denom = nv * norm_col(_lit_vec(c))
+            sim = F.when(denom > 0, dot_col(v, _lit_vec(c)) / denom).otherwise(
+                F.lit(0.0)
+            )
+            out.append(
+                F.struct(sim.alias("sim"), F.lit(-cid).alias("ncid"))
+            )
+        return F.array(*out)
+
+    return let_col(norm_col(v), entries)
 
 
 def ivf_assign_ids_col(
@@ -457,15 +487,8 @@ def ivf_assign_ids_col(
     probe of the query's top lists — the recall lever when the corpus
     is weakly clustered, at n_assign-x index storage (the data stays
     the pruned-list layout; only the index, never the corpus, grows)."""
-    v = vec_col.cast("array<double>")
-    entries = [
-        F.struct(
-            cosine_col(v, _lit_vec(c)).alias("sim"),
-            F.lit(-cid).alias("ncid"),
-        )
-        for cid, c in centroids
-    ]
-    top = F.slice(F.reverse(F.array_sort(F.array(*entries))), 1, n_assign)
+    entries = _centroid_sim_entries(vec_col, centroids)
+    top = F.slice(F.reverse(F.array_sort(entries)), 1, n_assign)
     return F.transform(top, lambda s: (-s.getField("ncid")).cast("long"))
 
 
@@ -604,7 +627,7 @@ def ann_ivf(
             ivf_assign_ids_col(F.col(vec_col), centroids, n_assign=2).alias("_cids"),
         ).where(
             F.arrays_overlap(
-                "_cids", F.array(*[F.lit(int(p)) for p in probe_ids])
+                "_cids", F.lit([int(p) for p in probe_ids])
             )
         )
         vec = F.col("vec")
@@ -884,7 +907,7 @@ def pq_topk(
         qs = qv[s * dsub : (s + 1) * dsub]
         dt[s] = ((books[s] - qs[None, :]) ** 2).sum(axis=1)
     flat = [int(x) for x in dt.reshape(-1)]
-    lit_dt = F.array(*[F.lit(x) for x in flat])
+    lit_dt = F.lit(list(flat))
     score = F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -900,7 +923,7 @@ def pq_topk(
         .orderBy(F.asc("adc"), F.asc("vec_id"))
         .limit(topk * oversample)
     )
-    qlit = F.array(*[F.lit(int(x)) for x in qv])
+    qlit = F.lit([int(x) for x in qv])
     dot = F.aggregate(
         F.zip_with(F.col("qv"), qlit, lambda a, b: a * b),
         F.lit(0).cast("bigint"),
