@@ -414,7 +414,14 @@ def bigram_logprob_scores(
     doc_bg = pairs.groupBy("_id", "_prev", "_cur").agg(
         F.count("*").alias("_n")
     ).localCheckpoint(eager=False)
-    bg = doc_bg.groupBy("_prev", "_cur").agg(F.sum("_n").alias("_cb"))
+    # the bigram model is <= |vocab|^2 rows but is read three times
+    # (bg join, prefix, vocab) — checkpoint so each reads the tiny
+    # aggregate instead of re-aggregating the per-doc counts
+    bg = (
+        doc_bg.groupBy("_prev", "_cur")
+        .agg(F.sum("_n").alias("_cb"))
+        .localCheckpoint(eager=False)
+    )
     prefix = bg.groupBy("_prev").agg(F.sum("_cb").alias("_cp"))
     vocab = bg.agg(F.countDistinct("_cur").alias("_v"))
     rarity = (
@@ -1081,7 +1088,7 @@ def perplexity_buckets(
     # range sampler over them) on a session 32 wide; ``n_buckets``
     # remains the upper bound on driver state at any scale
     par = df.sparkSession.sparkContext.defaultParallelism
-    nb = max(1, min(int(n_buckets), 4 * par))
+    nb = max(1, min(int(n_buckets), par))
     ranged = (
         s.repartitionByRange(
             nb, F.col("mean_rarity_bits").asc(), F.col("id").asc()
