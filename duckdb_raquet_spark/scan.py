@@ -450,10 +450,10 @@ def decode_blocks(
         rebalance = eq_filter is None
     if rebalance:
         sc = blocks.sparkSession.sparkContext
-        cur = src.rdd.getNumPartitions()
-        # small tables opt out by bytes (a 2 MB fixture of 30 files
-        # decodes faster than its exchange schedules); unknown schemes
-        # fall back to the partition-count rule alone
+        # byte gate FIRST (file listing only — no plan compile): small
+        # tables and pruned deltas decode faster than their exchange
+        # schedules, and must not even pay the .rdd partition probe;
+        # unknown schemes fall back to the partition-count rule alone
         big_enough = True
         try:
             from urllib.parse import urlparse
@@ -463,8 +463,10 @@ def decode_blocks(
             big_enough = sum(_os.path.getsize(p) for p in paths) >= (32 << 20)
         except OSError:
             pass
-        if big_enough and 1 < cur < 4 * sc.defaultParallelism:
-            src = src.repartition(2 * sc.defaultParallelism)
+        if big_enough:
+            cur = src.rdd.getNumPartitions()
+            if 1 < cur < 4 * sc.defaultParallelism:
+                src = src.repartition(2 * sc.defaultParallelism)
     schema_parts = []
     if with_chunk:
         schema_parts += ["chunk int"]
