@@ -1016,7 +1016,9 @@ def read_changes(
         )
         dcols = sorted(_dcols_of(entries_to))
         dec = list(dict.fromkeys(want + dcols))
-        rows_new = decode_blocks(blocks_new, man, dec, with_chunk=True)
+        rows_new = decode_blocks(
+            blocks_new, man, dec, with_chunk=True, rebalance=False
+        )
         if entries_to:
             rows_new = _apply_delete_entries(spark, path, rows_new, entries_to)
         parts.append(
@@ -1028,7 +1030,8 @@ def read_changes(
         ).where(F.col("chunk").isin(surviving))
         dcols = sorted(_dcols_of(entries_from) | _dcols_of(new_entries))
         rows_old = decode_blocks(
-            blocks_old, man, list(dict.fromkeys(want + dcols)), with_chunk=True
+            blocks_old, man, list(dict.fromkeys(want + dcols)),
+            with_chunk=True, rebalance=False,
         )
         if entries_from:
             rows_old = _apply_delete_entries(spark, path, rows_old, entries_from)
@@ -1051,7 +1054,8 @@ def read_changes(
         )
         dcols = sorted(_dcols_of(entries_to) | _dcols_of(removed_entries))
         rows_srv = decode_blocks(
-            blocks_srv, man, list(dict.fromkeys(want + dcols)), with_chunk=True
+            blocks_srv, man, list(dict.fromkeys(want + dcols)),
+            with_chunk=True, rebalance=False,
         )
         flagged, cond = _delete_flag_join(
             spark, path, rows_srv, removed_entries
@@ -1068,7 +1072,8 @@ def read_changes(
         ).where(F.col("chunk").isin(removed))
         dcols = sorted(_dcols_of(entries_from))
         rows_rm = decode_blocks(
-            blocks_rm, man, list(dict.fromkeys(want + dcols)), with_chunk=True
+            blocks_rm, man, list(dict.fromkeys(want + dcols)),
+            with_chunk=True, rebalance=False,
         )
         if entries_from:
             rows_rm = _apply_delete_entries(spark, path, rows_rm, entries_from)
