@@ -436,12 +436,54 @@ def _graph_partitions(df: DataFrame, n_edges: int) -> int:
     return max(1, min(default, n_edges // 100_000 + 1))
 
 
+def _components_local(spark, edge_rows, id_type) -> DataFrame:
+    """Driver-side union-find over a collected (symmetrized) edge list:
+    (id, comp) with comp = the smallest id in the component — the same
+    assignment the distributed loop converges to, computed exactly.
+    Bounded by ``connected_components``' ``local_edges`` gate."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(v):
+        r = v
+        while parent[r] != r:
+            r = parent[r]
+        while parent[v] != r:  # path compression
+            parent[v], v = r, parent[v]
+        return r
+
+    for row in edge_rows:
+        x, y = row[0], row[1]
+        if x not in parent:
+            parent[x] = x
+        if y not in parent:
+            parent[y] = y
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[rx] = ry
+    roots: dict = {}
+    for v in parent:
+        r = find(v)
+        m = roots.get(r)
+        # min id per component; Python's < on longs/strings orders the
+        # same way Spark's F.min does on the matching column type
+        if m is None or v < m:
+            roots[r] = v
+    data = [(v, roots[find(v)]) for v in parent]
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("comp", id_type)]
+    )
+    return spark.createDataFrame(data, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
     *,
     max_iter: int = 25,
+    local_edges: int = 500_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs -> (id, comp) with
     comp = the smallest id in the component: the dedup GROUP assignment
@@ -464,7 +506,19 @@ def connected_components(
     is driver-ORCHESTRATED but every round is a distributed plan;
     ``localCheckpoint`` truncates lineage so round N's plan does not
     replay rounds 1..N-1. Raises after ``max_iter`` rounds rather
-    than silently returning unconverged labels."""
+    than silently returning unconverged labels.
+
+    Graphs at or under ``local_edges`` edge rows (after symmetrizing;
+    default 500k, ~tens of MB collected) skip the loop entirely: the
+    edge set — already materialized and counted to size the loop — is
+    collected once and labeled by driver-side union-find, the same
+    small-side-to-driver trade as a broadcast join (guide §3.1). The
+    label assignment (comp = smallest id reachable) is a property of
+    the graph, not the algorithm, so the output is identical; what
+    changes is 3-6 rounds of several near-empty exchanges each
+    collapsing into one collect. Near-dup edge sets are bytes per
+    VERIFIED pair, so even large corpora often fit; past the threshold
+    the distributed loop runs exactly as before."""
     spark = pairs.sparkSession
     e = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
     edges = e.unionByName(
@@ -475,6 +529,10 @@ def connected_components(
     # (the distinct over the input pairs is the only corpus-scale step
     # here); the count both fills the persist and sizes the loop
     n_edges = edges.count()
+    if n_edges <= int(local_edges):
+        rows = edges.collect()
+        edges.unpersist()
+        return _components_local(spark, rows, edges.schema["x"].dataType)
     np_ = _graph_partitions(edges, n_edges)
     # the loop's frames are tiny (bytes per near-dup pair), but every
     # round plans 3-4 exchanges; at the session-default shuffle width

@@ -100,6 +100,7 @@ def learn_bpe(
     *,
     n_merges: int = 16,
     min_freq: int = 1,
+    local_words: int = 8192,
 ) -> list[dict]:
     """Learn ``n_merges`` BPE merges over ``text_col`` (which must
     honor the :func:`normalize_col` contract).  Returns the merge
@@ -114,6 +115,16 @@ def learn_bpe(
     ``replace`` projection.  The vocabulary is re-materialized per
     round (``localCheckpoint``) so the plan does not deepen with the
     number of rounds.
+
+    Vocabularies at or under ``local_words`` distinct words (default
+    8192) skip the distributed rounds entirely: the word-frequency
+    table — already counted to size them — is collected once and the
+    rounds replay in the driver with identical pair-count, argmax
+    tie-break and non-overlapping-replace semantics (merge tables are
+    equal by construction; pinned by a test). This is the broadcast-
+    small-side trade (guide §3.1): n_merges round-trip jobs over a
+    near-empty frame collapse into one bounded collect. Past the
+    threshold the distributed rounds run exactly as before.
     """
     # lazy checkpoints: each round's replace-projection materializes
     # inside the SAME job as that round's argmax collect (eager=True
@@ -128,6 +139,9 @@ def learn_bpe(
     # from input size). The count also materializes the checkpoint.
     spark = df.sparkSession
     n_words = words.count()
+    if n_words <= int(local_words):
+        wf = [(r["enc"], r["freq"]) for r in words.collect()]
+        return _learn_rounds_local(wf, int(n_merges), int(min_freq))
     np_ = max(1, min(spark.sparkContext.defaultParallelism, n_words // 100_000 + 1))
     if words.rdd.getNumPartitions() > 4 * np_:
         words = words.repartition(np_).localCheckpoint(eager=False)
@@ -139,6 +153,45 @@ def learn_bpe(
         merges = _learn_rounds(words, int(n_merges), int(min_freq))
     finally:
         conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return merges
+
+
+def _learn_rounds_local(
+    wf: list[tuple[str, int]], n_merges: int, min_freq: int
+) -> list[dict]:
+    """Driver-side replay of :func:`_learn_rounds` over a collected
+    word-frequency table (bounded by ``learn_bpe``'s ``local_words``
+    gate). Pair counting, argmax tie-break (count desc, framed pair
+    asc — ASCII-range strings, so Python's ``<`` orders like Spark's)
+    and the left-to-right non-overlapping ``str.replace`` all mirror
+    the distributed expressions symbol for symbol."""
+    merges: list[dict] = []
+    for rank in range(int(n_merges)):
+        cnt: dict[str, int] = {}
+        for enc, freq in wf:
+            syms = enc.split(SYM_OPEN)[1:]
+            for i in range(len(syms) - 1):
+                p = syms[i] + syms[i + 1]
+                cnt[p] = cnt.get(p, 0) + freq
+        if not cnt:
+            break
+        p, c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < int(min_freq):
+            break
+        cut = p.index(SYM_CLOSE) + 1
+        s1, s2 = p[:cut], p[cut:]
+        src = SYM_OPEN + s1 + SYM_OPEN + s2
+        dst = SYM_OPEN + s1[:-1] + s2
+        merges.append(
+            {
+                "rank": rank,
+                "left": s1[:-1],
+                "right": s2[:-1],
+                "merged": s1[:-1] + s2[:-1],
+                "freq": c,
+            }
+        )
+        wf = [(enc.replace(src, dst), freq) for enc, freq in wf]
     return merges
 
 
