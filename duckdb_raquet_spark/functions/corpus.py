@@ -154,15 +154,14 @@ def pack_sequences(
     # drops the returned DataFrame, while an explicit persist() would
     # pin them in the cache manager for the whole session (nothing here
     # can unpersist after the caller's materialization).
-    # widen FIRST, tokenize after: counting tokens inside
-    # spread_input's input would run the split on the scan's 1-2
-    # splits before the widening exchange; the text bytes the shuffle
-    # carries instead are noise next to that serial tokenize
-    toks = spread_input(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
-    ).select(
-        "id",
-        F.size(tokens_col(F.col("_txt"))).cast("long").alias("n_tokens"),
+    # no spread_input: a token-count split is light per row, so the
+    # widening exchange costs more than the narrow-scan serialization
+    # it fixes (clean-window A/B at sf1.0: 1.17 s vs 1.45 s with the
+    # exchange); genuinely heavy per-row work (semantic_dedup's
+    # centroid assignment, BPE's explode+aggregate) keeps its widening
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
     ).localCheckpoint(eager=False)
     lo, hi = toks.agg(F.min("id"), F.max("id")).first()
     if lo is None:
@@ -560,14 +559,13 @@ def shuffle_shard_assignments(
     pri = _md5_priority(
         F.concat(F.lit(f"{int(seed)}:"), F.col("id").cast("string"))
     )
-    # widen FIRST (pack_sequences rationale): the md5 priority and the
-    # tokenize otherwise run on the scan's 1-2 splits
-    toks = spread_input(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
-    ).select(
-        "id",
+    # no spread_input (pack_sequences rationale): md5-of-short-string
+    # plus a token count is light per row — the widening exchange costs
+    # more than it parallelizes (measured 1.11 s vs 1.25 s at sf1.0)
+    toks = df.select(
+        F.col(id_col).alias("id"),
         pri.alias("shuf_key"),
-        F.size(tokens_col(F.col("_txt"))).cast("long").alias("n_tokens"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
     ).localCheckpoint(eager=False)
     width = ((1 << 60) + n_buckets - 1) // n_buckets
     out = _bucketed_prefix_sum(

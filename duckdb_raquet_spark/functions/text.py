@@ -725,14 +725,16 @@ def fuzzy_decontaminate(
     rows = k // bands
     ev_txt = F.col(eval_text_col or text_col)
 
-    # localCheckpoint barriers, not persist(): reclaimed by the
+    # localCheckpoint barrier, not persist(): reclaimed by the
     # ContextCleaner once the result frame is dropped (a persist would
     # pin the shingle arrays in the session CacheManager until an
-    # explicit unpersist)
-    tr = spread_input(
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
-    ).select(
-        "_id", hashed_shingles_col("_txt", n).alias("_hs")
+    # explicit unpersist). No spread_input here: the per-row work the
+    # widening would parallelize (shingle hashing) is light next to
+    # shuffling the text, and the measured A/B at sf1.0 is 1.5 s
+    # without the exchange vs 2.2 s with it — the heavy minhash perms
+    # run downstream of the checkpoint either way.
+    tr = df.select(
+        F.col(id_col).alias("_id"), hashed_shingles_col(text_col, n).alias("_hs")
     ).localCheckpoint(eager=False)
     # eval ids = text hash: deterministic, and identical eval docs
     # collapse (max/flag semantics are insensitive to eval multiplicity)

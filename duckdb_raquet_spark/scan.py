@@ -394,6 +394,31 @@ def _evo_decode_fn(columns: list[dict], specs):
     return dec
 
 
+def _codec_bound_decode(man: dict, names: list[str], share: float = 0.05) -> bool:
+    """True when decoding ``names`` is slow-kernel-bound: at least
+    ``share`` of some requested column's blocks were committed through
+    a bz2 codec (the ~40 MB/s/core kernel the decode rebalance exists
+    for). Column-group payloads count if any member column matches.
+    No histogram (pre-histogram table generations) -> True (keep the
+    rebalance; unknown decode cost is treated as expensive)."""
+    hist = man.get("codec_histogram")
+    if not hist:
+        return True
+    groups = man.get("column_groups") or {}
+    want = set(names)
+    for g, members in groups.items():
+        if want & set(members):
+            want.add(g)
+    for col, counts in hist.items():
+        if col not in want:
+            continue
+        total = sum(counts.values())
+        slow = sum(n for codec, n in counts.items() if "bz2" in codec)
+        if total and slow / total >= share:
+            return True
+    return False
+
+
 def decode_blocks(
     blocks: DataFrame,
     man: dict,
@@ -447,7 +472,17 @@ def decode_blocks(
     # splits) or on pruned point paths (eq_filter) it is skipped
     # outright (guide §2.5).
     if rebalance is None:
-        rebalance = eq_filter is None
+        # codec gate: the exchange only pays for itself against a SLOW
+        # decode kernel. bz2 runs ~40 MB/s/core; zstd/zlib/dict decode
+        # an order of magnitude faster, so shuffling their payloads
+        # costs more than the straggler tail it evens out (measured:
+        # fast-effort 2.6 GB table 1.14 s -> 1.45 s with the exchange).
+        # The manifest's codec histogram says which kernels the
+        # REQUESTED columns actually decode through; tables without
+        # one (pre-histogram generations) keep the rebalance.
+        rebalance = eq_filter is None and _codec_bound_decode(
+            man, [s[0] for s in specs]
+        )
     if rebalance:
         sc = blocks.sparkSession.sparkContext
         # byte gate FIRST (file listing only — no plan compile): small
