@@ -556,6 +556,14 @@ def encode_table(
             schema=schema,
         )
     elif shuffle == "hash":
+        # n_parts stays at the session's parallelism: oversampling the
+        # width to fix group-placement collisions was measured (r6) and
+        # does NOT pay here — per-task Python-exec overhead (~0.1 s)
+        # grows the stage's core-seconds faster than the better balance
+        # shrinks its wall (encode flat 19-22 s across n_parts
+        # 32..1024 at effort=max; fast-effort stage 2.4 s -> 5.8 s at
+        # 1024), because per-group cost skew is content skew the
+        # placement cannot remove, only the scheduler can absorb.
         n_parts = num_partitions or max(2, spark.sparkContext.defaultParallelism)
         # hash repartition (satisfies the groupBy's clustered distribution
         # -> no second exchange) — NOT repartitionByRange, whose boundary

@@ -56,3 +56,69 @@ def test_learn_bpe_local_equals_distributed(spark):
     local = [key(m) for m in tk.learn_bpe(df, "text", n_merges=8)]
     dist = [key(m) for m in tk.learn_bpe(df, "text", n_merges=8, local_words=0)]
     assert local == dist and len(local) == 8
+
+
+def test_murmur_matches_spark_hash(spark):
+    """_murmur3_hash_long must equal Spark's Murmur3 (seed 42) on longs
+    — the exact-placement shuffle trick (_partition_reps) depends on
+    replicating HashPartitioning's hash bit for bit."""
+    from pyspark.sql import functions as F
+
+    from duckdb_raquet_spark import scan
+
+    rng = random.Random(7)
+    vals = [0, 1, -1, 2**62, -(2**62), 42] + [
+        rng.randint(-(2**63), 2**63 - 1) for _ in range(50)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["v"]: r["h"] for r in df.select("v", F.hash("v").alias("h")).collect()}
+    for v in vals:
+        h = scan._murmur3_hash_long(v)
+        signed = h - (1 << 32) if h >= (1 << 31) else h
+        assert signed == got[v], v
+
+
+def test_partition_reps_place_exactly(spark):
+    """A row keyed by _partition_reps(n)[p] must land in shuffle
+    partition p — the invariant the LPT block spread builds on."""
+    from pyspark.sql import functions as F
+
+    from duckdb_raquet_spark import scan
+
+    for n in (7, 64):
+        reps = scan._partition_reps(n)
+        df = spark.createDataFrame(
+            [(p, reps[p]) for p in range(n)], "p int, k long"
+        )
+        out = (
+            df.repartition(n, "k")
+            .withColumn("pid", F.spark_partition_id())
+            .collect()
+        )
+        for r in out:
+            assert r["pid"] == r["p"], (n, r)
+
+
+def test_spread_block_rows_keeps_rows(spark, tmp_path):
+    """The LPT spread is placement-only: a mask over a table whose
+    blocks went through _spread_block_rows returns exactly the rows the
+    predicate selects."""
+    from pyspark.sql import functions as F
+
+    from duckdb_raquet_spark import encode, scan
+
+    n = 400
+    df = spark.range(n).select(
+        F.concat(F.lit("https://ex.com/"), F.col("id")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"),
+    )
+    path = str(tmp_path / "tbl")
+    man = encode.encode_to_path(spark, df, path, est_rows=n)
+    blocks = scan.read_blocks(spark, path)
+    out = scan.mask_values_in(blocks, man, "lang", ["en"])
+    decoded = scan.decode_blocks(out, man, ["url", "lang"])
+    rows = decoded.collect()
+    assert len(rows) == len([i for i in range(n) if i % 3 == 0])
+    assert all(r["lang"] == "en" for r in rows)
