@@ -142,27 +142,34 @@ def hashed_shingles_col(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
 
 
-def minhash_cols_from_hashed(hashed: Column, k: int = 32) -> list[Column]:
-    """k MinHash values from an ALREADY MATERIALIZED hashed-shingle array.
+def minhash_cols_from_hashed(hashed: str, k: int = 32) -> list[str]:
+    """k MinHash SQL snippets (``... AS mh_i``, for ``selectExpr``) from
+    an ALREADY MATERIALIZED hashed-shingle array column named ``hashed``.
 
     Keeping the hashed array a real column matters: embedding the
     shingle pipeline inside each of the k signature expressions makes
     Catalyst evaluate tokenize+slice+hash k times per row (k=32 -> 32x
     the scan cost). One projection computes the array; these k exprs
-    are then cheap per-element arithmetic + array_min."""
+    are then cheap per-element arithmetic + array_min.
+
+    SQL snippets rather than Column objects, deliberately: building the
+    k=32 lambda expressions through the DataFrame API costs ~350 py4j
+    round-trips (~0.5 s of query construction per call site — measured,
+    and the frozen bench pays it cold every run); one ``selectExpr``
+    parses the same expressions JVM-side in a single call. The parsed
+    plan is identical: `h` binds as the lambda variable, the `L`
+    suffixes pin the same BIGINT literals F.lit produced.
+
+    Elements fold to 31 bits first: keeps a*h+b under 2^62
+    (ANSI-overflow safe) and bit-identical to the previous
+    hash-to-31-bits-up-front signatures."""
     out = []
     for i, (pa, pb) in enumerate(_perm_params(k)):
-        # fold the 64-bit element to 31 bits first: keeps a*h+b under
-        # 2^62 (ANSI-overflow safe) and bit-identical to the previous
-        # hash-to-31-bits-up-front signatures
-        perm = F.transform(
-            hashed,
-            lambda h: F.pmod(
-                F.pmod(h, F.lit(_MERSENNE)) * F.lit(pa) + F.lit(pb),
-                F.lit(_MERSENNE),
-            ),
+        out.append(
+            f"array_min(transform(`{hashed}`, h -> "
+            f"pmod(pmod(h, {_MERSENNE}L) * {pa}L + {pb}L, {_MERSENNE}L)))"
+            f" AS mh_{i}"
         )
-        out.append(F.array_min(perm).alias(f"mh_{i}"))
     return out
 
 
@@ -286,7 +293,7 @@ def minhash_lsh_pairs(
         # blocks are reclaimed by the ContextCleaner once the plan is
         # unreferenced
         hs = hs.localCheckpoint(eager=False)
-    sig = hs.select("_id", *minhash_cols_from_hashed(F.col("_hs"), k))
+    sig = hs.selectExpr("_id", *minhash_cols_from_hashed("_hs", k))
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
             f"band_{b}"
@@ -1311,7 +1318,7 @@ def build_minhash_index(
         # checkpoint) pass ``persist_shingles=False`` to avoid holding
         # the shingle payload twice.
         hs = hs.localCheckpoint(eager=False)
-    sig = hs.select("_id", "_hs", *minhash_cols_from_hashed(F.col("_hs"), k))
+    sig = hs.selectExpr("_id", "_hs", *minhash_cols_from_hashed("_hs", k))
     return sig.select(
         "_id",
         "_hs",

@@ -387,10 +387,16 @@ def bigram_logprob_scores(
     Returns one row per document with >= 2 tokens:
     ``(id, n_bigrams, mean_rarity_bits)``.
     """
-    toks = spread_input(
-        df.select(
-            F.col(id_col).alias("_id"), tokens_col(text_col).alias("_t")
-        ).where(F.size("_t") >= 2)
+    # tokenize AFTER the widening exchange: inside spread_input's input
+    # the split/filter ran on the scan's 1-2 file splits (serial on 2
+    # cores) and the exchange carried token ARRAYS instead of the
+    # smaller raw text (same fix as the r6 semantic_dedup/pack sites)
+    toks = (
+        spread_input(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+        )
+        .select("_id", tokens_col("_txt").alias("_t"))
+        .where(F.size("_t") >= 2)
     )
     # adjacent pairs as two shifted slices zipped elementwise (the
     # size >= 2 filter above guarantees positive slice lengths);
@@ -603,8 +609,11 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     High values flag boilerplate soup and degenerate repetition that
     per-token quality scores miss. Exact integer counts; the final
     fractions are single double divisions, cross-engine stable."""
-    toks = tokens_col(text_col)
-    base = spread_input(df.select(F.col(id_col).alias("id"), toks.alias("_t")))
+    # tokenize AFTER the widening exchange (not inside spread_input's
+    # input, where it would run on the scan's 1-2 file splits)
+    base = spread_input(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+    ).select("id", tokens_col("_txt").alias("_t"))
     # adjacent 2-grams via shifted-slice zip (O(len) per row; identical
     # strings to the per-index transform(sequence) construction)
     grams = F.when(
@@ -748,8 +757,8 @@ def fuzzy_decontaminate(
     )
 
     def _buckets(src: DataFrame, idc: str, hsc: str) -> DataFrame:
-        sig = src.select(
-            idc, *minhash_cols_from_hashed(F.col(hsc), k)
+        sig = src.selectExpr(
+            idc, *minhash_cols_from_hashed(hsc, k)
         )
         return sig.select(
             idc,

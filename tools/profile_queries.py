@@ -89,7 +89,7 @@ def main():
             dedup.hashed_shingles_col("text", 3).alias("_hs"),
         )
         timed(spark, "mh_shingles", lambda: noop(hs), out, args.reps)
-        sig = hs.select("_id", *dedup.minhash_cols_from_hashed(F.col("_hs"), 32))
+        sig = hs.selectExpr("_id", *dedup.minhash_cols_from_hashed("_hs", 32))
         timed(spark, "mh_signatures", lambda: noop(sig), out, args.reps)
         pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", 0.5, k=32, bands=8)
         timed(spark, "mh_pairs_full", lambda: noop(pairs), out, args.reps)
