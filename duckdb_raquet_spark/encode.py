@@ -394,6 +394,58 @@ def make_map_encode_fn(
     return encode_partition
 
 
+def make_local_group_encode_fn(
+    columns: list[dict], url_col: str, ts_col: str | None, zlib_level: int,
+    effort: str = selector.EFFORT_MAX,
+    groups: dict[str, list[str]] | None = None,
+):
+    """Per-PARTITION encoder for the PLANNED placement path: every
+    (block, salt) group arrives whole in one partition (the driver's
+    LPT assignment + exact murmur targeting guarantee it), so the
+    partition locally sorts by (block, salt) and encodes each complete
+    slice — same per-group bytes as the groupBy/applyInArrow path, no
+    grouping exchange semantics needed from Catalyst."""
+
+    col_specs = [(c["name"], c["kind"], c.get("codec")) for c in columns]
+    sort_cols = sort_cols_for(columns, url_col, ts_col)
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(blocks_schema(columns, groups))
+    ROWS_PER_OUT_BATCH = 32
+
+    def encode_partition(batches):
+        batches = list(batches)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        blocks_np = tbl[BLOCK].to_numpy(zero_copy_only=False)
+        salts_np = tbl[SALT].to_numpy(zero_copy_only=False)
+        order = np.lexsort((salts_np, blocks_np))
+        tbl = tbl.take(pa.array(order))
+        blocks_np = blocks_np[order]
+        salts_np = salts_np[order]
+        changed = (blocks_np[1:] != blocks_np[:-1]) | (
+            salts_np[1:] != salts_np[:-1]
+        )
+        bounds = np.flatnonzero(np.r_[True, changed, True])
+        rows: list[dict] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sub = tbl.slice(int(s), int(e - s))
+            rows.append(
+                encode_block_arrow(
+                    sub, col_specs, sort_cols, zlib_level,
+                    int(blocks_np[s]), int(salts_np[s]), ts_col, effort, groups,
+                )
+            )
+            if len(rows) >= ROWS_PER_OUT_BATCH:
+                yield _rows_to_batch(rows, arrow_schema)
+                rows = []
+        if rows:
+            yield _rows_to_batch(rows, arrow_schema)
+
+    return encode_partition
+
+
 def _rows_to_batch(rows: list[dict], arrow_schema) -> "pa.RecordBatch":
     arrays = [
         pa.array([r.get(f.name) for r in rows], type=f.type)
@@ -556,23 +608,79 @@ def encode_table(
             schema=schema,
         )
     elif shuffle == "hash":
-        # n_parts stays at the session's parallelism: oversampling the
-        # width to fix group-placement collisions was measured (r6) and
-        # does NOT pay here — per-task Python-exec overhead (~0.1 s)
-        # grows the stage's core-seconds faster than the better balance
-        # shrinks its wall (encode flat 19-22 s across n_parts
-        # 32..1024 at effort=max; fast-effort stage 2.4 s -> 5.8 s at
-        # 1024), because per-group cost skew is content skew the
-        # placement cannot remove, only the scheduler can absorb.
-        n_parts = num_partitions or max(2, spark.sparkContext.defaultParallelism)
-        # hash repartition (satisfies the groupBy's clustered distribution
-        # -> no second exchange) — NOT repartitionByRange, whose boundary
-        # sampling executes the whole child an extra time (a full input
-        # scan here); global block order is restored cheaply on the
-        # encoded rows in write_blocks, which are ~5x smaller than input
-        keyed = keyed.repartition(n_parts, BLOCK, SALT)
-        encode_fn = make_encode_fn(columns, url_col, ts_col, zlib_level, effort, groups)
-        blocks = keyed.groupBy(BLOCK, SALT).applyInArrow(encode_fn, schema=schema)
+        p = max(2, spark.sparkContext.defaultParallelism)
+        # Group placement. Hashing (block, salt) keys into p partitions
+        # leaves the codec-bound encode stage straggler-bound: group
+        # sizes are Zipf-ish (hot cells ~8x the median rows) and
+        # balls-into-bins stacking adds to it — measured max/median
+        # task time 1.73 on the 2.6 GB table, ~65% core efficiency.
+        # Merely oversampling the width does NOT pay (~0.1 s per-task
+        # Python-exec overhead outgrows the balance win; measured flat
+        # 19-22 s across n_parts 32..1024, and 2.4 s -> 5.8 s at
+        # fast effort). Instead, when the job is heavy enough and the
+        # key space enumerable, spend one narrow pre-pass on per-group
+        # row counts, LPT-pack groups into byte-near-equal bins
+        # driver-side, and address each bin's exact shuffle partition
+        # through a searched murmur representative (placement.py);
+        # grouping then happens locally inside each partition
+        # (mapInArrow), since every group lands whole. Guide §8:
+        # decide placement with small rows, move the payload bytes
+        # once. Light jobs (deltas, micro-batches) and huge key spaces
+        # (driver-metadata bound) keep the plain hash placement.
+        planned = (
+            num_partitions is None
+            and effort == selector.EFFORT_MAX  # bz2-led kernel: ~1.5 s per
+            # median group, where balance dominates; at fast effort the
+            # zstd-led groups are ~10x cheaper and the pre-pass +
+            # per-task overhead outweigh the balance win (measured:
+            # noop-isolated fast encode 4.4-6.2 s groupBy vs 5.6-6.5 s
+            # planned; max-effort stage 20.5 s -> 14.5 s planned) —
+            # the decode rebalance's codec-gate rationale
+            and cells * n_salt <= 65536  # driver-metadata bound
+            and est_rows >= 64 * target_rows_per_block  # pre-pass ≪ encode
+        )
+        if planned:
+            from . import placement
+
+            counts = (
+                keyed.groupBy(BLOCK, SALT)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            )
+            n_parts = 4 * p  # 4 waves of byte-equal bins: dynamic
+            # scheduling absorbs the residual content variance the
+            # row-count proxy misses, at ~0.1 s/task extra overhead
+            pids = placement.lpt_bins([int(r["_n"]) for r in counts], n_parts)
+            reps = placement.partition_reps(n_parts)
+            plan_df = spark.createDataFrame(
+                [
+                    (int(r[BLOCK]), int(r[SALT]), reps[pid])
+                    for r, pid in zip(counts, pids)
+                ],
+                schema=f"{BLOCK} long, {SALT} int, _px long",
+            )
+            # left join: a group the pre-pass missed (impossible for a
+            # deterministic source) still encodes, placed arbitrarily
+            keyed = keyed.join(F.broadcast(plan_df), on=[BLOCK, SALT], how="left")
+            blocks = keyed.repartition(n_parts, "_px").mapInArrow(
+                make_local_group_encode_fn(
+                    columns, url_col, ts_col, zlib_level, effort, groups
+                ),
+                schema=schema,
+            )
+        else:
+            n_parts = num_partitions or p
+            # hash repartition (satisfies the groupBy's clustered
+            # distribution -> no second exchange) — NOT
+            # repartitionByRange, whose boundary sampling executes the
+            # whole child an extra time (a full input scan here);
+            # global block order is restored cheaply on the encoded
+            # rows in write_blocks, which are ~5x smaller than input
+            keyed = keyed.repartition(n_parts, BLOCK, SALT)
+            encode_fn = make_encode_fn(
+                columns, url_col, ts_col, zlib_level, effort, groups
+            )
+            blocks = keyed.groupBy(BLOCK, SALT).applyInArrow(encode_fn, schema=schema)
     else:
         raise ValueError(f"shuffle must be 'hash' or 'none', got {shuffle!r}")
 

@@ -30,6 +30,9 @@ from pyspark.sql import functions as F
 from . import blockkey as bk
 from . import manifest as mf
 from . import selector
+from .placement import lpt_bins as _lpt_bins
+from .placement import murmur3_hash_long as _murmur3_hash_long  # noqa: F401 (pinned by tests)
+from .placement import partition_reps as _partition_reps
 from .encode import (
     BLOCK,
     SALT,
@@ -1662,58 +1665,6 @@ def rollup_stats(
 # --------------------------------------------------- decode->mask->re-encode ----
 
 
-def _murmur3_hash_long(v: int, seed: int = 42) -> int:
-    """Spark's Murmur3_x86_32.hashLong for one non-null LongType column
-    — the hash HashPartitioning applies (pmod(murmur3(key), n)). Having
-    it driver-side lets placement be EXACT: search a representative key
-    that lands in each target partition (:func:`_partition_reps`), so a
-    computed assignment survives the shuffle instead of being re-rolled
-    by the partitioner's own hash (balls-into-bins collisions)."""
-    m = 0xFFFFFFFF
-
-    def rotl(x: int, r: int) -> int:
-        return ((x << r) | (x >> (32 - r))) & m
-
-    def mixk1(k1: int) -> int:
-        k1 = (k1 * 0xCC9E2D51) & m
-        k1 = rotl(k1, 15)
-        return (k1 * 0x1B873593) & m
-
-    def mixh1(h1: int, k1: int) -> int:
-        h1 ^= k1
-        h1 = rotl(h1, 13)
-        return (h1 * 5 + 0xE6546B64) & m
-
-    v &= 0xFFFFFFFFFFFFFFFF
-    h1 = seed & m
-    h1 = mixh1(h1, mixk1(v & m))
-    h1 = mixh1(h1, mixk1((v >> 32) & m))
-    h1 ^= 8
-    h1 ^= h1 >> 16
-    h1 = (h1 * 0x85EBCA6B) & m
-    h1 ^= h1 >> 13
-    h1 = (h1 * 0xC2B2AE35) & m
-    h1 ^= h1 >> 16
-    return h1
-
-
-def _partition_reps(n: int) -> list[int]:
-    """reps[p] = a long x with pmod(murmur3(x), n) == p, for every
-    partition p — coupon-collector search, ~n*ln(n) hashes."""
-    reps: list[int | None] = [None] * n
-    found = 0
-    x = 0
-    while found < n:
-        h = _murmur3_hash_long(x)
-        signed = h - (1 << 32) if h >= (1 << 31) else h
-        p = signed % n  # == Spark's Pmod for positive n
-        if reps[p] is None:
-            reps[p] = x
-            found += 1
-        x += 1
-    return reps  # type: ignore[return-value]
-
-
 def _spread_block_rows(blocks: DataFrame, needed: list[str]) -> DataFrame:
     """Spread block rows over many partitions before a per-block
     decode->re-encode kernel. The blocks table is compact on disk (few
@@ -1722,16 +1673,15 @@ def _spread_block_rows(blocks: DataFrame, needed: list[str]) -> DataFrame:
     block counts (balls into bins — measured on the 2.6 GB table: 64
     block rows hashed into 64 partitions left some tasks with 2-3
     serial ~6 s re-encodes, max task 15.7 s vs 5.9 s median). Per-block
-    codec cost also varies several-x with content, so small tables
-    compute an exact DEALT placement from one narrow metadata pass:
-    rank blocks by descending encoded size (monotone proxy for codec
-    cost — measured: the top-sized blocks re-encode ~4.7 s vs 0.35 s
-    median) and assign rank i to partition i mod n, so every partition
-    holds one block from each cost band and the giants — in the
-    LOWEST-index partitions — are scheduled first, never a
-    late-starting tail (decide placement on small rows, move the
-    payload bytes once — guide §8; the assignment survives the shuffle
-    because each target partition is addressed by a searched
+    codec cost also varies several-x with content (block sizes are
+    Zipf-ish: the top-sized blocks re-encode ~4.7 s vs 0.35 s median),
+    so small tables compute an exact LPT placement from one narrow
+    metadata pass: greedy-pack blocks into byte-near-equal bins by
+    encoded size (a monotone cost proxy — measured), heaviest bins at
+    the lowest partition indices so they are scheduled first and never
+    become a late-starting tail (decide placement on small rows, move
+    the payload bytes once — guide §8; the assignment survives the
+    shuffle because each target partition is addressed by a searched
     representative key, :func:`_partition_reps`). Large tables (where
     the metadata pass would not be narrow relative to the work)
     keyless-round-robin instead — with many rows per partition the
@@ -1760,30 +1710,14 @@ def _spread_block_rows(blocks: DataFrame, needed: list[str]) -> DataFrame:
             .collect()
         )
         if 0 < len(meta) <= cap:
-            import heapq
-
-            order = sorted(meta, key=lambda r: -(r["_sz"] or 0))
-            # LPT greedy: next-largest block to the least-loaded bin —
-            # per-bin byte sums come out near-equal (plain rank-dealing
-            # left bin 0 with 3.3x the median bytes: the bands are
-            # sorted, so each bin collected its band's largest), then
-            # heaviest bins get the LOWEST partition indices so they
-            # are scheduled first and can never become a late tail
-            bins = [(0, b) for b in range(n)]
-            heapq.heapify(bins)
-            assign: list[list] = [[] for _ in range(n)]
-            loads = [0] * n
-            for r in order:
-                load, b = heapq.heappop(bins)
-                assign[b].append(r)
-                loads[b] = load + (r["_sz"] or 0)
-                heapq.heappush(bins, (loads[b], b))
-            by_load = sorted(range(n), key=lambda b: -loads[b])
+            # LPT greedy: per-bin byte sums near-equal (plain rank-
+            # dealing left bin 0 with 3.3x the median bytes), heaviest
+            # bins scheduled first (lowest partition indices)
+            pids = _lpt_bins([int(r["_sz"] or 0) for r in meta], n)
             reps = _partition_reps(n)
             plan = [
                 (int(r[BLOCK]), int(r[SALT]), reps[pid])
-                for pid, b in enumerate(by_load)
-                for r in assign[b]
+                for r, pid in zip(meta, pids)
             ]
             map_df = spark.createDataFrame(
                 plan, schema=f"{BLOCK} long, {SALT} int, _px long"

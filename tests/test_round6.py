@@ -122,3 +122,43 @@ def test_spread_block_rows_keeps_rows(spark, tmp_path):
     rows = decoded.collect()
     assert len(rows) == len([i for i in range(n) if i % 3 == 0])
     assert all(r["lang"] == "en" for r in rows)
+
+
+def test_planned_encode_bytes_identical(spark, tmp_path):
+    """The planned (LPT + local-group) encode placement must produce
+    byte-identical block rows to the groupBy/applyInArrow path — only
+    task placement may differ."""
+    from pyspark.sql import functions as F
+
+    from duckdb_raquet_spark import encode, scan
+
+    n = 3000
+    df = spark.range(n).select(
+        F.concat(F.lit("https://ex.com/"), F.col("id")).alias("url"),
+        F.to_timestamp(
+            F.from_unixtime(F.lit(1704067200) + F.col("id") * 60)
+        ).alias("warc_ts"),
+        F.concat(F.lit("body text "), F.col("id") % 97).alias("text"),
+        (F.col("id") % 5).alias("score"),
+    )
+    p1 = str(tmp_path / "planned")
+    p2 = str(tmp_path / "grouped")
+    # target small enough that est_rows >= 64 * target (planned path)
+    m1 = encode.encode_to_path(
+        spark, df, p1, est_rows=n, target_rows_per_block=16
+    )
+    # num_partitions pins the plain hash/groupBy path
+    m2 = encode.encode_to_path(
+        spark, df, p2, est_rows=n, target_rows_per_block=16, num_partitions=8
+    )
+    assert m1["enc_bytes"] == m2["enc_bytes"]
+    assert m1["num_blocks"] == m2["num_blocks"] and m1["num_blocks"] > 16
+    b1 = {
+        (r["block"], r["salt"]): (bytes(r["url_blob"]), bytes(r["text_blob"]))
+        for r in scan.read_blocks(spark, p1).collect()
+    }
+    b2 = {
+        (r["block"], r["salt"]): (bytes(r["url_blob"]), bytes(r["text_blob"]))
+        for r in scan.read_blocks(spark, p2).collect()
+    }
+    assert b1 == b2
