@@ -647,9 +647,12 @@ def encode_table(
                 .agg(F.count(F.lit(1)).alias("_n"))
                 .collect()
             )
-            n_parts = 4 * p  # 4 waves of byte-equal bins: dynamic
-            # scheduling absorbs the residual content variance the
-            # row-count proxy misses, at ~0.1 s/task extra overhead
+            # 2 waves of byte-equal bins: one wave leaves the wall
+            # hostage to a single slow bin (measured 16.0-24.6 s noop-
+            # isolated vs 13.3-14.3 s at 2x), four pay ~0.1 s/task
+            # Python-exec overhead for insurance the LPT packing no
+            # longer needs (14.6-15.3 s) — 2x measured best
+            n_parts = 2 * p
             pids = placement.lpt_bins([int(r["_n"]) for r in counts], n_parts)
             reps = placement.partition_reps(n_parts)
             plan_df = spark.createDataFrame(
