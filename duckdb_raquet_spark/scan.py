@@ -504,6 +504,13 @@ def decode_blocks(
         if big_enough:
             cur = src.rdd.getNumPartitions()
             if 1 < cur < 4 * sc.defaultParallelism:
+                # keyless round-robin, deliberately NOT the byte-LPT
+                # spread the re-encode paths use: measured on the
+                # 2.6 GB table, LPT balanced the tasks (max/med 1.77/
+                # 1.00 -> 1.03/0.62) but the extra tasks' fixed cost
+                # inflated the stage 68.9 -> 94.3 core-s — the decode
+                # kernel is ~10x cheaper per block than re-encode, so
+                # the placement tax is never paid back
                 src = src.repartition(2 * sc.defaultParallelism)
     schema_parts = []
     if with_chunk:
