@@ -1715,10 +1715,14 @@ def _spread_block_rows(blocks: DataFrame, needed: list[str]) -> DataFrame:
     # overhead on a 33 MB table)
     n = 4 * p if tot is None else max(p, min(8 * p, int(tot >> 21)))
     # below one wave of ~2 MB bins the placement cannot matter (and
-    # the metadata pass would be a ~5% tax) — plain round-robin
-    worth_planning = tot is not None and (p << 21) <= tot <= (1 << 30)
+    # the metadata pass would be a ~5% tax) — plain round-robin. The
+    # upper bound exists only to skip the metadata pass on tables that
+    # certainly exceed the driver row cap below; the pass itself reads
+    # 3 narrow columns (block, salt, enc_bytes — KBs via parquet
+    # pruning), so it stays noise next to the codec work it balances
+    worth_planning = tot is not None and (p << 21) <= tot <= (1 << 34)
     if worth_planning and "stats" in blocks.columns:
-        cap = 200_000  # driver-metadata bound (a <=1 GB table holds far fewer)
+        cap = 200_000  # driver-metadata bound
         meta = (
             blocks.select(BLOCK, SALT, F.col("stats.enc_bytes").alias("_sz"))
             .limit(cap + 1)
