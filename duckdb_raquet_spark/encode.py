@@ -414,32 +414,54 @@ def make_local_group_encode_fn(
     ROWS_PER_OUT_BATCH = 32
 
     def encode_partition(batches):
-        batches = list(batches)
-        if not batches:
-            return
-        tbl = pa.Table.from_batches(batches).combine_chunks()
-        blocks_np = tbl[BLOCK].to_numpy(zero_copy_only=False)
-        salts_np = tbl[SALT].to_numpy(zero_copy_only=False)
-        order = np.lexsort((salts_np, blocks_np))
-        tbl = tbl.take(pa.array(order))
-        blocks_np = blocks_np[order]
-        salts_np = salts_np[order]
-        changed = (blocks_np[1:] != blocks_np[:-1]) | (
-            salts_np[1:] != salts_np[:-1]
-        )
-        bounds = np.flatnonzero(np.r_[True, changed, True])
+        # the plan sorts each partition by (block, salt) JVM-side
+        # (spillable sort), so groups arrive CONTIGUOUS and this
+        # streams them: peak Python memory is one group's slices —
+        # the same bound as the grouped-exec path — never the whole
+        # partition (which grows with data/bins at scale)
         rows: list[dict] = []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            sub = tbl.slice(int(s), int(e - s))
-            rows.append(
-                encode_block_arrow(
-                    sub, col_specs, sort_cols, zlib_level,
-                    int(blocks_np[s]), int(salts_np[s]), ts_col, effort, groups,
-                )
+        cur: tuple[int, int] | None = None
+        cur_slices: list["pa.RecordBatch"] = []
+
+        def flush() -> dict | None:
+            nonlocal cur_slices
+            if cur is None or not cur_slices:
+                return None
+            tbl = pa.Table.from_batches(cur_slices)
+            cur_slices = []
+            return encode_block_arrow(
+                tbl, col_specs, sort_cols, zlib_level,
+                cur[0], cur[1], ts_col, effort, groups,
             )
-            if len(rows) >= ROWS_PER_OUT_BATCH:
-                yield _rows_to_batch(rows, arrow_schema)
-                rows = []
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            b_np = batch.column(names.index(BLOCK)).to_numpy(
+                zero_copy_only=False
+            )
+            s_np = batch.column(names.index(SALT)).to_numpy(
+                zero_copy_only=False
+            )
+            changed = np.flatnonzero(
+                (b_np[1:] != b_np[:-1]) | (s_np[1:] != s_np[:-1])
+            ) + 1
+            bounds = np.r_[0, changed, len(b_np)]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                key = (int(b_np[s]), int(s_np[s]))
+                if key != cur:
+                    row = flush()
+                    if row is not None:
+                        rows.append(row)
+                        if len(rows) >= ROWS_PER_OUT_BATCH:
+                            yield _rows_to_batch(rows, arrow_schema)
+                            rows = []
+                    cur = key
+                cur_slices.append(batch.slice(int(s), int(e - s)))
+        row = flush()
+        if row is not None:
+            rows.append(row)
         if rows:
             yield _rows_to_batch(rows, arrow_schema)
 
@@ -665,11 +687,19 @@ def encode_table(
             # left join: a group the pre-pass missed (impossible for a
             # deterministic source) still encodes, placed arbitrarily
             keyed = keyed.join(F.broadcast(plan_df), on=[BLOCK, SALT], how="left")
-            blocks = keyed.repartition(n_parts, "_px").mapInArrow(
-                make_local_group_encode_fn(
-                    columns, url_col, ts_col, zlib_level, effort, groups
-                ),
-                schema=schema,
+            # JVM-side (spillable) per-partition sort so the Python
+            # encoder can STREAM contiguous groups instead of
+            # materializing its whole partition (bins grow with
+            # data at scale; one group is the memory bound either way)
+            blocks = (
+                keyed.repartition(n_parts, "_px")
+                .sortWithinPartitions(BLOCK, SALT)
+                .mapInArrow(
+                    make_local_group_encode_fn(
+                        columns, url_col, ts_col, zlib_level, effort, groups
+                    ),
+                    schema=schema,
+                )
             )
         else:
             n_parts = num_partitions or p

@@ -1308,6 +1308,14 @@ def summary_stats(blocks: DataFrame, stat_key: str) -> DataFrame:
         F.max(s.getField("max")).alias("max"),
         F.sum(s.getField("sum_sq")).alias("sum_sq"),
     )
+    # sum*sum must multiply as DOUBLE: the long product overflows once
+    # the column total passes 2^31.5 (a ~2.4x-scale table of len_text
+    # already sits at 2.4e9 — ANSI mode then kills the whole query).
+    # Values are bit-identical where the long path survived: sum is an
+    # exactly-representable double here, and fl(s)*fl(s) rounds the
+    # exact product to the SAME nearest double the old long-multiply-
+    # then-divide path produced.
+    s_d = F.col("sum").cast("double")
     return agg.select(
         F.col("cnt"),
         F.col("sum"),
@@ -1315,7 +1323,7 @@ def summary_stats(blocks: DataFrame, stat_key: str) -> DataFrame:
         F.col("min"),
         F.col("max"),
         F.sqrt(
-            (F.col("sum_sq") - F.col("sum") * F.col("sum") / F.col("cnt"))
+            (F.col("sum_sq") - s_d * s_d / F.col("cnt"))
             / (F.col("cnt") - 1)
         ).alias("stddev"),
     )
